@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Catalog
+import graft.queries.{Catalog, OpsCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,10 +25,10 @@ object SparkEntry {
         Tables.registerAll(spark, sfDir)
         spark.sql(sql)
       }
-    }
+    } ++ OpsCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] = Catalog.oracleSql
+  def oracleSql: Map[String, String] = Catalog.oracleSql ++ OpsCatalog.oracleSql
 }

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import PortableHash.hash60
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Exact cosine is computed with decimal-accumulated dot products so the
+  * result is independent of summation order (and therefore reproducible by
+  * the DuckDB oracle): float32 inputs are exact in double, each pairwise
+  * product is exact in double, and rounding each product to a fixed
+  * decimal scale then summing decimals is associative-exact.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * scans the corpus once — no shuffle of the corpus itself. The LSH
+  * variant buckets vectors by random-hyperplane sign bits so candidate
+  * generation is a bucket-local join; at 100 TB the bucket key is the
+  * shuffle key and the per-bucket fan-out is bounded by the plane count.
+  */
+object Similarity {
+
+  /** Order-independent dot product of two float-array columns. */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
+      lit(0).cast("decimal(30,12)"),
+      (acc, x) => (acc + x).cast("decimal(30,12)"))
+
+  /** Cosine similarity (double) from decimal-exact dot and norms. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotDecimal(a, b).cast("double") /
+      (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+
+  /** Corpus with per-row squared norm attached (one pass, reusable). */
+  def withNorm2(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("norm2", dotDecimal(col(vecCol), col(vecCol)))
+
+  /** Exact top-k cosine neighbors for the query rows selected by
+    * `queryPred`. The query side is tiny → broadcast; the corpus is
+    * scanned once; per-query ranking is a window over k·|queries| rows.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val corpus = withNorm2(df, vecCol)
+      .select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
+    val queries = withNorm2(df.where(queryPred), vecCol)
+      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
+  /** All pairs with cosine >= threshold (exact). Quadratic — intended for
+    * candidate verification or small partitions; the scale path is
+    * [[lshBucketTopK]] / MinHash-style banding upstream.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val n = withNorm2(df, vecCol)
+    val a = n.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+    val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * hash-derived value in [-0.5, 0.5). Reproducible everywhere. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (hash60(concat(lit(s"plane$plane:"), dim.cast("string"))).cast("double")
+      / lit((1L << 60).toDouble)) - lit(0.5)
+
+  /** Sign-random-projection bucket id from `planes` hyperplanes. Vectors
+    * in the same bucket are ANN candidates; search cost drops by ~2^planes.
+    */
+  def srpBucket(vecCol: Column, planes: Int): Column = {
+    val dots = (0 until planes).map { p =>
+      val prods = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(prods >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    dots.reduce(_ + _)
+  }
+
+  /** ANN top-k restricted to same-SRP-bucket candidates: the scale path.
+    * Recall is tunable via `planes` (fewer planes → bigger buckets →
+    * higher recall, more compute). Exact re-scoring inside buckets.
+    */
+  def lshBucketTopK(df: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int, planes: Int): DataFrame = {
+    val bucketed = withNorm2(df, vecCol).withColumn("bucket", srpBucket(col(vecCol), planes))
+    val corpus = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
+    val queries = bucketed.where(queryPred).select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+    val scored = corpus.join(broadcast(queries), "bucket")
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import PortableHash.hash60
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, and document fingerprinting. All pure Column
+  * expressions (codegen-friendly, no UDFs), each reproducible by the
+  * DuckDB oracle.
+  *
+  * Every operator takes the token array as an explicit column so callers
+  * materialize the regex split once per row ([[analyze]] does this);
+  * inlining `tokens(text)` into each consumer would re-run the split per
+  * use.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker-word profiles for the n-gram/stopword
+    * heuristic. Deliberately small and fixed: the operator's contract is
+    * the deterministic scoring procedure, not model quality.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "ne", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "una"))
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    aggregate(
+      transform(toks, w => when(w.isin(words.map(lit): _*), 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+
+  /** Language ID: CJK codepoint check first (any char >= U+4E00), then the
+    * profile with the most marker-word hits; ties resolve in profile
+    * order; zero hits → "und" (undetermined).
+    */
+  def langId(toks: Column): Column = {
+    val maxCp = aggregate(
+      transform(toks, w => ascii(w)), lit(0),
+      (acc, x) => greatest(acc, x))
+    val scored = langProfiles.map { case (l, ws) => (l, stopwordHits(toks, ws)) }
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    // earlier profiles win ties (build from the right so "en" is outermost)
+    val pick = scored.reverse.foldLeft(lit("und"): Column) { case (els, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+    when(maxCp >= 0x4E00, lit("zh")).otherwise(pick)
+  }
+
+  /** Heuristic quality score in [0,1]: blend of length band, mean word
+    * length band, punctuation density, and stopword ratio. Portable
+    * arithmetic only (no libm beyond division).
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nWords = size(toks).cast("double")
+    val punct = (length(text) - length(translate(text, ".,!?;:", ""))).cast("double")
+    val stops = stopwordHits(toks, langProfiles.flatMap(_._2).distinct).cast("double")
+    val lenScore = when(nChars >= 100 && nChars <= 10000, 1.0)
+      .when(nChars < 100, nChars / 100.0)
+      .otherwise(lit(10000.0) / nChars)
+    val wordLenScore = {
+      val avg = nChars / greatest(nWords, lit(1.0))
+      when(avg >= 3.0 && avg <= 12.0, 1.0).otherwise(0.5)
+    }
+    val punctScore = when(punct / greatest(nChars, lit(1.0)) <= 0.1, 1.0).otherwise(0.5)
+    val stopScore = when(stops / greatest(nWords, lit(1.0)) >= 0.05, 1.0).otherwise(0.7)
+    round((lenScore * 0.4 + wordLenScore * 0.2 + punctScore * 0.2 + stopScore * 0.2), 6)
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(toks: Column): Column = size(toks).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * other non-space chars — the classic pre-tokenizer regex.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Order-sensitive 40-bit document fingerprint: position-salted word
+    * hashes summed mod 2^40. Associative sum → shuffle-order independent,
+    * yet any word swap changes the value (the position is inside the
+    * hash). Mirrors a rolling-hash contract without non-portable modpow.
+    */
+  def fingerprint(toks: Column): Column = {
+    val salted = zip_with(toks, sequence(lit(0), size(toks) - 1),
+      (w, i) => hash60(concat(i.cast("string"), lit(":"), w)) % lit(1L << 40))
+    aggregate(salted, lit(0L), (acc, x) => acc + x) % lit(1L << 40)
+  }
+
+  /** All text-analysis columns over a corpus in one pass: tokens are
+    * materialized once per row, and the input is spread across cores
+    * first (small single-file sources otherwise serialize the work).
+    */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), col(textCol).as("text_"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(
+        col(idCol),
+        langId(col("toks")).as("lang_pred"),
+        qualityScore(col("text_"), col("toks")).as("quality"),
+        wsTokenCount(col("toks")).as("n_ws_tokens"),
+        regexTokenCount(col("text_")).as("n_re_tokens"),
+        fingerprint(col("toks")).as("fingerprint"))
+}

@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.PortableHash.{duckHash60 => dh}
+
+/** Query + oracle entries for the training-data-pipeline operators
+  * (dedup, similarity search, text analysis, multimodal plumbing,
+  * event-time windowing). The Spark side runs the graft.ops library; the
+  * oracle side is DuckDB SQL replicating the exact same deterministic
+  * semantics (portable md5-derived hashes, integer/decimal-exact sums).
+  */
+object OpsCatalog {
+
+  private val K = 8            // minhash signature length
+  private val ShingleN = 3     // word shingle width
+  private val Bands = 4        // LSH bands (of K/Bands rows each)
+  private val MaxDf = 50       // stop-shingle document-frequency cap
+  private val JaccThresh = 0.05
+  private val MaxHamming = 14  // simhash near-dup radius (60-bit hashes)
+  private val CosThresh = 0.35
+  private val TopK = 5
+
+  // ---- Spark-side query functions -----------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+    "q31_minhash_sig" -> { (s, dir) =>
+      Dedup.minhashSignatures(Tables.load(s, dir, "documents"), "doc_id", "text", K, ShingleN)
+        .orderBy("doc_id", "seed")
+    },
+    "q32_lsh_candidates" -> { (s, dir) =>
+      val sig = Dedup.minhashSignatures(Tables.load(s, dir, "documents"), "doc_id", "text", K, ShingleN)
+      Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", Bands, K / Bands), "doc_id")
+        .orderBy("id_a", "id_b")
+    },
+    "q33_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          ShingleN, MaxDf, JaccThresh)
+        .orderBy("id_a", "id_b")
+    },
+    "q34_simhash" -> { (s, dir) =>
+      Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "q35_simhash_pairs" -> { (s, dir) =>
+      val sim = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashPairs(sim, "doc_id", MaxHamming).orderBy("id_a", "id_b")
+    },
+    "q36_text_analyze" -> { (s, dir) =>
+      TextAnalysis.analyze(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "q37_multimodal_features" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      val feats = Multimodal.extractFeatures(
+        Multimodal.toAssets(Tables.load(s, dir, "documents"), "doc_id", "text"))
+      feats.toDF().select(
+        col("asset_id") +: col("modality") +: col("n_bytes") +:
+          (0 until Multimodal.FeatureDim).map(j => col("feature")(j).as(s"f$j")): _*)
+        .orderBy("asset_id")
+    },
+    "q38_ann_topk" -> { (s, dir) =>
+      Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, TopK)
+        .orderBy("id_a", "rank")
+    },
+    "q39_cosine_pairs" -> { (s, dir) =>
+      Similarity.cosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", CosThresh)
+        .orderBy("id_a", "id_b")
+    },
+    // approximate ANN path: rows-only check (no oracle) by design
+    "q40_srp_ann" -> { (s, dir) =>
+      Similarity.lshBucketTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, TopK, planes = 3)
+        .orderBy("id_a", "rank")
+    },
+    "q41_window_events" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT CAST(floor((ts DIV 1000000000) / 3600.0) AS BIGINT) AS hour_bucket,
+              |       event_type,
+              |       CAST(COUNT(*) AS BIGINT) AS n_events,
+              |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+              |       MIN(value) AS min_value, MAX(value) AS max_value
+              |FROM events
+              |GROUP BY 1, 2
+              |ORDER BY 1, 2""".stripMargin)
+    }
+  )
+
+  // ---- DuckDB oracle SQL --------------------------------------------
+
+  /** Word array + shingle CTEs shared by several oracles. */
+  private val shingleCte =
+    s"""docw AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(w) - ${ShingleN - 2}, 1)),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM docw
+       |)""".stripMargin
+
+  private val sigCte = {
+    val seedRows = (0 until K).map { s =>
+      val (a, b) = Dedup.minhashConsts(s)
+      s"SELECT $s AS seed, $a AS ma, $b AS mb"
+    }.mkString("\n    UNION ALL ")
+    s"""hb AS (
+       |  SELECT doc_id, ${dh("sh")} % ${Dedup.MinhashP} AS hb FROM sh
+       |), seeds AS (
+       |    $seedRows
+       |), sig AS (
+       |  SELECT doc_id, seed, MIN((hb * ma + mb) % ${Dedup.MinhashP}) AS min_hash
+       |  FROM hb, seeds
+       |  GROUP BY doc_id, seed
+       |)""".stripMargin
+  }
+
+  private def simhashVotesSql: String = {
+    val votes = (0 until 60).map { j =>
+      s"SUM(CASE WHEN h % ${1L << (j + 1)} >= ${1L << j} THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n      ")
+    val fp = (0 until 60).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, ${dh("w")} AS h FROM tok
+       |), votes AS (
+       |  SELECT doc_id,
+       |      $votes
+       |  FROM hashed GROUP BY doc_id
+       |), simhashed AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes
+       |)""".stripMargin
+  }
+
+  private val langCase: String = {
+    val profiles = TextAnalysis.langProfiles
+    val scoreExprs = profiles.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"list_sum(list_transform(w, x -> CASE WHEN x IN ($inList) THEN 1 ELSE 0 END)) AS score_$l"
+    }.mkString(",\n      ")
+    val bestExpr = profiles.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+    val pickExpr = profiles.reverse.foldLeft("'und'") { case (els, (l, _)) =>
+      s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $els END"
+    }
+    s"""langscore AS (
+       |  SELECT doc_id, w, text,
+       |      $scoreExprs,
+       |      list_max(list_transform(w, x -> ascii(x))) AS max_cp
+       |  FROM docw2
+       |), langpick AS (
+       |  SELECT doc_id, w, text, max_cp, $bestExpr AS best,
+       |         score_en, score_de, score_fr, score_es
+       |  FROM langscore
+       |)""".stripMargin -> pickExpr
+  }._1
+
+  private val langPickExpr: String = {
+    val profiles = TextAnalysis.langProfiles
+    profiles.reverse.foldLeft("'und'") { case (els, (l, _)) =>
+      s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $els END"
+    }
+  }
+
+  private val allStopwords =
+    TextAnalysis.langProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_minhash_sig" ->
+      s"""WITH $shingleCte, $sigCte
+         |SELECT doc_id, seed, min_hash FROM sig ORDER BY doc_id, seed""".stripMargin,
+
+    "q32_lsh_candidates" -> {
+      val bandRows = (0 until Bands).map { b =>
+        val cols = (0 until K / Bands).map(r => s"s${b * (K / Bands) + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, ${dh(s"concat_ws(',', $cols)")} AS bucket FROM sigw"
+      }.mkString("\n  UNION ALL\n  ")
+      val sigCols = (0 until K)
+        .map(s => s"MIN(CASE WHEN seed = $s THEN min_hash END) AS s$s").mkString(", ")
+      s"""WITH $shingleCte, $sigCte, sigw AS (
+         |  SELECT doc_id, $sigCols FROM sig GROUP BY doc_id
+         |), bands AS (
+         |  $bandRows
+         |)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q33_ngram_jaccard" ->
+      s"""WITH $shingleCte, dsh AS (
+         |  SELECT DISTINCT doc_id AS id, sh FROM sh
+         |), rare AS (
+         |  SELECT sh FROM dsh GROUP BY sh HAVING COUNT(*) <= $MaxDf
+         |), fsh AS (
+         |  SELECT id, dsh.sh FROM dsh JOIN rare ON dsh.sh = rare.sh
+         |), sizes AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM dsh GROUP BY id
+         |), inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM fsh a JOIN fsh b ON a.sh = b.sh
+         |  WHERE a.id < b.id GROUP BY a.id, b.id
+         |)
+         |SELECT id_a, id_b, n_inter,
+         |       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= $JaccThresh
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q34_simhash" ->
+      s"""WITH $simhashVotesSql
+         |SELECT doc_id, simhash FROM simhashed ORDER BY doc_id""".stripMargin,
+
+    "q35_simhash_pairs" ->
+      s"""WITH $simhashVotesSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM simhashed a, simhashed b
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q36_text_analyze" ->
+      s"""WITH docw2 AS (
+         |  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+         |), $langCase, qual AS (
+         |  SELECT doc_id, text, w, max_cp, best,
+         |         score_en, score_de, score_fr, score_es,
+         |         CAST(length(text) AS DOUBLE) AS n_chars,
+         |         CAST(len(w) AS DOUBLE) AS n_words,
+         |         CAST(length(text) - length(replace(replace(replace(replace(replace(replace(text,
+         |             '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS DOUBLE) AS punct,
+         |         CAST(list_sum(list_transform(w,
+         |             x -> CASE WHEN x IN ($allStopwords) THEN 1 ELSE 0 END)) AS DOUBLE) AS stops
+         |  FROM langpick
+         |), fps AS (
+         |  SELECT doc_id,
+         |         SUM(${dh("CAST(pos AS VARCHAR) || ':' || tw")} % ${1L << 40}) % ${1L << 40} AS fingerprint
+         |  FROM (SELECT doc_id, unnest(w) AS tw, generate_subscripts(w, 1) - 1 AS pos FROM docw2) t
+         |  GROUP BY doc_id
+         |)
+         |SELECT q.doc_id,
+         |       CASE WHEN max_cp >= ${0x4E00} THEN 'zh' ELSE $langPickExpr END AS lang_pred,
+         |       round(
+         |         (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
+         |               WHEN n_chars < 100 THEN n_chars / 100.0
+         |               ELSE 10000.0 / n_chars END) * 0.4 +
+         |         (CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+         |                AND n_chars / greatest(n_words, 1.0) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+         |         (CASE WHEN punct / greatest(n_chars, 1.0) <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+         |         (CASE WHEN stops / greatest(n_words, 1.0) >= 0.05 THEN 1.0 ELSE 0.7 END) * 0.2,
+         |         6) AS quality,
+         |       CAST(len(w) AS BIGINT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_re_tokens,
+         |       fps.fingerprint
+         |FROM qual q JOIN fps ON fps.doc_id = q.doc_id
+         |ORDER BY q.doc_id""".stripMargin,
+
+    "q37_multimodal_features" -> {
+      val fCols = (0 until Multimodal.FeatureDim)
+        .map(j => s"CAST(SUM(CASE WHEN (i - 1) % ${Multimodal.FeatureDim} = $j THEN b ELSE 0 END) AS DOUBLE) / 255.0 AS f$j")
+        .mkString(",\n       ")
+      s"""WITH bytes AS (
+         |  SELECT doc_id, length(text) AS n, unnest(range(1, length(text) + 1)) AS i,
+         |         text
+         |  FROM documents
+         |), vals AS (
+         |  SELECT doc_id, n, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS b FROM bytes
+         |)
+         |SELECT doc_id AS asset_id, 'text' AS modality, CAST(n AS BIGINT) AS n_bytes,
+         |       $fCols
+         |FROM vals GROUP BY doc_id, n ORDER BY asset_id""".stripMargin
+    },
+
+    "q38_ann_topk" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS n2
+         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.embedding AS ea, c.embedding AS eb
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+         |), dots AS (
+         |  SELECT id_a, id_b,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs) t
+         |  GROUP BY id_a, id_b
+         |), scored AS (
+         |  SELECT id_a, id_b,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |  FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+         |), ranked AS (
+         |  SELECT id_a, id_b, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank
+         |  FROM scored
+         |)
+         |SELECT id_a, id_b, round(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $TopK ORDER BY id_a, rank""".stripMargin,
+
+    "q39_cosine_pairs" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS n2
+         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+         |), dots AS (
+         |  SELECT id_a, id_b,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs) t
+         |  GROUP BY id_a, id_b
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+         |FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $CosThresh
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q41_window_events" ->
+      """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+  )
+}
