@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Catalog, OpsCatalog}
+import graft.queries.{Catalog, OpsCatalog, StatsCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,10 +25,10 @@ object SparkEntry {
         Tables.registerAll(spark, sfDir)
         spark.sql(sql)
       }
-    } ++ OpsCatalog.queries
+    } ++ OpsCatalog.queries ++ StatsCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] = Catalog.oracleSql ++ OpsCatalog.oracleSql
+  def oracleSql: Map[String, String] = Catalog.oracleSql ++ OpsCatalog.oracleSql ++ StatsCatalog.oracleSql
 }
