@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Catalog, OpsCatalog, StatsCatalog}
+import graft.queries.{Catalog, OpsCatalog, PipelineCatalog, StatsCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
         Tables.registerAll(spark, sfDir)
         spark.sql(sql)
       }
-    } ++ OpsCatalog.queries ++ StatsCatalog.queries
+    } ++ OpsCatalog.queries ++ StatsCatalog.queries ++ PipelineCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.

@@ -1,0 +1,73 @@
+package graft.estimate
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.encode.Encoder
+import graft.model.DbModel
+
+/** Runtime estimation on encoded queries (SURVEY §3.1 stage 7 / §7 step
+  * 9): tree-summarized features → MLlib gradient-boosted trees predicting
+  * log2(runtime). The reference's flagship model is a GRU over four tree
+  * traversals (v20/model.py:94-122) — PyTorch-specific; the documented
+  * substitution keeps the ENCODING identical and swaps the regressor for
+  * GBT, with the same label transform (log2 seconds,
+  * v20/dataset.py:23,61) and the same evaluation metrics
+  * (bucket accuracy / MAE / macro-F1, dqo/estimator/metrics.py:9-27).
+  */
+object Estimator {
+
+  /** Fixed-width query feature: per node type (relation/projection/
+    * selection/join), node count + elementwise mean of that type's node
+    * vectors (E1-style summary over the tree).
+    */
+  def featurize(db: DbModel, sql: String): Array[Double] = {
+    val tree = Encoder.encodeQuery(db, sql)
+    val byType = tree.preorder.groupBy(_.nodeType)
+    val dims = Seq("relation" -> 63, "projection" -> 69, "selection" -> 112, "join" -> 203)
+    dims.flatMap { case (t, d) =>
+      val vecs = byType.getOrElse(t, Nil).map(_.vector)
+      val mean = if (vecs.isEmpty) Array.fill(d)(0.0)
+                 else vecs.transpose.map(c => c.sum / c.size).toArray
+      vecs.size.toDouble +: mean.toSeq
+    }.toArray
+  }
+
+  final case class Trained(model: GBTRegressionModel) {
+    def predictLog2(features: Array[Double]): Double =
+      model.predict(Vectors.dense(features))
+  }
+
+  /** Train GBT on (sql, runtimeSeconds) with log2 labels. */
+  def train(spark: SparkSession, db: DbModel, workload: Seq[(String, Double)],
+            maxIter: Int = 20, seed: Long = 42L): Trained = {
+    import spark.implicits._
+    val rows = workload.map { case (sql, rt) =>
+      (Vectors.dense(featurize(db, sql)), math.log(math.max(rt, 1e-3)) / math.log(2))
+    }.toDF("features", "label")
+    val gbt = new GBTRegressor().setMaxIter(maxIter).setMaxDepth(4).setSeed(seed)
+    Trained(gbt.fit(rows))
+  }
+
+  /** log2-bucket metrics (metrics.py:9-27): accuracy on rounded buckets,
+    * MAE in log2 units, macro-F1 over buckets.
+    */
+  def evaluate(pred: Seq[(Double, Double)]): (Double, Double, Double) = {
+    def bucket(x: Double): Int =
+      math.max(-3, math.min(8, math.floor(x + 0.5).toInt))
+    val pairs = pred.map { case (p, l) => (bucket(p), bucket(l)) }
+    val acc = pairs.count(p => p._1 == p._2).toDouble / math.max(1, pairs.size)
+    val mae = pred.map { case (p, l) => math.abs(p - l) }.sum / math.max(1, pred.size)
+    val labels = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val f1s = labels.map { b =>
+      val tp = pairs.count(p => p._1 == b && p._2 == b).toDouble
+      val fp = pairs.count(p => p._1 == b && p._2 != b).toDouble
+      val fn = pairs.count(p => p._1 != b && p._2 == b).toDouble
+      if (tp == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+    }
+    val macroF1 = if (f1s.isEmpty) 0.0 else f1s.sum / f1s.size
+    (acc, mae, macroF1)
+  }
+}

@@ -162,6 +162,10 @@ final class Query(val trackOrder: Boolean = false) {
 
   /** Canonical SQL emission (query/__init__.py:231-276): sorted (or
     * insertion-ordered) parts, `t1..tn` aliases, `pretty` newline mode.
+    *
+    * Deviation, documented: the reference assigns aliases by MUTATING the
+    * TableRefs (its own FIXME at query/__init__.py:277) which corrupts
+    * hash-set membership; here aliases are resolved at render time only.
     */
   def toSql(pretty: Boolean = true, alias: Boolean = true): String = {
     def selectionKey(s: Selection): String = s match {
@@ -172,11 +176,23 @@ final class Query(val trackOrder: Boolean = false) {
     val sels = if (trackOrder) selections else selections.sortBy(selectionKey)
     val projs = if (trackOrder) projections.toSeq else projections.toSeq.sortBy(_.col.name)
 
-    if (alias) rels.zipWithIndex.foreach { case (t, i) =>
-      if (t.alias.isEmpty) t.alias = Some(s"t${i + 1}")
+    val aliasOf: Map[String, String] =
+      if (alias)
+        rels.zipWithIndex.map { case (t, i) => t.key -> t.alias.getOrElse(s"t${i + 1}") }.toMap
+      else rels.map(t => t.key -> t.key).toMap
+    def rCol(c: ColRef): String = s"${aliasOf.getOrElse(c.table.key, c.table.key)}.${c.alias.getOrElse(c.name)}"
+    def rProj(p: Projection): String =
+      p.func.map(f => s"$f(${rCol(p.col)})").getOrElse(rCol(p.col))
+    def rSel(s: Selection): String = s match {
+      case c: Condition =>
+        if (c.ltr) s"${rCol(c.col)} ${c.operator} ${c.value}"
+        else s"${c.value} ${c.operator} ${rCol(c.col)}"
+      case j: JoinEdge => s"${rCol(j.left)} ${j.operator} ${rCol(j.right)}"
     }
-    val selectClause = projs.mkString(", ")
-    val fromClause = rels.map(t => t.alias.map(a => s"${t.name} as $a").getOrElse(t.name))
+
+    val selectClause = projs.map(rProj).mkString(", ")
+    val fromClause = rels
+      .map(t => if (alias || t.alias.isDefined) s"${t.name} as ${aliasOf(t.key)}" else t.name)
       .mkString(", ")
     val andStr = if (pretty) " AND \n      " else " AND "
     val sb = new StringBuilder
@@ -186,7 +202,7 @@ final class Query(val trackOrder: Boolean = false) {
     if (sels.nonEmpty) {
       sb ++= " "
       if (pretty) sb ++= "\n"
-      sb ++= s"WHERE ${sels.map(_.sqlString).mkString(andStr)}"
+      sb ++= s"WHERE ${sels.map(rSel).mkString(andStr)}"
     }
     sb.result()
   }

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.encode.Encoder
+import graft.estimate.Estimator
+import graft.gen.RandomQueryGen
+import graft.lab.Executor
+import graft.model.StatsCollector
+
+/** Rows-only query entries (no SQL-expressible oracle) exposing the
+  * reference-pipeline components end-to-end: workload generation (G2),
+  * execution-lab plan capture (X1/X4), feature encoding (E1-E11), and
+  * estimator training/evaluation — the full §3.1/§3.2 lifecycle running
+  * on the driver testdata.
+  */
+object PipelineCatalog {
+
+  private val statTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem")
+
+  private def model(s: SparkSession, dir: String) =
+    StatsCollector.collect(s, dir, statTables)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G2: seeded random workload over the collected stats model
+    "q60_generate" -> { (s, dir) =>
+      import s.implicits._
+      val db = model(s, dir)
+      val rows = (1 to 20).map { seed =>
+        val q = new RandomQueryGen(db, seed).randomize()
+        (seed, q.toSql(pretty = false), q.valid)
+      }
+      rows.toDF("seed", "sql", "valid").orderBy("seed")
+    },
+
+    // X1/X4: timing protocol + physical-plan op-tree capture
+    "q61_plan_ops" -> { (s, dir) =>
+      import s.implicits._
+      Tables.registerAll(s, dir)
+      val ex = new Executor(s, timeoutSec = 300)
+      val run = ex.analyze(
+        """SELECT o.o_orderkey, COUNT(*) AS n FROM lineitem l, orders o
+          |WHERE l.l_orderkey = o.o_orderkey AND o.o_totalprice > 1000.0
+          |GROUP BY o.o_orderkey""".stripMargin)
+      val df = s.sql(
+        """SELECT o.o_orderkey, COUNT(*) AS n FROM lineitem l, orders o
+          |WHERE l.l_orderkey = o.o_orderkey AND o.o_totalprice > 1000.0
+          |GROUP BY o.o_orderkey""".stripMargin)
+      df.collect()
+      val ops = graft.lab.PlanOps.fromDataFrame(df).preorder
+      ops.zipWithIndex
+        .map { case (op, i) => (i, op.kind, op.detail.take(60), run.seconds > 0) }
+        .toDF("op_idx", "kind", "detail", "timed").orderBy("op_idx")
+    },
+
+    // E1-E11: deterministic per-node feature vectors for a fixed query
+    "q62_encode" -> { (s, dir) =>
+      import s.implicits._
+      val db = model(s, dir)
+      val tree = Encoder.encodeQuery(db,
+        """SELECT MIN(l.l_extendedprice) FROM lineitem as l, orders as o
+          |WHERE l.l_orderkey = o.o_orderkey AND o.o_totalprice > 50000.0""".stripMargin)
+      tree.preorder.zipWithIndex.map { case (n, i) =>
+        (i, n.nodeType, n.vector.length,
+          math.round(n.vector.map(v => if (v.isNaN || v.isInfinite) 0.0 else v).sum * 1000) / 1000.0)
+      }.toDF("node_idx", "node_type", "vec_len", "vec_sum").orderBy("node_idx")
+    },
+
+    // estimator: train on a generated workload with a deterministic
+    // synthetic cost label; report bucket metrics
+    "q63_estimate" -> { (s, dir) =>
+      import s.implicits._
+      val db = model(s, dir)
+      val workload = (1 to 60).flatMap { seed =>
+        val q = new RandomQueryGen(db, seed).randomize()
+        if (!q.valid) None
+        else {
+          val sql = q.toSql(pretty = false)
+          val cost = math.pow(2.0, q.relations.size + q.projections.size * 0.2 -
+            q.conditions.size * 0.3)
+          scala.util.Try { Estimator.featurize(db, sql); (sql, cost) }.toOption
+        }
+      }
+      val trained = Estimator.train(s, db, workload, maxIter = 10)
+      val preds = workload.map { case (sql, rt) =>
+        (trained.predictLog2(Estimator.featurize(db, sql)),
+          math.log(rt) / math.log(2))
+      }
+      val (acc, mae, f1) = Estimator.evaluate(preds)
+      Seq((workload.size, acc > 0.3, mae < 2.0, f1 >= 0.0))
+        .toDF("n_queries", "acc_ok", "mae_ok", "f1_ok")
+    }
+  )
+}
