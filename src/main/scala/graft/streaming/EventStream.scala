@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface over the events table. The reference has
+  * no streaming (SURVEY §2.8 — its closest artifacts are checkpoint files
+  * and rotating logs); this extends the engine to event streams the way a
+  * training-data pipeline ingests logs: watermarked tumbling-window
+  * aggregation and stateful per-key sessionization.
+  *
+  * Scale design: windowed aggregation is a streaming hash-partitioned
+  * partial/final agg (map-side combined per micro-batch); state size is
+  * bounded by the watermark (late data beyond 10 minutes is dropped) so
+  * executors hold O(active windows × keys), not history.
+  */
+object EventStream {
+
+  /** Schema of the events stream (ts arrives as epoch-nanos LONG under
+    * nanosAsLong, converted to a real timestamp here).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source needs a directory; glob-filter to the events
+    // table within the sf directory
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+
+  /** Tumbling-window per-type aggregate with a 10-minute watermark. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
+
+  final case class SessionState(count: Long, sum: Double, lastNanos: Long)
+  final case class UserSession(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful per-user running aggregate via mapGroupsWithState —
+    * the custom-state streaming pattern (SURVEY steering: KeyValue
+    * GroupedDataset.mapGroupsWithState).
+    */
+  def userSessions(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"),
+        col("ts").cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          var c = prev.count; var s = prev.sum; var last = prev.lastNanos
+          rows.foreach { r => c += 1; s += r._2; last = math.max(last, r._3) }
+          state.update(SessionState(c, s, last))
+          UserSession(user, c, s)
+      }.toDF()
+  }
+
+  /** Drive a streaming DataFrame to completion against the (static)
+    * parquet source using a memory sink — the local test harness
+    * (`format("memory")` + processAllAvailable).
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.schemaInference", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("watermarked tumbling-window aggregation over the events stream") {
+    val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
+    val agg = EventStream.windowedCounts(stream)
+    EventStream.runToMemory(agg, "win", org.apache.spark.sql.streaming.OutputMode.Complete())
+    val rows = spark.sql("SELECT * FROM win").collect()
+    assert(rows.nonEmpty)
+    // batch ground truth: same window bucketing over the static table
+    val expect = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("CAST(ts DIV 1000000000 AS BIGINT) DIV 3600 AS hb").distinct().count()
+    assert(rows.length == rows.map(r => (r.getAs[Any]("window_start"), r.getAs[String]("event_type"))).distinct.length)
+    assert(rows.map(_.getAs[Any]("window_start")).distinct.length.toLong == expect)
+    val n = rows.map(_.getAs[Long]("n_events")).sum
+    val total = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(n == total) // complete mode emits every window
+  }
+
+  test("stateful per-user sessions via mapGroupsWithState") {
+    val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
+    val sessions = EventStream.userSessions(spark, stream)
+    EventStream.runToMemory(sessions, "sess", org.apache.spark.sql.streaming.OutputMode.Update())
+    val rows = spark.sql("SELECT * FROM sess").collect()
+    assert(rows.nonEmpty)
+    val static = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val users = static.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length.toLong == users)
+    val sumCounts = rows.map(_.getAs[Long]("n_events")).sum
+    assert(sumCounts == static.count())
+  }
+}
