@@ -16,7 +16,8 @@ object Bench {
     "q10_join_chain", "q13_groupby_having", "q15_count_distinct",
     "q16_stats_numeric", "q21_log2_bucket", "q22_topk_window",
     "q30_dedup_exact", "q31_minhash_sig", "q32_lsh_candidates",
-    "q34_simhash", "q36_text_analyze", "q38_ann_topk", "q41_window_events")
+    "q33_ngram_jaccard", "q34_simhash", "q36_text_analyze", "q38_ann_topk",
+    "q41_window_events", "q50_stats_model")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,8 +54,14 @@ object StatsCollector {
     colName == "id" || colName.endsWith("key") || colName.endsWith("_id")
 
   /** Collect full stats for one table in two scans. */
-  def collectTable(df: DataFrame, name: String, sizeBytes: Long,
+  def collectTable(dfIn: DataFrame, name: String, sizeBytes: Long,
                    exact: Boolean = true): TableModel = {
+    // Parallelize small single-split sources: the exact-distinct Expand
+    // multiplies rows by the distinct-agg count, and on one partition the
+    // whole wide aggregate runs on one core (observed 51s for sf0.1
+    // lineitem before this). Large inputs keep their natural splits.
+    val par = dfIn.sparkSession.sparkContext.defaultParallelism
+    val df = if (dfIn.rdd.getNumPartitions < par) dfIn.repartition(par) else dfIn
     val schema = TableModel(name,
       df.schema.fields.toSeq.flatMap(f =>
         DType.fromSpark(f.dataType).map(ColumnModel(f.name, _))))
@@ -146,20 +152,36 @@ object StatsCollector {
     else if (Files.exists(p)) Files.size(p) else 0L
   }
 
-  /** Full model over the standard table set, with optional JSON cache
-    * (mirrors Postgres.model(use_cache=True), postgres.py:321-377).
+  /** Partition-column introspection (SURVEY §2.1 S6 — the engine analog
+    * of the reference's pg_partitioned_table probe, postgres.py:19-45):
+    * hive-style partition directories of a parquet dataset.
+    */
+  def partitionColumns(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.partitionSchema.fieldNames.toSeq
+    }.getOrElse(Nil)
+  }
+
+  private val memo = scala.collection.concurrent.TrieMap.empty[(String, Seq[String], Boolean), DbModel]
+
+  /** Full model over the standard table set, with in-memory memoization
+    * and optional JSON cache (mirrors Postgres.model(use_cache=True),
+    * postgres.py:321-377 — the reference also caches its model).
     */
   def collect(spark: SparkSession, dir: String, tables: Seq[String],
-              exact: Boolean = true, cachePath: Option[String] = None): DbModel = {
-    cachePath.filter(p => Files.exists(Paths.get(p))).map { p =>
-      ModelJson.fromJson(Files.readString(Paths.get(p)))
-    }.getOrElse {
-      val db = DbModel(tables.map { t =>
-        val path = s"$dir/$t.parquet"
-        collectTable(spark.read.parquet(path), t, dirSize(path), exact)
-      })
-      cachePath.foreach(p => Files.writeString(Paths.get(p), ModelJson.toJson(db)))
-      db
-    }
-  }
+              exact: Boolean = true, cachePath: Option[String] = None): DbModel =
+    memo.getOrElseUpdate((dir, tables, exact), {
+      cachePath.filter(p => Files.exists(Paths.get(p))).map { p =>
+        ModelJson.fromJson(Files.readString(Paths.get(p)))
+      }.getOrElse {
+        val db = DbModel(tables.map { t =>
+          val path = s"$dir/$t.parquet"
+          collectTable(spark.read.parquet(path), t, dirSize(path), exact)
+        })
+        cachePath.foreach(p => Files.writeString(Paths.get(p), ModelJson.toJson(db)))
+        db
+      }
+    })
 }
