@@ -79,14 +79,16 @@ object Similarity {
       / lit((1L << 60).toDouble)) - lit(0.5)
 
   /** Sign-random-projection bucket id from `planes` hyperplanes. Vectors
-    * in the same bucket are ANN candidates; search cost drops by ~2^planes.
+    * in the same bucket are ANN candidates; search cost drops by
+    * ~2^planes. Decimal accumulation keeps the sign decision independent
+    * of summation order (oracle-reproducible).
     */
   def srpBucket(vecCol: Column, planes: Int): Column = {
     val dots = (0 until planes).map { p =>
       val prods = aggregate(
         zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
+          (x, i) => (x.cast("double") * planeComponent(p, i)).cast("decimal(20,12)")),
+        lit(0).cast("decimal(30,12)"), (acc, x) => (acc + x).cast("decimal(30,12)"))
       when(prods >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     dots.reduce(_ + _)

@@ -241,6 +241,54 @@ object Catalog {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
+    // ---- beyond-reference relational surface (SURVEY §2.3/§2.5 notes
+    // these as ABSENT in the reference; the engine supports them) ------
+
+    "q23_union_all" ->
+      """SELECT c_custkey AS id, 'customer' AS src FROM customer WHERE c_acctbal > 9000.0
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS src FROM supplier WHERE s_acctbal > 9000.0
+        |ORDER BY src, id""".stripMargin,
+
+    "q24_left_join" ->
+      """SELECT c.c_custkey, o.o_orderkey
+        |FROM customer c LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000.0
+        |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin,
+
+    "q25_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q26_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
+
+    "q28_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         RANK() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "q29_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY k""".stripMargin,
+
     // top-20%-by-runtime (augment.py:18-21) via window functions
     "q22_topk_window" ->
       """SELECT event_id, value FROM (

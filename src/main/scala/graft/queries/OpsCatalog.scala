@@ -75,7 +75,7 @@ object OpsCatalog {
       Similarity.cosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", CosThresh)
         .orderBy("id_a", "id_b")
     },
-    // approximate ANN path: rows-only check (no oracle) by design
+    // approximate ANN path, oracle-checked via hash-derived hyperplanes
     "q40_srp_ann" -> { (s, dir) =>
       Similarity.lshBucketTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") % 100 === 0, TopK, planes = 3)
@@ -332,6 +332,57 @@ object OpsCatalog {
          |FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
          |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $CosThresh
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q40_srp_ann" -> {
+      // SRP hyperplanes are hash-derived, so the DuckDB oracle recomputes
+      // them exactly: per-plane decimal dot against md5-derived
+      // components, sign bits -> bucket, then bucket-local exact top-k
+      val nPlanes = 3
+      val caseP = (0 until nPlanes).map(p => s"WHEN $p THEN ${1 << p}").mkString(" ")
+      s"""WITH comp AS (
+         |  SELECT p, i,
+         |         (${dh("'plane' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+         |            / 1152921504606846976.0) - 0.5 AS c
+         |  FROM (SELECT unnest(range(0, $nPlanes)) AS p) ps,
+         |       (SELECT unnest(range(0, 64)) AS i) dims
+         |), vals AS (
+         |  SELECT vec_id, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) - 1 AS i
+         |  FROM embeddings
+         |), dots AS (
+         |  SELECT v.vec_id, c.p,
+         |         SUM(CAST(CAST(v.x AS DOUBLE) * c.c AS DECIMAL(20,12))) AS dot
+         |  FROM vals v JOIN comp c ON c.i = v.i
+         |  GROUP BY v.vec_id, c.p
+         |), buckets AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CASE WHEN dot >= 0 THEN (CASE p $caseP END) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id
+         |), norms AS (
+         |  SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS n2
+         |  FROM vals GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.embedding AS ea, c.embedding AS eb
+         |  FROM embeddings q
+         |  JOIN buckets bq ON bq.vec_id = q.vec_id
+         |  JOIN buckets bc ON bc.bucket = bq.bucket
+         |  JOIN embeddings c ON c.vec_id = bc.vec_id
+         |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+         |), pdots AS (
+         |  SELECT id_a, id_b,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs) t
+         |  GROUP BY id_a, id_b
+         |), ranked AS (
+         |  SELECT id_a, id_b,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a
+         |           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC, id_b) AS rank
+         |  FROM pdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+         |)
+         |SELECT id_a, id_b, round(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $TopK ORDER BY id_a, rank""".stripMargin
+    },
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,

@@ -41,8 +41,8 @@ def main(sf_dir, out_dir):
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1; continue
-        e_rows = sorted(tuple(norm(r[i]) for i in eidx) for r in exp)
-        g_rows = sorted(tuple(norm(r[i]) for i in gidx) for r in got)
+        e_rows = sorted((tuple(norm(r[i]) for i in eidx) for r in exp), key=repr)
+        g_rows = sorted((tuple(norm(r[i]) for i in gidx) for r in got), key=repr)
         if len(e_rows) != len(g_rows):
             print(f"FAIL {name}: rows {len(g_rows)} != {len(e_rows)}"); n_fail += 1; continue
         bad = [(a, b) for a, b in zip(g_rows, e_rows) if a != b]
