@@ -182,7 +182,7 @@ object OpsCatalog {
 
     "q31_minhash_sig" ->
       s"""WITH $shingleCte, $sigCte
-         |SELECT doc_id, seed, min_hash FROM sig ORDER BY doc_id, seed""".stripMargin,
+         |SELECT doc_id, CAST(seed AS INTEGER) AS seed, min_hash FROM sig ORDER BY doc_id, seed""".stripMargin,
 
     "q32_lsh_candidates" -> {
       val bandRows = (0 until Bands).map { b =>
