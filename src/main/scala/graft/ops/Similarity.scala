@@ -21,21 +21,32 @@ import PortableHash.hash60
   */
 object Similarity {
 
-  /** Order-independent dot product of two float-array columns. */
-  def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
-      lit(0).cast("decimal(30,12)"),
-      (acc, x) => (acc + x).cast("decimal(30,12)"))
+  /** Order-independent dot product of two float-array columns, via the
+    * native codegen'd [[graft.plans.DecimalDotProduct]] kernel
+    * (bit-identical to the composed
+    * `aggregate(zip_with(cast decimal(20,12)))` form it replaced).
+    */
+  def dotDecimal(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toColumn(graft.plans.DecimalDotProduct(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+  }
 
   /** Cosine similarity (double) from decimal-exact dot and norms. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dotDecimal(a, b).cast("double") /
       (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
 
-  /** Corpus with per-row squared norm attached (one pass, reusable). */
-  def withNorm2(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("norm2", dotDecimal(col(vecCol), col(vecCol)))
+  /** Corpus with per-row squared norm attached (one pass, reusable).
+    * Small single-split sources are spread across cores first — the
+    * downstream scoring join inherits the corpus partitioning, and a
+    * one-partition corpus would score every candidate pair on one thread.
+    */
+  def withNorm2(df: DataFrame, vecCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    spread.withColumn("norm2", dotDecimal(col(vecCol), col(vecCol)))
+  }
 
   /** Exact top-k cosine neighbors for the query rows selected by
     * `queryPred`. The query side is tiny → broadcast; the corpus is
