@@ -50,7 +50,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // BASELINE.md engine-side throughputs: SQL parse+IR-build and full
+    // feature-encode rates over a generated workload (cf. the reference's
+    // dqo/encode.py and dqo/test_parser.py probes)
+    val db = graft.model.StatsCollector.collect(spark, sfDir,
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
+    val workload = (1 to 200).map(s => new graft.gen.RandomQueryGen(db, s).randomize())
+      .filter(_.valid).map(_.toSql(pretty = false))
+    val tp0 = System.nanoTime()
+    workload.foreach(sql => graft.ir.Frontend.parseSql(sql, Some(db)))
+    val parseQps = workload.size / ((System.nanoTime() - tp0) / 1e9)
+    val te0 = System.nanoTime()
+    val encoded = workload.flatMap(sql =>
+      scala.util.Try(graft.encode.Encoder.encodeQuery(db, sql)).toOption)
+    val encodeQps = encoded.size / ((System.nanoTime() - te0) / 1e9)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","parse_qps":$parseQps,"encode_qps":$encodeQps}""")
     spark.stop()
   }
 }

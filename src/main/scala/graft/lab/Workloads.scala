@@ -99,6 +99,16 @@ object Workloads {
     withBucket(rows.toSeq.toDF("query", "runtime"))
   }
 
+  /** Parquet workload storage — the scale-native alternative to the
+    * reference's CSV (columnar, splittable, predicate-pushable when
+    * filtering workloads by bucket/runtime).
+    */
+  def loadParquet(spark: SparkSession, path: String): DataFrame =
+    withBucket(spark.read.parquet(path).dropDuplicates("query"))
+
+  def saveParquet(df: DataFrame, path: String): Unit =
+    df.select("query", "runtime").write.mode("overwrite").parquet(path)
+
   /** Weighted / uniform / head sampling modes
     * (datasets/__init__.py:211-237).
     */
