@@ -277,8 +277,8 @@ object Catalog {
     "q28_window_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
         |  SELECT o_custkey, o_orderkey,
-        |         RANK() OVER (PARTITION BY o_custkey
-        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |         CAST(RANK() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
         |  FROM orders) t
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
@@ -289,16 +289,6 @@ object Catalog {
         |SELECT s_nationkey FROM supplier
         |ORDER BY k""".stripMargin,
 
-    // top-20%-by-runtime (augment.py:18-21) via window functions
-    "q22_topk_window" ->
-      """SELECT event_id, value FROM (
-        |  SELECT event_id, value,
-        |         ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn,
-        |         COUNT(*) OVER () AS n
-        |  FROM events
-        |) t
-        |WHERE rn <= CAST(floor(n * 0.2) AS BIGINT)
-        |ORDER BY event_id""".stripMargin
   )
 
   /** Spark-dialect SQL for queries where the two engines' function names
@@ -319,8 +309,21 @@ object Catalog {
         |FROM lineitem""".stripMargin
   )
 
-  /** DuckDB-dialect oracle for the [[sparkOnly]] queries. */
+  /** DuckDB-dialect oracle for the [[sparkOnly]] queries plus queries
+    * whose Spark side is a DataFrame program (no shared-SQL form). */
   val duckOnly: Map[String, String] = Map(
+    // top-20%-by-runtime (augment.py:18-21). The oracle may use the lazy
+    // global window; the Spark side is ops.TopFraction (bucketed ranking —
+    // an unpartitioned window would serialize the table at scale).
+    "q22_topk_window" ->
+      """SELECT event_id, value FROM (
+        |  SELECT event_id, value,
+        |         ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM events
+        |) t
+        |WHERE rn <= CAST(floor(n * 0.2) AS BIGINT)
+        |ORDER BY event_id""".stripMargin,
     "q18_stats_words" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS total,
         |       CAST(MIN(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS min_words,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TopFraction}
 import graft.ops.PortableHash.{duckHash60 => dh}
 
 /** Query + oracle entries for the training-data-pipeline operators
@@ -27,6 +27,11 @@ object OpsCatalog {
   // ---- Spark-side query functions -----------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // top-20%-by-score cut (augment.py:18-21); oracle in Catalog.duckOnly
+    "q22_topk_window" -> { (s, dir) =>
+      TopFraction.topFraction(Tables.load(s, dir, "events"), "value", "event_id", 0.2)
+        .select("event_id", "value").orderBy("event_id")
+    },
     "q30_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")
@@ -252,7 +257,9 @@ object OpsCatalog {
          |  FROM langpick
          |), fps AS (
          |  SELECT doc_id,
-         |         SUM(${dh("CAST(pos AS VARCHAR) || ':' || tw")} % ${1L << 40}) % ${1L << 40} AS fingerprint
+         |         -- CAST: DuckDB SUM(BIGINT) is HUGEINT (arrow decimal128);
+         |         -- Spark emits BIGINT — the driver's hash is type-sensitive.
+         |         CAST(SUM(${dh("CAST(pos AS VARCHAR) || ':' || tw")} % ${1L << 40}) % ${1L << 40} AS BIGINT) AS fingerprint
          |  FROM (SELECT doc_id, unnest(w) AS tw, generate_subscripts(w, 1) - 1 AS pos FROM docw2) t
          |  GROUP BY doc_id
          |)

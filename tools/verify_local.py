@@ -41,6 +41,18 @@ def main(sf_dir, out_dir):
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1; continue
+        # arrow-level type compare: the driver's hash is type-sensitive
+        # (e.g. DuckDB HUGEINT -> decimal128 vs Spark BIGINT -> int64)
+        e_schema = con.execute(sql).arrow().schema
+        g_schema = con.execute(f"SELECT * FROM read_parquet({files!r})").arrow().schema
+        e_types = {f.name: str(f.type) for f in e_schema}
+        g_types = {f.name: str(f.type) for f in g_schema}
+        if e_types != g_types:
+            diff = {k: (g_types.get(k), e_types.get(k))
+                    for k in set(e_types) | set(g_types)
+                    if e_types.get(k) != g_types.get(k)}
+            print(f"FAIL {name}: arrow types differ (got, exp): {diff}")
+            n_fail += 1; continue
         e_rows = sorted((tuple(norm(r[i]) for i in eidx) for r in exp), key=repr)
         g_rows = sorted((tuple(norm(r[i]) for i in gidx) for r in got), key=repr)
         if len(e_rows) != len(g_rows):
