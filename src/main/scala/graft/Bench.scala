@@ -39,17 +39,20 @@ object Bench {
     // (dqo/lab/query_executor.py:79-103) — isolates engine time from
     // plan-compilation/codegen cold start
     val results = headline.filter(all.contains).map { name =>
+      // a failing query must surface as -1, never as a plausible timing
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { all(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { all(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
       }
-      once()
-      name -> once()
+      val first = once()
+      name -> (if (first < 0) -1.0 else once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
 
     // BASELINE.md engine-side throughputs: SQL parse+IR-build and full
     // feature-encode rates over a generated workload (cf. the reference's

@@ -118,7 +118,9 @@ final class BalancedQueryGen(
     seed: Long = Random.nextLong()) {
 
   private val rng = new Rng(seed)
-  val counts: Array[Long] = Array.fill(partitioner.k + 1)(0L)
+  // one slot per reachable partition() result (0 until k) — an extra
+  // slot would stay 0 forever and pin emptiestPartition to it
+  val counts: Array[Long] = Array.fill(partitioner.k)(0L)
   private val results = mutable.Buffer.empty[(String, Double)]
 
   private def emptiestPartition: Int = counts.zipWithIndex.minBy(_._1)._2

@@ -143,7 +143,12 @@ object TreeOps {
     (a.operand, b.operand) match {
       case (ConstOp(av), ConstOp(bv)) =>
         val (ao, bo) = (a.op, b.op)
-        if (av.isNum) {
+        // '!=' is outside the interval algebra: 'x != 5 AND x != 3' keeps
+        // BOTH predicates, and 'x != 5 AND x >= 5' is NOT 'x = 5'. Merge
+        // only the exact-duplicate case.
+        if (ao == "!=" || bo == "!=") {
+          if (ao == bo && av.text == bv.text) Some(b) else None
+        } else if (av.isNum) {
           def f(c: Const) = c.text.toDouble
           if (ao.contains("=") || bo.contains("=")) {
             if (ao == "=" || bo == "=") {

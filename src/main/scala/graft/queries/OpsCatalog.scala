@@ -284,12 +284,19 @@ object OpsCatalog {
       val fCols = (0 until Multimodal.FeatureDim)
         .map(j => s"CAST(SUM(CASE WHEN (i - 1) % ${Multimodal.FeatureDim} = $j THEN b ELSE 0 END) AS DOUBLE) / 255.0 AS f$j")
         .mkString(",\n       ")
-      s"""WITH bytes AS (
-         |  SELECT doc_id, length(text) AS n, unnest(range(1, length(text) + 1)) AS i,
-         |         text
+      s"""WITH hx AS (
+         |  -- iterate UTF-8 BYTES (not characters): the Spark side feeds
+         |  -- encode(text,'UTF-8') to the decoder, and ascii-per-char only
+         |  -- coincides with that while every document is pure ASCII
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |         octet_length(encode(text)) AS n
          |  FROM documents
+         |), bytes AS (
+         |  SELECT doc_id, n, unnest(range(1, n + 1)) AS i, h FROM hx
          |), vals AS (
-         |  SELECT doc_id, n, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS b FROM bytes
+         |  SELECT doc_id, n, i,
+         |         CAST(('0x' || substr(h, CAST(i * 2 - 1 AS INTEGER), 2)) AS INTEGER) AS b
+         |  FROM bytes
          |)
          |SELECT doc_id AS asset_id, 'text' AS modality, CAST(n AS BIGINT) AS n_bytes,
          |       $fCols

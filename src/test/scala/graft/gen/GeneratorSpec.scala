@@ -97,6 +97,16 @@ class GeneratorSpec extends AnyFunSuite {
     assert(bal.counts.sum == out.size)
   }
 
+  test("every balanced-gen target bucket is reachable by partition()") {
+    val p = new Log2Partitioner()
+    val bal = new BalancedQueryGen(db, fakeRunner, partitioner = p, seed = 9)
+    // counts must have exactly one slot per value partition() can produce,
+    // else the unreachable slot stays 0 and pins every target to it
+    val reachable = (0 to 20).map(e => p.partition(math.pow(2.0, e - 1.0) * 1.5))
+      .toSet ++ Set(p.partition(0.1))
+    assert(bal.counts.indices.toSet == reachable)
+  }
+
   test("log2 partitioner bounds (rl/partitioner.py:31-53)") {
     val p = new Log2Partitioner()
     assert(p.k == 9)

@@ -55,6 +55,20 @@ class MergePropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("'!=' merges only on exact duplicates (outside the interval algebra)") {
+    for (_ <- 1 to 500) {
+      val v1 = rng.nextInt(21) - 10.0
+      val v2 = rng.nextInt(21) - 10.0
+      val r = TreeOps.mergeSelections(cmp("!=", v1), cmp("!=", v2))
+      if (v1 == v2) assert(r.exists(m => m.op == "!=")) else assert(r.isEmpty,
+        s"!=$v1 and !=$v2 must both survive, got $r")
+      // mixed '!=' with any interval op must never merge (x!=5 AND x>=5 is x>5)
+      val other = (ops :+ "=")(rng.nextInt(5))
+      assert(TreeOps.mergeSelections(cmp("!=", v1), cmp(other, v2)).isEmpty)
+      assert(TreeOps.mergeSelections(cmp(other, v2), cmp("!=", v1)).isEmpty)
+    }
+  }
+
   test(">= and <= of the same constant merge to equality") {
     for (v <- -50 to 50) {
       val r = TreeOps.mergeSelections(cmp(">=", v), cmp("<=", v))
