@@ -74,35 +74,59 @@ object Dedup {
     * min-aggregates in one map-side-combining groupBy — the shuffle
     * carries only k longs per document.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, shingleN: Int): DataFrame = {
+  /** Wide MinHash signatures: one row per document, columns s0..s{k-1}.
+    * This is the internal currency of the LSH pipeline — banding consumes
+    * it directly, so no unpivot/re-pivot round-trip sits on the scale
+    * path. [[minhashSignatures]] flattens it for the flat-row API surface.
+    */
+  def minhashSignaturesWide(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, shingleN: Int): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleN)
       .withColumn("hb", hash60(col("sh")) % MinhashP)
     val aggs = (0 until k).map { s =>
       val (a, b) = minhashConsts(s)
       min((col("hb") * a + b) % MinhashP).as(s"s$s")
     }
-    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    // unpivot to flat (id, seed, min_hash) rows
-    val stacked = (0 until k).map(s => s"$s, s$s").mkString(", ")
-    wide.selectExpr(idCol, s"stack($k, $stacked) AS (seed, min_hash)")
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band keys: the signature is cut into `bands` bands of
-    * `rowsPerBand` values; each band is hashed to a bucket key. Documents
-    * sharing any (band, bucket) are near-dup candidates.
+  /** MinHash signatures as flat rows (id, seed, min_hash) — the public
+    * per-seed surface over [[minhashSignaturesWide]].
     */
-  def lshBands(signatures: DataFrame, idCol: String,
-               bands: Int, rowsPerBand: Int): DataFrame = {
-    val wide = signatures.groupBy(col(idCol))
-      .pivot("seed", 0 until bands * rowsPerBand).agg(first("min_hash"))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleN: Int): DataFrame = {
+    val stacked = (0 until k).map(s => s"$s, s$s").mkString(", ")
+    minhashSignaturesWide(df, idCol, textCol, k, shingleN)
+      .selectExpr(idCol, s"stack($k, $stacked) AS (seed, min_hash)")
+  }
+
+  /** LSH band keys from the WIDE signature form (the scale path): each of
+    * `bands` bands of `rowsPerBand` signature values hashes to a bucket
+    * key — a pure projection, no extra shuffle.
+    */
+  def lshBandsWide(wide: DataFrame, idCol: String,
+                   bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col((b * rowsPerBand + r).toString))
+      val parts = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
       hash60(concat_ws(",", parts: _*)).as(s"band$b")
     }
     val withBands = wide.select(col(idCol) +: bandCols: _*)
     val stacked = (0 until bands).map(b => s"$b, band$b").mkString(", ")
     withBands.selectExpr(idCol, s"stack($bands, $stacked) AS (band, bucket)")
+  }
+
+  /** LSH band keys from flat (id, seed, min_hash) rows: re-pivots to the
+    * wide form first. Prefer piping [[minhashSignaturesWide]] straight
+    * into [[lshBandsWide]] — this entry point pays one extra shuffle and
+    * exists for callers who only hold the flat surface.
+    */
+  def lshBands(signatures: DataFrame, idCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val wide = signatures.groupBy(col(idCol))
+      .pivot("seed", 0 until k).agg(first("min_hash"))
+      .select(col(idCol) +: (0 until k).map(s => col(s.toString).as(s"s$s")): _*)
+    lshBandsWide(wide, idCol, bands, rowsPerBand)
   }
 
   /** Candidate pairs from LSH buckets (a < b, distinct). The self-join is
@@ -124,20 +148,42 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, maxDf: Long, threshold: Double): DataFrame = {
-    val docSh = shingleRows(df, idCol, textCol, shingleN)
-      .withColumnRenamed(idCol, "id")
-      .distinct()
-    val rare = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("sh")
-    val filtered = docSh.join(rare, "sh")
-    val sizes = docSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = filtered.select(col("sh"), col("id").as("id_a"))
-      .join(filtered.select(col("sh"), col("id").as("id_b")), "sh")
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    // per-document DISTINCT shingles computed in-row (array_distinct):
+    // no global distinct shuffle, and the per-doc set size |A| is a plain
+    // scalar projection off the scan rather than a third aggregation over
+    // the exploded rows (the old shape re-ran tokenize+explode per branch)
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), array_distinct(shinglesOf(col("toks"), shingleN)).as("shs"))
+    // |A| (the per-doc distinct-shingle count) rides along every exploded
+    // row: it costs 8 bytes per row and deletes BOTH size-lookup joins —
+    // the whole op becomes one linear pipeline with exactly two shuffles
+    // (per-shingle buckets, then per-pair counts). n_sh is packed INSIDE
+    // the generator expression: referencing `shs` from both a sibling
+    // projection and the generator makes Catalyst re-inline the whole
+    // tokenize+shingle subtree per consumer (measured 20× slower).
+    val docSh = base
+      .select(col("id"), explode(transform(col("shs"), x =>
+        struct(x.as("sh"), size(col("shs")).cast("long").as("n_sh")))).as("e"))
+      .select(col("id"), col("e.n_sh").as("n_sh"), col("e.sh").as("sh"))
+    // bucket docs per shingle, capping document frequency BEFORE any pair
+    // fan-out (the skew guard): a stop-shingle never materializes its
+    // quadratic bucket. Pair generation is then a bounded in-row
+    // expansion (≤ maxDf·(maxDf-1)/2 per shingle) instead of a self-join
+    // that shuffles the exploded set twice.
+    val buckets = docSh.groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
+      .where(size(col("ids")) <= maxDf)
+    val pairs = buckets.select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+          struct(a.getField("id").as("id_a"), a.getField("n_sh").as("n_a"),
+                 b.getField("id").as("id_b"), b.getField("n_sh").as("n_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.n_a").as("n_a"),
+              col("p.id_b").as("id_b"), col("p.n_b").as("n_b"))
+    // n_a/n_b are functionally dependent on the ids — grouping on them
+    // too keeps them available without any join-back
+    pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .where(col("jaccard") >= threshold)

@@ -41,8 +41,8 @@ object OpsCatalog {
         .orderBy("doc_id", "seed")
     },
     "q32_lsh_candidates" -> { (s, dir) =>
-      val sig = Dedup.minhashSignatures(Tables.load(s, dir, "documents"), "doc_id", "text", K, ShingleN)
-      Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", Bands, K / Bands), "doc_id")
+      val wide = Dedup.minhashSignaturesWide(Tables.load(s, dir, "documents"), "doc_id", "text", K, ShingleN)
+      Dedup.lshCandidates(Dedup.lshBandsWide(wide, "doc_id", Bands, K / Bands), "doc_id")
         .orderBy("id_a", "id_b")
     },
     "q33_ngram_jaccard" -> { (s, dir) =>
