@@ -68,6 +68,30 @@ object PipelineCatalog {
       }.toDF("node_idx", "node_type", "vec_len", "vec_sum").orderBy("node_idx")
     },
 
+    // E-families 2+3: MSCN set encoding and greq compact per-node
+    // vectors over a generated workload (shapes + checksums per query)
+    "q64_set_encoders" -> { (s, dir) =>
+      import s.implicits._
+      import graft.encode.SetEncoders
+      val db = model(s, dir)
+      def sum(m: Array[Array[Double]]) =
+        math.round(m.map(_.sum).sum * 1000) / 1000.0
+      val workload = (1 to 12).map(seed => new RandomQueryGen(db, seed).randomize())
+        .filter(_.valid).map(_.toSql(pretty = false))
+      val rows = workload.zipWithIndex.flatMap { case (sql, i) =>
+        val m = SetEncoders.encodeMscn(db, sql)
+        val g = SetEncoders.encodeGreq(db, sql)
+        Seq(
+          (i, "mscn", m.tables.length + m.joins.length + m.predicates.length,
+            m.tablesMask.sum + m.joinsMask.sum + m.predicatesMask.sum,
+            sum(m.tables) + sum(m.joins) + sum(m.predicates)),
+          (i, "greq", g.size, g.map(_._2.length).sum.toDouble,
+            math.round(g.map(_._2.filterNot(v => v.isNaN || v.isInfinite).sum).sum * 1000) / 1000.0))
+      }
+      rows.toDF("query_idx", "family", "n_vectors", "mask_or_len", "checksum")
+        .orderBy("query_idx", "family")
+    },
+
     // estimator: train on a generated workload with a deterministic
     // synthetic cost label; report bucket metrics
     "q63_estimate" -> { (s, dir) =>
@@ -89,8 +113,17 @@ object PipelineCatalog {
           math.log(rt) / math.log(2))
       }
       val (acc, mae, f1) = Estimator.evaluate(preds)
-      Seq((workload.size, acc > 0.3, mae < 2.0, f1 >= 0.0))
-        .toDF("n_queries", "acc_ok", "mae_ok", "f1_ok")
+      // reference-parity extended metrics (metrics.py:9-79, evaluate.py:64-97)
+      import graft.estimate.Metrics
+      val rounded = preds.map { case (p, l) => (math.rint(p).toInt, math.rint(l).toInt) }
+      val kappa = Metrics.cohenKappa(rounded)
+      val buckets = Metrics.bucketMetrics(preds)
+      val (_, bestBoundary, bestAcc, _) = Metrics.maximizeBinarySplit(
+        preds.map { case (p, l) => (math.pow(2, p), math.pow(2, l)) })
+      Seq((workload.size, acc > 0.3, mae < 2.0, f1 >= 0.0, kappa > 0.0,
+        buckets.values.nonEmpty, bestBoundary >= 1, bestAcc >= 0.0))
+        .toDF("n_queries", "acc_ok", "mae_ok", "f1_ok", "kappa_ok",
+          "buckets_ok", "split_boundary_ok", "split_acc_ok")
     }
   )
 }
