@@ -33,11 +33,23 @@ final class GuidedQueryGen(
   private val rqg = new RandomQueryGen(db, seed)
   private val rng = new Rng(seed ^ 0x5eed)
   private val mem = mutable.Map.empty[String, Double]
+  private var seeded = false
   var steps = 0
 
   def currentSql: String = qb.q.toSql(pretty = false, alias = false)
 
-  def randomizeInitial(): Unit = { qb.q = rqg.randomize(); qb.sync() }
+  def randomizeInitial(): Unit =
+    if (!seeded) { qb.q = rqg.randomize(); qb.sync() }
+
+  /** Start from a checkpointed query instead of a random one
+    * (load_checkpoint requeue, guided.py:233-260: `gqg.qb.q = query;
+    * gqg.qb.sync()`).
+    */
+  def seedQuery(sql: String): Unit = {
+    qb.q = graft.ir.TreeOps.toQuery(graft.ir.Frontend.parseSql(sql, Some(db)))
+    qb.sync()
+    seeded = true
+  }
 
   def hit(runtime: Double): Boolean = target._1 <= runtime && runtime <= target._2
 
@@ -117,17 +129,34 @@ final class BalancedQueryGen(
     maxStepsPerGen: Int = 100,
     seed: Long = Random.nextLong()) {
 
-  private val rng = new Rng(seed)
   // one slot per reachable partition() result (0 until k) — an extra
   // slot would stay 0 forever and pin emptiestPartition to it
   val counts: Array[Long] = Array.fill(partitioner.k)(0L)
   private val results = mutable.Buffer.empty[(String, Double)]
+  private var iterations = 0
+  private var produced = 0
+  private var lastSql: Option[String] = None
+
+  /** Per-iteration generator seed as a pure function of (campaign seed,
+    * iteration index) — splitmix64 — so a campaign restored from a
+    * checkpoint draws the exact seeds the uninterrupted run would.
+    * (The reference's load_checkpoint drops its RNG state and admits the
+    * re-targeting is lossy, guided.py:246; a deterministic stream makes
+    * kill+resume reproducible instead.)
+    */
+  private def seedFor(i: Int): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   private def emptiestPartition: Int = counts.zipWithIndex.minBy(_._1)._2
 
   private def record(sql: String, runtime: Double): Unit = {
     counts(math.min(partitioner.partition(runtime), counts.length - 1)) += 1
     results += ((sql, runtime))
+    lastSql = Some(sql)
   }
 
   /** Generate n measured queries, always targeting the emptiest bucket;
@@ -135,17 +164,84 @@ final class BalancedQueryGen(
     * evicted and replaced (guided.py:295-330).
     */
   def generate(n: Int): Seq[(String, Double)] = {
-    var produced = 0
     while (produced < n) {
       val target = partitioner.bounds(math.max(1, emptiestPartition))
       val gen = new GuidedQueryGen(db, runner, target, stopEarly = true,
-        maxSteps = maxStepsPerGen, seed = rng.random.nextLong(),
+        maxSteps = maxStepsPerGen, seed = seedFor(iterations),
         cb = (sql, rt) => record(sql, rt))
+      iterations += 1
       val before = results.size
       Try(gen.guide())
       val got = results.size - before
       produced += math.max(got, 1) // evict-and-continue even on stall
     }
     results.toSeq
+  }
+
+  private[gen] def restoreState(iters: Int, prod: Int,
+                                res: Seq[(String, Double)],
+                                last: Option[String]): Unit = {
+    iterations = iters
+    produced = prod
+    results.clear(); results ++= res
+    lastSql = last
+  }
+
+  /** In-flight campaign state (save_checkpoint, guided.py:263-266 —
+    * extended with the population counters the reference's TODO notes it
+    * loses).
+    */
+  def checkpoint: BalancedCheckpoint =
+    BalancedCheckpoint(seed, iterations, produced, counts.toSeq, results.toSeq, lastSql)
+}
+
+/** Serializable in-flight state of a [[BalancedQueryGen]] campaign. */
+final case class BalancedCheckpoint(
+    seed: Long, iterations: Int, produced: Int,
+    counts: Seq[Long], results: Seq[(String, Double)], lastSql: Option[String]) {
+
+  /** One line per measured query, runtime TAB sql, after a header —
+    * the reference's one-SQL-per-line file with the counters prepended.
+    */
+  def serialize: String = {
+    val header = s"seed=$seed\titerations=$iterations\tproduced=$produced"
+    val countsLine = counts.mkString(",")
+    val inflight = lastSql.getOrElse("")
+    (Seq(header, countsLine, inflight) ++
+      results.map { case (sql, rt) => s"$rt\t$sql" }).mkString("\n")
+  }
+}
+
+object BalancedCheckpoint {
+
+  def deserialize(text: String): BalancedCheckpoint = {
+    val lines = text.split("\n", -1).toSeq
+    val kv = lines.head.split("\t").map { p =>
+      val Array(k, v) = p.split("=", 2); k -> v
+    }.toMap
+    val counts =
+      if (lines(1).isEmpty) Seq.empty[Long] else lines(1).split(",").toSeq.map(_.toLong)
+    val lastSql = if (lines(2).isEmpty) None else Some(lines(2))
+    val results = lines.drop(3).filter(_.nonEmpty).map { l =>
+      val Array(rt, sql) = l.split("\t", 2)
+      (sql, rt.toDouble)
+    }
+    BalancedCheckpoint(kv("seed").toLong, kv("iterations").toInt,
+      kv("produced").toInt, counts, results, lastSql)
+  }
+
+  /** Rebuild a campaign mid-flight: counters, measured population and the
+    * deterministic seed position all restored, so `generate` continues
+    * exactly where the killed campaign stopped (load_checkpoint,
+    * guided.py:233-260).
+    */
+  def restore(cp: BalancedCheckpoint, db: DbModel, runner: String => Double,
+              partitioner: Log2Partitioner = new Log2Partitioner(),
+              patience: Int = 10, maxStepsPerGen: Int = 100): BalancedQueryGen = {
+    val gen = new BalancedQueryGen(db, runner, partitioner, patience,
+      maxStepsPerGen, cp.seed)
+    cp.counts.zipWithIndex.foreach { case (c, i) => gen.counts(i) = c }
+    gen.restoreState(cp.iterations, cp.produced, cp.results, cp.lastSql)
+    gen
   }
 }

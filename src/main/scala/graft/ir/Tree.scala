@@ -340,8 +340,16 @@ object TreeOps {
   // ---------------- equivalence-preserving permutations (D2) -----------
 
   /** Enumerate up to `limit` equivalent trees: commutative join-child
-    * swaps + comparison operand flips (dqo/tree/__init__.py:350-394;
-    * fuels dataset augmentation G8).
+    * swaps + comparison operand flips (dqo/tree/__init__.py:350-394)
+    * plus stacked-selection-chain multiset permutations
+    * (dqo/tree/__init__.py:213-266) — each maximal run of consecutive
+    * Filter nodes contributes every distinct non-identity reordering,
+    * one chain at a time (no cross product across chains, matching the
+    * reference's one-swap-sequence-per-extra-tree construction). Fuels
+    * dataset augmentation G8. Deviation: the reference drops the base
+    * permutations whenever chain extras exist (`extra or super`,
+    * tree/__init__.py:266) — we keep both, so augmented sets are
+    * supersets of the reference's.
     */
   def permutations(p: RelPlan, limit: Int = 16): Seq[RelPlan] = {
     def variants(n: RelPlan): LazyList[RelPlan] = n match {
@@ -358,6 +366,39 @@ object TreeOps {
       case CrossSet(bs) => LazyList(CrossSet(bs)) // keep cartesian shape fixed
       case leaf => LazyList(leaf)
     }
-    variants(p).take(limit).toList
+
+    // maximal Filter chain: predicates top-down + the first non-Filter tail
+    def chain(n: RelPlan): (Seq[Pred], RelPlan) = n match {
+      case Filter(pr, c) => val (ps, tail) = chain(c); (pr +: ps, tail)
+      case other => (Nil, other)
+    }
+    def rebuild(preds: Seq[Pred], tail: RelPlan): RelPlan =
+      preds.foldRight(tail)((pr, acc) => Filter(pr, acc))
+
+    /** Trees differing from `n` by reordering exactly one selection
+      * chain somewhere in the subtree (multiset: duplicate predicates
+      * collapse to distinct orderings only).
+      */
+    def chainExtras(n: RelPlan): Seq[RelPlan] = n match {
+      case f: Filter =>
+        val (preds, tail) = chain(f)
+        val here =
+          if (preds.size < 2) Nil
+          else preds.permutations.take(limit + 1).map(_.toSeq).toSeq
+            .distinct.filterNot(_ == preds).map(rebuild(_, tail))
+        here ++ chainExtras(tail).map(t2 => rebuild(preds, t2))
+      case JoinNode(op, l, r, lc, rc) =>
+        chainExtras(lc).map(JoinNode(op, l, r, _, rc)) ++
+          chainExtras(rc).map(JoinNode(op, l, r, lc, _))
+      case Project(cols, w, c) => chainExtras(c).map(Project(cols, w, _))
+      case Subquery(a, i) => chainExtras(i).map(Subquery(a, _))
+      case CrossSet(bs) =>
+        bs.indices.flatMap(i =>
+          chainExtras(bs(i)).map(b2 => CrossSet(bs.updated(i, b2))))
+      case _ => Nil
+    }
+
+    val base = variants(p).take(limit).toList
+    (base ++ base.flatMap(chainExtras)).distinct.take(limit)
   }
 }

@@ -97,6 +97,42 @@ class GeneratorSpec extends AnyFunSuite {
     assert(bal.counts.sum == out.size)
   }
 
+  test("killed+resumed balanced campaign reproduces the uninterrupted population") {
+    val straight = new BalancedQueryGen(db, fakeRunner, patience = 5,
+      maxStepsPerGen = 30, seed = 21)
+    val full = straight.generate(30)
+
+    val killed = new BalancedQueryGen(db, fakeRunner, patience = 5,
+      maxStepsPerGen = 30, seed = 21)
+    killed.generate(8) // campaign dies here
+    val cp = BalancedCheckpoint.deserialize(killed.checkpoint.serialize)
+    val resumed = BalancedCheckpoint.restore(cp, db, fakeRunner, patience = 5,
+      maxStepsPerGen = 30)
+    val continued = resumed.generate(30)
+
+    assert(continued == full, "resumed population must equal the straight run")
+    assert(resumed.counts.toSeq == straight.counts.toSeq)
+  }
+
+  test("checkpoint serialization round-trips all campaign state") {
+    val gen = new BalancedQueryGen(db, fakeRunner, patience = 5,
+      maxStepsPerGen = 30, seed = 33)
+    gen.generate(10)
+    val cp = gen.checkpoint
+    assert(BalancedCheckpoint.deserialize(cp.serialize) == cp)
+    assert(cp.results.nonEmpty && cp.counts.sum == cp.results.size)
+  }
+
+  test("guided generator can be seeded from a checkpointed query") {
+    val gen = new GuidedQueryGen(db, fakeRunner, target = (1.0, 64.0),
+      stopEarly = true, maxSteps = 10, seed = 5)
+    val sql = "SELECT MIN(e.salary) FROM employees AS e WHERE e.salary > 10"
+    gen.seedQuery(sql)
+    gen.randomizeInitial() // must NOT overwrite the seeded query
+    assert(gen.currentSql.toLowerCase.contains("employees"))
+    assert(gen.qb.q.conditions.nonEmpty)
+  }
+
   test("every balanced-gen target bucket is reachable by partition()") {
     val p = new Log2Partitioner()
     val bal = new BalancedQueryGen(db, fakeRunner, partitioner = p, seed = 9)

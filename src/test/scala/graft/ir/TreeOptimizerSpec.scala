@@ -153,4 +153,49 @@ class TreeOptimizerSpec extends AnyFunSuite {
         |WHERE dept IN ('a', 'b') AND (salary > 10 OR salary IS NULL)""".stripMargin)
     assert(shape(plan) == "P(O(S(R)))" || shape(plan) == "P(S(O(R)))")
   }
+
+  // --- D2 permutations incl. selection chains (test_augmentation.py) ---
+
+  private val leafA = RelationLeaf("employees", "e")
+  private val leafB = RelationLeaf("departments", "d")
+  private def cond(col: String, v: String) =
+    Cmp(">", ColOp("e", col), ConstOp(Const(v)))
+  private def preds(p: RelPlan): Seq[Pred] = p match {
+    case Filter(pr, c) => pr +: preds(c)
+    case JoinNode(_, _, _, l, r) => preds(l) ++ preds(r)
+    case other => other.children.flatMap(preds)
+  }
+
+  test("3-condition chain yields all 3! orderings (test_augmentation.py:62-88)") {
+    val t = Filter(cond("id", "1"), Filter(cond("salary", "100"),
+      Filter(cond("age", "30"), leafA)))
+    val perms = TreeOps.permutations(t, limit = 32)
+    assert(perms.size == 6)
+    assert(perms.distinct.size == 6) // all structurally different
+    // all semantically the same: identical predicate multiset, same leaf
+    perms.foreach { p =>
+      assert(preds(p).toSet == preds(t).toSet && preds(p).size == 3)
+    }
+  }
+
+  test("duplicate predicates collapse (multiset permutations)") {
+    val t = Filter(cond("id", "1"), Filter(cond("id", "1"), leafA))
+    assert(TreeOps.permutations(t, limit = 32).size == 1)
+  }
+
+  test("join swap composes with chain reorderings (test_augmentation.py:91-115)") {
+    val chainSide = Filter(cond("id", "1"), Filter(cond("salary", "5"), leafA))
+    val t = JoinNode("=", ColOp("e", "dept_id"), ColOp("d", "id"), chainSide, leafB)
+    val perms = TreeOps.permutations(t, limit = 32)
+    // 2 join orientations x (identity + 1 chain reordering) = 4
+    assert(perms.size == 4)
+    assert(perms.distinct.size == 4)
+    perms.foreach(p => assert(preds(p).size == 2))
+  }
+
+  test("permutation limit caps chain blow-up") {
+    val t = (1 to 6).foldLeft(leafA: RelPlan)((acc, i) =>
+      Filter(cond(s"c$i", i.toString), acc))
+    assert(TreeOps.permutations(t, limit = 16).size == 16)
+  }
 }
