@@ -130,6 +130,72 @@ object SetEncoders {
     case other => other.children.flatMap(collectAliases).toMap
   }
 
+  // ---- Neo flat query vector (others/neo/v1/encoder.py:9-50) -----------
+
+  /** Upper-triangle join-existence bits ++ per-column predicate
+    * indicator: length C(T,2) + C. Joins follow the same (a,b) row-major
+    * triangle order as [[encodeMscn]]; any column referenced by a
+    * non-join selection lights its slot.
+    */
+  def encodeNeo(db: DbModel, sql: String): Array[Double] = {
+    val plan = Frontend.parseSql(sql, Some(db))
+    val q = TreeOps.toQuery(plan)
+    val aliases = collectAliases(plan)
+    val tablesMap = db.tables.map(_.name).zipWithIndex.toMap
+    val columnsMap = db.tables
+      .flatMap(t => t.columns.map(c => s"${t.name}::${c.name}"))
+      .zipWithIndex.toMap
+    val tCount = tablesMap.size
+
+    val joined = q.joins.map { j =>
+      val (a, b) = (tablesMap(j.left.table.name), tablesMap(j.right.table.name))
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    val joinBits = (for (a <- 0 until tCount; b <- a + 1 until tCount)
+      yield if (joined((a, b))) 1.0 else 0.0).toArray
+
+    val predBits = new Array[Double](columnsMap.size)
+    flatSelections(plan).foreach { c =>
+      val table = aliases.getOrElse(c.col.rel, c.col.rel)
+      predBits(columnsMap(s"$table::${c.col.name}")) = 1.0
+    }
+    joinBits ++ predBits
+  }
+
+  // ---- relcnn flat matrix / treelstm parent links ----------------------
+
+  /** The relcnn data interface (relcnn/v1/encoder.py:536-556): the
+    * optimized tree's dfs node vectors as one fixed-width matrix (rows
+    * right-padded with zeros to the widest node vector) — the 2-D input a
+    * convolutional estimator consumes. Node vectors are the v20 kernel
+    * family ([[Encoder]]: relation 63, projection 69, selection 112,
+    * join 203), the documented substitution for relcnn's near-identical
+    * widths.
+    */
+  def flatMatrix(db: DbModel, sql: String): Array[Array[Double]] = {
+    val nodes = Encoder.encodeQuery(db, sql).preorder
+    val width = nodes.map(_.vector.length).max
+    nodes.map(n => n.vector.padTo(width, 0.0)).toArray
+  }
+
+  /** The treelstm data interface (treelstm/v2/encoder.py:531-551): dfs
+    * node vectors plus each node's parent index (-1 for the root), the
+    * child-sum recursion structure a tree-LSTM consumes.
+    */
+  def treeWithParents(db: DbModel, sql: String): (Array[Int], Array[Array[Double]]) = {
+    val root = Encoder.encodeQuery(db, sql)
+    val parents = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val vectors = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def walk(n: Encoder.EncodedNode, parent: Int): Unit = {
+      val idx = vectors.size
+      parents += parent
+      vectors += n.vector
+      n.children.foreach(walk(_, idx))
+    }
+    walk(root, -1)
+    (parents.toArray, vectors.toArray)
+  }
+
   // ---- greq v3 compact per-node vectors (greq/v3/encoder.py:18-141) ----
 
   /** node-type one-hot order: projection, relation, join, selection

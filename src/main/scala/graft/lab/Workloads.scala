@@ -66,37 +66,37 @@ object Workloads {
   }
 
   /** Groom: drop queries that fail to parse, are invalid, or form a
-    * cartesian product (datasets/__init__.py:146-175). Driver-side loop
-    * over collected queries — workloads are small relative to data.
+    * cartesian product (datasets/__init__.py:146-175). The parse runs as
+    * a typed partition-local filter on the executors (the reference's
+    * single-process loop caps campaign size at driver memory; here a
+    * 100M-query workload grooms like any other DataFrame).
     */
-  def groom(df: DataFrame, db: Option[DbModel]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val keep = df.select("query").as[String].collect().filter { sql =>
+  def groom(df: DataFrame, db: Option[DbModel]): DataFrame =
+    df.filter { (row: org.apache.spark.sql.Row) =>
       scala.util.Try {
-        val q = TreeOps.toQuery(TreeOps.optimize(Frontend.parseSql(sql, db)))
-        q.valid
+        TreeOps.toQuery(TreeOps.optimize(
+          Frontend.parseSql(row.getAs[String]("query"), db))).valid
       }.getOrElse(false)
-    }.toSet
-    val keepDf = keep.toSeq.toDF("query")
-    df.join(broadcast(keepDf), Seq("query"))
-  }
+    }
 
   /** Augment: for each query emit up to `limit` equivalent permuted SQL
     * strings carrying the same runtime label (datasets/__init__.py:177-209
-    * via tree permutations D2).
+    * via tree permutations D2). Permutation fan-out happens per
+    * partition on the executors; the dedup is one hash shuffle on the
+    * SQL string.
     */
   def augment(df: DataFrame, db: Option[DbModel], limit: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select("query", "runtime").as[(String, Double)].collect().flatMap {
-      case (sql, rt) =>
+    val rows = df.select("query", "runtime").as[(String, Double)]
+      .mapPartitions(_.flatMap { case (sql, rt) =>
         scala.util.Try {
           TreeOps.permutations(Frontend.parseSql(sql, db), limit)
             .map(p => (TreeOps.toQuery(p).toSql(pretty = false), rt))
         }.getOrElse(Seq((sql, rt)))
-    }.distinct
-    withBucket(rows.toSeq.toDF("query", "runtime"))
+      })
+      .distinct()
+    withBucket(rows.toDF("query", "runtime"))
   }
 
   /** Parquet workload storage — the scale-native alternative to the

@@ -81,12 +81,22 @@ object PipelineCatalog {
       val rows = workload.zipWithIndex.flatMap { case (sql, i) =>
         val m = SetEncoders.encodeMscn(db, sql)
         val g = SetEncoders.encodeGreq(db, sql)
+        val neo = SetEncoders.encodeNeo(db, sql)
+        val flat = SetEncoders.flatMatrix(db, sql)
+        val (parents, _) = SetEncoders.treeWithParents(db, sql)
+        def csum(vs: Seq[Double]) =
+          math.round(vs.filterNot(v => v.isNaN || v.isInfinite).sum * 1000) / 1000.0
         Seq(
           (i, "mscn", m.tables.length + m.joins.length + m.predicates.length,
             m.tablesMask.sum + m.joinsMask.sum + m.predicatesMask.sum,
             sum(m.tables) + sum(m.joins) + sum(m.predicates)),
           (i, "greq", g.size, g.map(_._2.length).sum.toDouble,
-            math.round(g.map(_._2.filterNot(v => v.isNaN || v.isInfinite).sum).sum * 1000) / 1000.0))
+            csum(g.flatMap(_._2))),
+          (i, "neo", 1, neo.length.toDouble, csum(neo.toSeq)),
+          (i, "relcnn_flat", flat.length, (flat.length * flat.head.length).toDouble,
+            csum(flat.flatten.toSeq)),
+          (i, "treelstm", parents.length, parents.count(_ >= 0).toDouble,
+            parents.sum.toDouble))
       }
       rows.toDF("query_idx", "family", "n_vectors", "mask_or_len", "checksum")
         .orderBy("query_idx", "family")

@@ -92,6 +92,32 @@ class SetEncodersSpec extends AnyFunSuite {
     assert(slots(0) == 0.0 && slots(2) == 0.0 && slots(4) == 0.0)
   }
 
+  test("neo vector is C(T,2) join bits ++ C predicate bits") {
+    val v = SetEncoders.encodeNeo(db, sql)
+    assert(v.length == 3 + 10)
+    // (employees, departments) is triangle pair 0; predicate on
+    // employees::salary = global column index 1
+    assert(v.take(3).toSeq == Seq(1.0, 0.0, 0.0))
+    assert(v.drop(3).toSeq == Seq(0.0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0))
+  }
+
+  test("relcnn flat matrix pads dfs node vectors to uniform width") {
+    val m = SetEncoders.flatMatrix(db, sql)
+    assert(m.length == 5) // projection, join(+selection pushed), 2 relations
+    assert(m.forall(_.length == m.head.length))
+    assert(m.head.length == 203) // widest = join vector
+  }
+
+  test("treelstm parent links describe the dfs tree") {
+    val (parents, vectors) = SetEncoders.treeWithParents(db, sql)
+    assert(parents.length == vectors.length)
+    assert(parents.head == -1) // root
+    // every non-root parent index precedes its child (dfs order)
+    parents.zipWithIndex.drop(1).foreach { case (p, i) =>
+      assert(p >= 0 && p < i)
+    }
+  }
+
   test("greq OR node is the mean of its flattened conditions") {
     val nodes = SetEncoders.encodeGreq(db,
       "SELECT id FROM employees WHERE salary > 10 OR salary < 5")
