@@ -105,6 +105,28 @@ object Similarity {
     dots.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs, SRP-bucketed: the scale path
+    * for embedding dedup. Candidates come from a bucket-local self-join
+    * (the bucket id is the shuffle key; fan-out is quadratic only inside
+    * a bucket, halved by the id_a < id_b orientation), then exact
+    * decimal-dot cosine keeps pairs at or above `threshold`. The
+    * all-pairs [[cosinePairs]] is the verification-only counterpart.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, planes: Int): DataFrame = {
+    val bucketed = withNorm2(df, vecCol)
+      .withColumn("bucket", srpBucket(col(vecCol), planes))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** ANN top-k restricted to same-SRP-bucket candidates: the scale path.
     * Recall is tunable via `planes` (fewer planes → bigger buckets →
     * higher recall, more compute). Exact re-scoring inside buckets.

@@ -86,6 +86,13 @@ object OpsCatalog {
           col("vec_id") % 100 === 0, TopK, planes = 3)
         .orderBy("id_a", "rank")
     },
+    // embedding-cosine near-dup dedup, SRP-bucketed (the scale path for
+    // what q39 verifies all-pairs)
+    "q42_embed_neardup" -> { (s, dir) =>
+      Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          CosThresh, planes = 3)
+        .orderBy("id_a", "id_b")
+    },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("""SELECT CAST(floor((ts DIV 1000000000) / 3600.0) AS BIGINT) AS hour_bucket,
@@ -396,6 +403,53 @@ object OpsCatalog {
          |)
          |SELECT id_a, id_b, round(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $TopK ORDER BY id_a, rank""".stripMargin
+    },
+
+    "q42_embed_neardup" -> {
+      // same hash-derived SRP hyperplanes as q40; bucket-local pairs with
+      // exact decimal-dot cosine at or above the threshold
+      val nPlanes = 3
+      val caseP = (0 until nPlanes).map(p => s"WHEN $p THEN ${1 << p}").mkString(" ")
+      s"""WITH comp AS (
+         |  SELECT p, i,
+         |         (${dh("'plane' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+         |            / 1152921504606846976.0) - 0.5 AS c
+         |  FROM (SELECT unnest(range(0, $nPlanes)) AS p) ps,
+         |       (SELECT unnest(range(0, 64)) AS i) dims
+         |), vals AS (
+         |  SELECT vec_id, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) - 1 AS i
+         |  FROM embeddings
+         |), dots AS (
+         |  SELECT v.vec_id, c.p,
+         |         SUM(CAST(CAST(v.x AS DOUBLE) * c.c AS DECIMAL(20,12))) AS dot
+         |  FROM vals v JOIN comp c ON c.i = v.i
+         |  GROUP BY v.vec_id, c.p
+         |), buckets AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CASE WHEN dot >= 0 THEN (CASE p $caseP END) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id
+         |), norms AS (
+         |  SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS n2
+         |  FROM vals GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a
+         |  JOIN buckets ba ON ba.vec_id = a.vec_id
+         |  JOIN buckets bb ON bb.bucket = ba.bucket
+         |  JOIN embeddings b ON b.vec_id = bb.vec_id
+         |  WHERE a.vec_id < b.vec_id
+         |), pdots AS (
+         |  SELECT id_a, id_b,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs) t
+         |  GROUP BY id_a, id_b
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+         |FROM pdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $CosThresh
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q41_window_events" ->
