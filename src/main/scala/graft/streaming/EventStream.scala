@@ -68,6 +68,19 @@ object EventStream {
       }.toDF()
   }
 
+  /** Streaming exact dedup on a content hash — the ingestion-time
+    * counterpart of the batch `Dedup.exact` (q30): keep the first
+    * occurrence of each md5(content) seen within the watermark horizon.
+    * State is the per-hash seen-marker, bounded by the watermark (the
+    * standard `dropDuplicates`-with-watermark pattern, hash-partitioned
+    * on the content hash at scale).
+    */
+  def dedupStream(docs: DataFrame, textCol: String,
+                  tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+
   /** Drive a streaming DataFrame to completion against the (static)
     * parquet source using a memory sink — the local test harness
     * (`format("memory")` + processAllAvailable).

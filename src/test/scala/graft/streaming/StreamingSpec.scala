@@ -32,6 +32,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == total) // complete mode emits every window
   }
 
+  test("streaming exact dedup matches the batch content-hash dedup") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
+      // synthesize duplicate content: value bucket as the "text"
+      .withColumn("txt", (col("value") % 50).cast("int").cast("string"))
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+    val dedup = EventStream.dedupStream(stream, "txt", "event_time")
+    EventStream.runToMemory(dedup, "dd", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.sql("SELECT content_hash FROM dd").collect().map(_.getString(0))
+    val expect = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("md5(CAST(CAST(value % 50 AS INT) AS STRING)) AS h")
+      .distinct().count()
+    assert(got.length.toLong == expect)      // one survivor per distinct content
+    assert(got.distinct.length == got.length)
+  }
+
   test("stateful per-user sessions via mapGroupsWithState") {
     val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
     val sessions = EventStream.userSessions(spark, stream)
