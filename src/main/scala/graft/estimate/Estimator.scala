@@ -35,17 +35,51 @@ object Estimator {
     }.toArray
   }
 
+  /** Alternate fixed-width feature families over the same stats model —
+    * the reference's encoder-comparison axis (kipf / neo / greq):
+    * "gerelt" is the tree summary above; "neo" is the flat join+predicate
+    * bit vector; "greq" sums the compact per-node vectors into one
+    * 25-slot query vector (their model sums node encodings); "mscn"
+    * concatenates the masked set-matrix sums per set.
+    */
+  def featurizeWith(db: DbModel, sql: String, family: String): Array[Double] =
+    family match {
+      case "gerelt" => featurize(db, sql)
+      case "neo" => graft.encode.SetEncoders.encodeNeo(db, sql)
+      case "greq" =>
+        val nodes = graft.encode.SetEncoders.encodeGreq(db, sql)
+        val out = new Array[Double](25)
+        nodes.foreach { case (_, v) =>
+          var i = 0
+          while (i < v.length) { out(i) += v(i); i += 1 }
+        }
+        out
+      case "mscn" =>
+        val m = graft.encode.SetEncoders.encodeMscn(db, sql)
+        def maskedSum(rows: Array[Array[Double]], mask: Array[Double]) =
+          rows.zip(mask).filter(_._2 > 0).map(_._1)
+            .foldLeft(new Array[Double](rows.headOption.map(_.length).getOrElse(0))) {
+              (acc, r) => acc.indices.foreach(i => acc(i) += r(i)); acc
+            } :+ mask.sum
+        maskedSum(m.tables, m.tablesMask) ++ maskedSum(m.joins, m.joinsMask) ++
+          maskedSum(m.predicates, m.predicatesMask)
+      case other => throw new IllegalArgumentException(s"unknown family $other")
+    }
+
   final case class Trained(model: GBTRegressionModel) {
     def predictLog2(features: Array[Double]): Double =
       model.predict(Vectors.dense(features))
   }
 
-  /** Train GBT on (sql, runtimeSeconds) with log2 labels. */
+  /** Train GBT on (sql, runtimeSeconds) with log2 labels; `family`
+    * selects the encoder features ([[featurizeWith]]). */
   def train(spark: SparkSession, db: DbModel, workload: Seq[(String, Double)],
-            maxIter: Int = 20, seed: Long = 42L): Trained = {
+            maxIter: Int = 20, seed: Long = 42L,
+            family: String = "gerelt"): Trained = {
     import spark.implicits._
     val rows = workload.map { case (sql, rt) =>
-      (Vectors.dense(featurize(db, sql)), math.log(math.max(rt, 1e-3)) / math.log(2))
+      (Vectors.dense(featurizeWith(db, sql, family)),
+        math.log(math.max(rt, 1e-3)) / math.log(2))
     }.toDF("features", "label")
     val gbt = new GBTRegressor().setMaxIter(maxIter).setMaxDepth(4).setSeed(seed)
     Trained(gbt.fit(rows))
