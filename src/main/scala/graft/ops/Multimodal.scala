@@ -65,4 +65,55 @@ object Multimodal {
       it.map(a => AssetFeatures(a.asset_id, a.modality, a.n_bytes, decodeStub(a.payload)))
     }
   }
+
+  /** One fixed-size frame of a larger asset. */
+  case class AssetFrame(asset_id: Long, modality: String, frame_idx: Int,
+                        n_bytes: Long, payload: Array[Byte])
+
+  /** Evenly-spaced frame sampling: cut the payload into `frameBytes`
+    * chunks ("frames" — for video, a real impl seeks keyframes in the
+    * codec; the chunk arithmetic and fan-out plumbing are identical) and
+    * keep `n` evenly spaced ones. One row in, ≤ n rows out — the
+    * explode-shaped fan-out stays partition-local, so a 100 TB corpus
+    * sampling 8 frames per asset never shuffles payload bytes.
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, n: Int)
+                  (implicit spark: SparkSession): Dataset[AssetFrame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && n > 0)
+    assets.as[Asset].flatMap { a =>
+      val frames = math.max(1, (a.payload.length + frameBytes - 1) / frameBytes)
+      val take = math.min(n, frames)
+      (0 until take).map { k =>
+        // evenly spaced frame indices over [0, frames)
+        val idx = if (take == 1) 0 else (k.toLong * (frames - 1) / (take - 1)).toInt
+        val from = idx * frameBytes
+        val until = math.min(from + frameBytes, a.payload.length)
+        AssetFrame(a.asset_id, a.modality, idx, (until - from).toLong,
+          java.util.Arrays.copyOfRange(a.payload, from, until))
+      }
+    }
+  }
+
+  /** STUB resize: byte-stride downsampling to ≤ `targetBytes` (a real
+    * image resize interpolates pixels after decode; the payload-in/
+    * payload-out shape, metadata update, and per-partition batching are
+    * the production plumbing). Deterministic, so tests can assert sizes
+    * and content.
+    */
+  def resize(assets: DataFrame, targetBytes: Int)
+            (implicit spark: SparkSession): Dataset[Asset] = {
+    import spark.implicits._
+    require(targetBytes > 0)
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        if (a.payload.length <= targetBytes) a
+        else {
+          val stride = (a.payload.length + targetBytes - 1) / targetBytes
+          val out = Array.range(0, a.payload.length, stride).map(a.payload)
+          a.copy(n_bytes = out.length.toLong, payload = out)
+        }
+      }
+    }
+  }
 }
