@@ -2,9 +2,11 @@ package graft.lab
 
 import org.apache.spark.sql.SparkSession
 
+import java.nio.file.{Files, Paths}
+
 import graft.Tables
 import graft.estimate.Estimator
-import graft.gen.BalancedQueryGen
+import graft.gen.{BalancedCheckpoint, BalancedQueryGen}
 import graft.model.StatsCollector
 
 /** End-to-end workload campaign — the reference's full lifecycle in one
@@ -12,7 +14,9 @@ import graft.model.StatsCollector
   * runtime-balanced workload against REAL Spark execution, groom it,
   * train the estimator on measured runtimes, and report bucket metrics.
   *
-  * Usage: `sbt 'runMain graft.lab.Campaign [sfDir] [nQueries]'`
+  * Usage: `sbt 'runMain graft.lab.Campaign [sfDir] [nQueries] [checkpointPath]'`
+  * With a checkpoint path, an interrupted campaign resumes from it
+  * (guided.py:233-266 semantics) and the state is saved after generation.
   */
 object Campaign {
   def main(args: Array[String]): Unit = {
@@ -36,8 +40,21 @@ object Campaign {
     println(s"[campaign] balanced generation of $n measured queries")
     val executor = new Executor(spark, timeoutSec = 60)
     val runner: String => Double = sql => executor.time(sql)
-    val gen = new BalancedQueryGen(db, runner, maxStepsPerGen = 15, seed = 42L)
+    val cpPath = args.lift(2).map(Paths.get(_))
+    val gen = cpPath.filter(Files.exists(_)) match {
+      case Some(p) =>
+        println(s"[campaign] resuming from checkpoint $p")
+        BalancedCheckpoint.restore(
+          BalancedCheckpoint.deserialize(Files.readString(p)),
+          db, runner, maxStepsPerGen = 15)
+      case None =>
+        new BalancedQueryGen(db, runner, maxStepsPerGen = 15, seed = 42L)
+    }
     val measured = gen.generate(n)
+    cpPath.foreach { p =>
+      Files.writeString(p, gen.checkpoint.serialize)
+      println(s"[campaign] checkpoint saved to $p")
+    }
     println(s"[campaign] measured ${measured.size} runs; bucket counts: " +
       gen.counts.mkString("[", ",", "]"))
 
