@@ -136,7 +136,11 @@ object Dedup {
   def lshCandidates(bandDf: DataFrame, idCol: String): DataFrame = {
     val a = bandDf.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = bandDf.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
+    // shuffle join on purpose: both sides canonicalize identically below
+    // the exchange, so ReuseExchange runs the minhash+banding subtree
+    // ONCE; a broadcast join would recompute it per side and is not an
+    // option at corpus scale anyway
+    a.join(b.hint("shuffle_merge"), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -236,7 +240,9 @@ object Dedup {
       .select(col("id"), col("simhash"), col("chunk.ck"), col("chunk.cv"))
     val a = chunked.select(col("ck"), col("cv"), col("id").as("id_a"), col("simhash").as("sim_a"))
     val b = chunked.select(col("ck"), col("cv"), col("id").as("id_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("ck", "cv"))
+    // shuffle join: identical canonical subtrees → ReuseExchange computes
+    // the simhash+chunk subtree once (see lshCandidates)
+    a.join(b.hint("shuffle_merge"), Seq("ck", "cv"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bitCount(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))

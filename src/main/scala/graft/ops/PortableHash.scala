@@ -21,6 +21,19 @@ object PortableHash {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side evaluation of [[hash60]] for a constant string — bit
+    * identical to the Column form (md5 of the UTF-8 bytes, first 15 hex
+    * chars as a base-16 long). Lets deterministic per-(index) constants
+    * (e.g. SRP hyperplane components) be precomputed once on the driver
+    * and shipped as literals instead of re-hashed per row.
+    */
+  def hash60Value(s: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Seeded variant: independent hash families for MinHash permutations. */
   def hash60(seed: Int, c: Column): Column =
     hash60(concat(lit(s"$seed:"), c))

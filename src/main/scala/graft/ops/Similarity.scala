@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import PortableHash.hash60
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -83,26 +82,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * hash-derived value in [-0.5, 0.5). Reproducible everywhere. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (hash60(concat(lit(s"plane$plane:"), dim.cast("string"))).cast("double")
-      / lit((1L << 60).toDouble)) - lit(0.5)
+  /** Default embedding dimensionality of the testdata corpus (and of the
+    * oracle SQL, which enumerates the same 64 hash-derived components).
+    */
+  val DefaultDims = 64
+
+  /** Deterministic pseudo-random hyperplane components, precomputed ON THE
+    * DRIVER: component (p, i) = hash60("plane<p>:<i>") / 2^60 - 0.5, bit
+    * identical to the Column-expression form it replaced (long→double is
+    * the same IEEE rounding in Scala and in Spark's cast) and to the
+    * DuckDB oracle's recomputation. Shipping the planes as literals
+    * removes planes×dims md5 evaluations PER ROW from the scale path.
+    */
+  private[ops] def planeComponents(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims) { (p, i) =>
+      PortableHash.hash60Value(s"plane$p:$i") / (1L << 60).toDouble - 0.5
+    }
 
   /** Sign-random-projection bucket id from `planes` hyperplanes. Vectors
     * in the same bucket are ANN candidates; search cost drops by
-    * ~2^planes. Decimal accumulation keeps the sign decision independent
-    * of summation order (oracle-reproducible).
+    * ~2^planes. Each plane projection runs through the codegen'd
+    * decimal-dot kernel against a literal double array (no per-row
+    * hashing, no interpreted lambda dispatch); decimal accumulation keeps
+    * the sign decision independent of summation order
+    * (oracle-reproducible).
     */
-  def srpBucket(vecCol: Column, planes: Int): Column = {
-    val dots = (0 until planes).map { p =>
-      val prods = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (x, i) => (x.cast("double") * planeComponent(p, i)).cast("decimal(20,12)")),
-        lit(0).cast("decimal(30,12)"), (acc, x) => (acc + x).cast("decimal(30,12)"))
-      when(prods >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    dots.reduce(_ + _)
+  def srpBucket(vecCol: Column, planes: Int, dims: Int = DefaultDims): Column = {
+    val comps = planeComponents(planes, dims)
+    (0 until planes).map { p =>
+      when(dotDecimal(vecCol, typedLit(comps(p).toSeq)) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** Embedding-cosine near-duplicate pairs, SRP-bucketed: the scale path
@@ -120,7 +130,12 @@ object Similarity {
       col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
-    a.join(b, Seq("bucket"))
+    // self-join as a shuffle join on purpose: both sides canonicalize to
+    // the same plan below the exchange, so Spark's ReuseExchange computes
+    // the (norm2 + SRP bucket) subtree ONCE and replays the shuffle for
+    // the other side — a broadcast join here would recompute it twice AND
+    // not survive a 100 TB corpus (neither side is small)
+    a.join(b.hint("shuffle_merge"), Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
       .where(col("cos") >= threshold)

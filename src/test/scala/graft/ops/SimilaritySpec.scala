@@ -1,0 +1,77 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SRP bucketing parity + self-join plan shape.
+  *
+  * The driver-precomputed hyperplane literals must stay bit-identical to
+  * the hash-derived Column formula they replaced (the DuckDB oracle
+  * recomputes that formula in SQL), and the bucket self-join must reuse
+  * one exchange rather than executing the bucket subtree per side.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("driver-side planeComponents == hash-derived Column formula") {
+    import spark.implicits._
+    val pairs = for (p <- 0 until 4; i <- 0 until 64) yield (p, i)
+    val fromCols = pairs.toDF("p", "i")
+      .withColumn("c",
+        (PortableHash.hash60(concat(lit("plane"), col("p"), lit(":"), col("i")))
+          .cast("double") / lit((1L << 60).toDouble)) - lit(0.5))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val precomputed = Similarity.planeComponents(4, 64)
+    pairs.foreach { case (p, i) =>
+      assert(precomputed(p)(i) == fromCols((p, i)),
+        s"plane$p:$i precomputed=${precomputed(p)(i)} column=${fromCols((p, i))}")
+    }
+  }
+
+  test("srpBucket over literal planes == the per-row hashed HOF form it replaced") {
+    import spark.implicits._
+    val rng = new Random(11)
+    val df = (1 to 200).map(i => (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+    // the pre-optimization formulation, kept verbatim as the semantic spec
+    def oldPlaneComponent(plane: Int, dim: org.apache.spark.sql.Column) =
+      (PortableHash.hash60(concat(lit(s"plane$plane:"), dim.cast("string"))).cast("double")
+        / lit((1L << 60).toDouble)) - lit(0.5)
+    val oldBucket = (0 until 3).map { p =>
+      val prods = aggregate(
+        zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
+          (x, i) => (x.cast("double") * oldPlaneComponent(p, i)).cast("decimal(20,12)")),
+        lit(0).cast("decimal(30,12)"), (acc, x) => (acc + x).cast("decimal(30,12)"))
+      when(prods >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val out = df.select(
+      Similarity.srpBucket(col("vec"), 3).as("fast"), oldBucket.as("slow")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"bucket mismatch: $r"))
+  }
+
+  test("nearDupPairs self-join reuses one exchange (bucket subtree runs once)") {
+    import spark.implicits._
+    val rng = new Random(13)
+    val dir = java.nio.file.Files.createTempDirectory("simspec").toString
+    (1 to 300).map(i => (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    // parquet-backed input: a local relation would be constant-folded on
+    // the driver and never build the exchange under test
+    val df = spark.read.parquet(s"$dir/emb.parquet")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.2, planes = 2)
+    pairs.collect() // finalize THIS plan's AQE stages
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expected exchange reuse in:\n$plan")
+  }
+}
