@@ -142,6 +142,72 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF cell assignment: every vector goes to its nearest centroid
+    * (highest exact cosine; ties to the lowest centroid id). Centroids
+    * are the rows selected by `centroidPred` — a deterministic rule
+    * rather than trained k-means, so the oracle can recompute the exact
+    * same cells; the Voronoi/candidate mechanics are identical either
+    * way, and a trained codebook can be swapped in via the same
+    * predicate-over-a-centroid-table shape.
+    *
+    * Scale design: centroids broadcast (C ≪ n), the n×C scoring stays
+    * map-side and projects to slim (id, cell) rows BEFORE any shuffle
+    * (vectors never fan out C-fold), the argmax is a map-side-combined
+    * `max(struct)` aggregate, and the join back to the corpus is one
+    * co-partitioned hash join on the id.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroidPred: Column): DataFrame = {
+    val corpus = withNorm2(df, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("norm2"))
+    val cents = corpus.where(centroidPred)
+      .select(col("id").as("cent_id"), col("vec").as("cvec"), col("norm2").as("cnorm2"))
+    val scored = corpus.crossJoin(broadcast(cents))
+      .select(col("id"),
+        struct(
+          cosine(col("vec"), col("cvec"), col("norm2"), col("cnorm2")).as("cos"),
+          (-col("cent_id")).as("neg_cent")).as("cand"))
+    val cells = scored.groupBy("id")
+      .agg(max(col("cand")).as("best"))
+      .select(col("id"), (-col("best.neg_cent")).as("cell"))
+    corpus.join(cells, "id")
+      .select(col("id"), col("vec"), col("norm2"), col("cell"))
+  }
+
+  /** IVF ANN top-k: queries probe their `nprobe` nearest cells and
+    * exact-rerank only the vectors assigned there — the
+    * coarse-quantizer counterpart of the SRP path ([[lshBucketTopK]]).
+    * Recall rises with `nprobe` at linear candidate cost; the candidate
+    * join is hash-partitioned on the cell id with the (tiny) probe side
+    * broadcast.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              centroidPred: Column, queryPred: Column,
+              k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroidPred)
+      .select(col("cell"), col("id").as("id_b"),
+        col("vec").as("vec_b"), col("norm2").as("norm2_b"))
+    val corpus = withNorm2(df, vecCol)
+      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+    import org.apache.spark.sql.expressions.Window
+    // rank centroids per query; keep the nprobe nearest as probe cells
+    val qscored = corpus.where(queryPred).crossJoin(broadcast(
+        withNorm2(df.where(centroidPred), vecCol)
+          .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"), col("norm2").as("cnorm2"))))
+      .withColumn("qcos", cosine(col("vec_a"), col("cvec"), col("norm2_a"), col("cnorm2")))
+    val wq = Window.partitionBy(col("id_a")).orderBy(col("qcos").desc, col("cent_id"))
+    val probes = qscored.withColumn("prank", row_number().over(wq))
+      .where(col("prank") <= nprobe)
+      .select(col("cent_id").as("cell"), col("id_a"), col("vec_a"), col("norm2_a"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
   /** ANN top-k restricted to same-SRP-bucket candidates: the scale path.
     * Recall is tunable via `planes` (fewer planes → bigger buckets →
     * higher recall, more compute). Exact re-scoring inside buckets.

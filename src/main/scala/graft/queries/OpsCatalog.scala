@@ -23,6 +23,8 @@ object OpsCatalog {
   private val MaxHamming = 14  // simhash near-dup radius (60-bit hashes)
   private val CosThresh = 0.35
   private val TopK = 5
+  private val IvfCentMod = 32  // deterministic centroid rule: vec_id % 32 == 0
+  private val IvfNprobe = 2    // probe the 2 nearest cells per query
 
   // ---- Spark-side query functions -----------------------------------
 
@@ -92,6 +94,13 @@ object OpsCatalog {
       Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           CosThresh, planes = 3)
         .orderBy("id_a", "id_b")
+    },
+    // IVF coarse-quantizer ANN: cells from deterministic centroids so the
+    // oracle reproduces the exact Voronoi assignment
+    "q43_ivf_ann" -> { (s, dir) =>
+      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % IvfCentMod === 0, col("vec_id") % 100 === 0, TopK, IvfNprobe)
+        .orderBy("id_a", "rank")
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -450,6 +459,60 @@ object OpsCatalog {
          |FROM pdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
          |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $CosThresh
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q43_ivf_ann" -> {
+      // IVF: assign every vector to its nearest deterministic centroid
+      // (cos DESC, cent_id tie-break), probe the nprobe nearest cells per
+      // query, exact-rerank inside the probed cells
+      s"""WITH norms AS (
+         |  SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS n2
+         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % $IvfCentMod = 0
+         |), adots AS (
+         |  SELECT vec_id, cent_id,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT e.vec_id, c.cent_id, unnest(e.embedding) AS x, unnest(c.cvec) AS y
+         |        FROM embeddings e, cents c) t
+         |  GROUP BY vec_id, cent_id
+         |), acos AS (
+         |  SELECT a.vec_id, a.cent_id,
+         |         CAST(a.dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+         |  FROM adots a
+         |  JOIN norms nv ON nv.vec_id = a.vec_id
+         |  JOIN norms nc ON nc.vec_id = a.cent_id
+         |), cells AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM acos) WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id AS id_a, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM acos WHERE vec_id % 100 = 0) WHERE rn <= $IvfNprobe
+         |), pairs AS (
+         |  SELECT p.id_a, s.vec_id AS id_b, qa.embedding AS ea, qb.embedding AS eb
+         |  FROM probes p
+         |  JOIN cells s ON s.cell = p.cell
+         |  JOIN embeddings qa ON qa.vec_id = p.id_a
+         |  JOIN embeddings qb ON qb.vec_id = s.vec_id
+         |  WHERE p.id_a <> s.vec_id
+         |), pdots AS (
+         |  SELECT id_a, id_b,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs) t
+         |  GROUP BY id_a, id_b
+         |), ranked AS (
+         |  SELECT id_a, id_b,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a
+         |           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC, id_b) AS rank
+         |  FROM pdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+         |)
+         |SELECT id_a, id_b, round(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $TopK ORDER BY id_a, rank""".stripMargin
     },
 
     "q41_window_events" ->

@@ -58,6 +58,42 @@ class SimilaritySpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"bucket mismatch: $r"))
   }
 
+  test("ivfAssign: a centroid's nearest centroid is itself (cos=1 self-cell)") {
+    import spark.implicits._
+    val rng = new Random(17)
+    val df = (1 to 200).map(i => (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", col("vec_id") % 20 === 0)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vector got exactly one cell, and every centroid self-assigned
+    assert(assigned.size == 200)
+    (1 to 200).map(_.toLong).filter(_ % 20 == 0).foreach { c =>
+      assert(assigned(c) == c, s"centroid $c assigned to cell ${assigned(c)}")
+    }
+    // all cells are centroid ids
+    assert(assigned.values.toSet.subsetOf((1 to 200).map(_.toLong).filter(_ % 20 == 0).toSet))
+  }
+
+  test("ivfTopK matches brute-force ranking inside the probed cells") {
+    import spark.implicits._
+    val rng = new Random(19)
+    val df = (0 until 150).map(i => (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding",
+        col("vec_id") % 15 === 0, col("vec_id") % 50 === 0, k = 3, nprobe = 2)
+      .collect()
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // every IVF hit carries the exact brute-force cosine (same kernel)
+      assert(brute(key) == r.getDouble(2), s"cos mismatch at $key")
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+    }
+  }
+
   test("nearDupPairs self-join reuses one exchange (bucket subtree runs once)") {
     import spark.implicits._
     val rng = new Random(13)
