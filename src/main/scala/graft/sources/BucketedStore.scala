@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout sinks for the 100 TB path: bucketed and partitioned
+  * parquet, plus the co-located-join reader that proves the layout pays
+  * off.
+  *
+  * At cluster scale the dominant cost of the engine's join/dedup
+  * pipelines is the shuffle. Two layouts remove it at the source:
+  *
+  *  - **Bucketing** (`bucketBy` on the join/aggregation key): both sides
+  *    of an equi-join pre-hashed into the same number of buckets join
+  *    with ZERO exchanges — Spark's bucketed scan reports the hash
+  *    partitioning, so `EnsureRequirements` inserts no shuffle. Filters
+  *    on the bucket key also prune whole buckets at scan time.
+  *  - **Partitioning** (`partitionBy` on a low-cardinality column):
+  *    predicates on the partition column prune entire directories before
+  *    any file is opened (`PartitionFilters` in the scan, zero I/O for
+  *    excluded partitions).
+  *
+  * The reference stores workload tables in Postgres and leaves layout to
+  * the DB (dqo/db/clients/postgres.py:241-317); here layout is a
+  * first-class engine capability.
+  */
+object BucketedStore {
+
+  /** Write `df` as a bucketed, bucket-sorted parquet table registered in
+    * the session catalog. `numBuckets` sizes the parallelism of every
+    * downstream co-located join/agg on `keyCol` — at 100 TB pick it so a
+    * bucket fits an executor's memory (e.g. 2048 buckets for ~50 GB/b at
+    * 100 TB); bucket counts must match on both join sides.
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    numBuckets: Int, path: String): Unit =
+    df.write.format("parquet")
+      .bucketBy(numBuckets, keyCol)
+      .sortBy(keyCol)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Write `df` partitioned by directory on `partCols` (low-cardinality
+    * columns only — each distinct tuple becomes a directory).
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
+    df.write.partitionBy(partCols: _*).mode("overwrite").parquet(path)
+
+  /** Equi-join two bucketed tables on their shared bucket key. When both
+    * were written via [[writeBucketed]] with the same bucket count, the
+    * physical plan contains no ShuffleExchange on either side.
+    */
+  def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                    keyCol: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keyCol)
+
+  /** True when the finalized physical plan of `df` contains no shuffle
+    * exchange — the co-location proof used by tests and by callers
+    * validating a layout before a big run.
+    */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case q: QueryStageExec => hasShuffle(q.plan)
+      case _: ShuffleExchangeLike => true
+      case other => other.children.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
+}
