@@ -17,16 +17,22 @@ import org.apache.spark.sql.execution.joins._
   * of skipped `Gather` nodes, execution_plan.py:230-235) are collapsed.
   */
 final case class ExecOp(kind: String, detail: String, children: Seq[ExecOp],
-                        outputRows: Option[Long]) {
+                        outputRows: Option[Long],
+                        metrics: Map[String, Long] = Map.empty) {
   def preorder: Seq[ExecOp] = this +: children.flatMap(_.preorder)
   def render(indent: Int = 0): String =
     (" " * indent) + s"$kind${if (detail.nonEmpty) s"($detail)" else ""}" +
-      outputRows.map(r => s" rows=$r").getOrElse("") + "\n" +
-      children.map(_.render(indent + 2)).mkString
+      outputRows.map(r => s" rows=$r").getOrElse("") +
+      (if (metrics.nonEmpty)
+        metrics.toSeq.sorted.map { case (k, v) => s" $k=$v" }.mkString else "") +
+      "\n" + children.map(_.render(indent + 2)).mkString
   def toJson: String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     s"""{"kind":"${esc(kind)}","detail":"${esc(detail)}"""" +
       outputRows.map(r => s""","rows":$r""").getOrElse("") +
+      (if (metrics.nonEmpty)
+        s""","metrics":{${metrics.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString(",")}}"""
+       else "") +
       s""","children":[${children.map(_.toJson).mkString(",")}]}"""
   }
 }
@@ -47,6 +53,23 @@ object PlanOps {
   private def rows(p: SparkPlan): Option[Long] =
     p.metrics.get("numOutputRows").map(_.value).filter(_ > 0)
 
+  /** Per-operator SQLMetrics worth keeping (beyond output rows): timings,
+    * I/O shape, memory/spill. Richer than the reference's regex scrape of
+    * EXPLAIN ANALYZE text (dqo/db/execution_plan.py:146-211) — these are
+    * the accumulators the executors actually reported.
+    */
+  private val KeptMetrics = Set(
+    "scanTime", "aggTime", "buildTime", "sortTime", "collectTime",
+    "numFiles", "numPartitions", "filesSize", "spillSize", "peakMemory")
+
+  private def kept(p: SparkPlan): Map[String, Long] =
+    p.metrics.collect {
+      case (k, m) if KeptMetrics.contains(k) && m.value > 0 => k -> m.value
+    }.toMap
+
+  private def op(p: SparkPlan, kind: String, detail: String, kids: Seq[ExecOp]): ExecOp =
+    ExecOp(kind, detail, kids, rows(p), kept(p))
+
   private def walk(p: SparkPlan): Seq[ExecOp] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
     case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
@@ -59,29 +82,29 @@ object PlanOps {
       val table = s.relation.location.rootPaths.headOption
         .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
       val pushed = s.dataFilters.map(_.sql).mkString(" AND ")
-      Seq(ExecOp("Scan", if (pushed.nonEmpty) s"$table: $pushed" else table, Nil, rows(s)))
+      Seq(op(s, "Scan", if (pushed.nonEmpty) s"$table: $pushed" else table, Nil))
     case j: BroadcastHashJoinExec =>
-      Seq(ExecOp("Join", s"BroadcastHash ${j.joinType}", j.children.flatMap(walk), rows(j)))
+      Seq(op(j, "Join", s"BroadcastHash ${j.joinType}", j.children.flatMap(walk)))
     case j: ShuffledHashJoinExec =>
-      Seq(ExecOp("Join", s"ShuffledHash ${j.joinType}", j.children.flatMap(walk), rows(j)))
+      Seq(op(j, "Join", s"ShuffledHash ${j.joinType}", j.children.flatMap(walk)))
     case j: SortMergeJoinExec =>
-      Seq(ExecOp("Join", s"SortMerge ${j.joinType}", j.children.flatMap(walk), rows(j)))
+      Seq(op(j, "Join", s"SortMerge ${j.joinType}", j.children.flatMap(walk)))
     case j: BroadcastNestedLoopJoinExec =>
-      Seq(ExecOp("NestedLoop", s"${j.joinType}", j.children.flatMap(walk), rows(j)))
+      Seq(op(j, "NestedLoop", s"${j.joinType}", j.children.flatMap(walk)))
     case j: CartesianProductExec =>
-      Seq(ExecOp("NestedLoop", "Cartesian", j.children.flatMap(walk), rows(j)))
+      Seq(op(j, "NestedLoop", "Cartesian", j.children.flatMap(walk)))
     case a: HashAggregateExec =>
-      Seq(ExecOp("Aggregate", s"Hash ${a.aggregateExpressions.size}", a.children.flatMap(walk), rows(a)))
+      Seq(op(a, "Aggregate", s"Hash ${a.aggregateExpressions.size}", a.children.flatMap(walk)))
     case a: SortAggregateExec =>
-      Seq(ExecOp("Aggregate", s"Sort ${a.aggregateExpressions.size}", a.children.flatMap(walk), rows(a)))
+      Seq(op(a, "Aggregate", s"Sort ${a.aggregateExpressions.size}", a.children.flatMap(walk)))
     case a: ObjectHashAggregateExec =>
-      Seq(ExecOp("Aggregate", s"ObjectHash ${a.aggregateExpressions.size}", a.children.flatMap(walk), rows(a)))
+      Seq(op(a, "Aggregate", s"ObjectHash ${a.aggregateExpressions.size}", a.children.flatMap(walk)))
     case f: FilterExec =>
-      Seq(ExecOp("Filter", f.condition.sql.take(120), f.children.flatMap(walk), rows(f)))
+      Seq(op(f, "Filter", f.condition.sql.take(120), f.children.flatMap(walk)))
     case s: SortExec => s.children.flatMap(walk) // ordering detail not in taxonomy
     case p: ProjectExec => p.children.flatMap(walk)
     case other => other.children.flatMap(walk) match {
-      case Seq() => Seq(ExecOp(other.nodeName, "", Nil, rows(other)))
+      case Seq() => Seq(op(other, other.nodeName, "", Nil))
       case kids => kids
     }
   }

@@ -47,6 +47,26 @@ class LabSpec extends AnyFunSuite {
     assert(tree.toJson.startsWith("{"))
   }
 
+  test("plan ops carry executed row counts and scan metrics") {
+    val df = spark.sql(joinSql)
+    val resultRows = df.collect().length.toLong
+    val tree = PlanOps.fromDataFrame(df)
+    // the join's reported output rows equal the lineitem rows that found
+    // a qualifying order (every group member), and the final aggregate's
+    // equal the collected result
+    val join = tree.preorder.find(op => op.kind == "Join" || op.kind == "NestedLoop").get
+    assert(join.outputRows.exists(_ >= resultRows),
+      s"join rows ${join.outputRows} < result groups $resultRows")
+    val aggs = tree.preorder.filter(_.kind == "Aggregate")
+    assert(aggs.exists(_.outputRows.contains(resultRows)),
+      s"no aggregate reported the $resultRows result rows: ${aggs.map(_.outputRows)}")
+    // scans expose I/O-shape metrics (files read), richer than the
+    // reference's regex scrape
+    val scans = tree.preorder.filter(_.kind == "Scan")
+    assert(scans.exists(_.metrics.get("numFiles").exists(_ > 0)),
+      s"no scan carried numFiles: ${scans.map(_.metrics)}")
+  }
+
   test("workload load/save/bucket/groom/augment round-trip") {
     val dir = Files.createTempDirectory("wl").toString
     val csv = s"$dir/runtimes.csv"
