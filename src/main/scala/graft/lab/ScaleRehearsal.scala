@@ -1,0 +1,134 @@
+package graft.lab
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, PortableHash, Similarity}
+
+/** Scale rehearsal for the dedup/ANN paths: grow a synthetic corpus
+  * 1×/3×/10× and record candidate-pair counts and wall-times, to show
+  * the candidate generation grows subquadratically WHEN ITS KNOB SCALES
+  * WITH THE DATA (the claim a 100 TB deployment rests on):
+  *
+  *  - MinHash/LSH bands (q32 path): bucket collisions require real
+  *    signature agreement, so candidates track near-dup density — no
+  *    knob change needed, growth ~linear in n for constant dup density.
+  *  - SimHash pigeonhole (q35 path): chunk width IS the knob; at a fixed
+  *    radius the chunk-collision probability is constant, so candidates
+  *    are a constant FRACTION of n² — the radius must tighten (or bits
+  *    grow) as n grows, exactly like any exact-recall Hamming index.
+  *  - SRP near-dup (q42 path): plane count is the knob; +1 plane halves
+  *    expected bucket size, so planes ≈ log2(n / targetBucket) keeps
+  *    per-bucket work constant and total candidates ~linear.
+  *
+  * The corpus is generated distributed (pure Column exprs, no driver
+  * loops): Zipf-ish pseudo-text over a fixed vocabulary and hash-derived
+  * unit-range embeddings, with a planted near-dup for every 50th id so
+  * the interesting signal stays at constant density across scales.
+  */
+object ScaleRehearsal {
+
+  /** Deterministic synthetic documents: `n` docs of 40–80 words from a
+    * 2000-word Zipf-ish vocabulary; id 50k+1 is a near-dup of id 50k
+    * (same words except the first).
+    */
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n).toDF("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+    // near-dup planting: content keyed on the PREVIOUS id for 50k+1
+    val contentId = when(col("doc_id") % 50 === 1, col("doc_id") - 1)
+      .otherwise(col("doc_id"))
+    val h = PortableHash.hash60(concat(lit("len:"), contentId.cast("string")))
+    val len = (h % 41 + 40).cast("int") // 40..80 words
+    val words = transform(sequence(lit(0), len - 1), j => {
+      val hw = PortableHash.hash60(concat(lit("w:"), contentId.cast("string"), lit(":"), j.cast("string")))
+      // product of two uniforms → Zipf-ish skew toward low ranks
+      val rank = (hw % 2000) * ((hw / 2000) % 2000) / lit(2000)
+      // the near-dup copy differs in exactly its first word
+      when(j === 0 && col("doc_id") % 50 === 1, lit("neardupmarker"))
+        .otherwise(concat(lit("w"), rank.cast("string")))
+    })
+    base.select(col("doc_id"), concat_ws(" ", words).as("text"))
+  }
+
+  /** Deterministic synthetic embeddings: hash-derived components in
+    * [-0.5, 0.5); id 50k+1 is a jittered copy of id 50k (first component
+    * shifted by 0.01).
+    */
+  def syntheticEmbeddings(spark: SparkSession, n: Long, dims: Int = 64): DataFrame = {
+    val base = spark.range(n).toDF("vec_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val contentId = when(col("vec_id") % 50 === 1, col("vec_id") - 1)
+      .otherwise(col("vec_id"))
+    val vec = transform(sequence(lit(0), lit(dims - 1)), j => {
+      val hv = PortableHash.hash60(concat(lit("e:"), contentId.cast("string"), lit(":"), j.cast("string")))
+      val c = (hv.cast("double") / lit((1L << 60).toDouble)) - 0.5
+      (when(j === 0 && col("vec_id") % 50 === 1, c + 0.01).otherwise(c)).cast("float")
+    })
+    base.select(col("vec_id"), vec.as("embedding"))
+  }
+
+  /** planes ≈ log2(n / targetBucket), min 3 — the SRP knob rule. */
+  def planesFor(n: Long, targetBucket: Long = 60L): Int =
+    math.max(3, (math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).ceil.toInt)
+
+  final case class Cell(n: Long, pairs: Long, seconds: Double, knob: String)
+
+  private def timed(body: => Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseN = args.headOption.map(_.toLong).getOrElse(500L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scales = Seq(1L, 3L, 10L)
+    val rows = scales.map { s =>
+      val n = baseN * s
+      // materialize once so every op times its own work, not generation
+      val dir = java.nio.file.Files.createTempDirectory(s"rehearsal$n").toString
+      syntheticDocs(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      syntheticEmbeddings(spark, n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+      val (lshPairs, lshSec) = timed {
+        val wide = Dedup.minhashSignaturesWide(docs, "doc_id", "text", k = 8, shingleN = 3)
+        Dedup.lshCandidates(Dedup.lshBandsWide(wide, "doc_id", 4, 2), "doc_id").count()
+      }
+      val (simPairs, simSec) = timed {
+        val sim = Dedup.simhash(docs, "doc_id", "text")
+        Dedup.simhashPairs(sim, "doc_id", maxHamming = 6).count()
+      }
+      val planes = planesFor(n)
+      val (srpPairs, srpSec) = timed {
+        Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.9, planes).count()
+      }
+      (n, Cell(n, lshPairs, lshSec, "bands=4x2"),
+          Cell(n, simPairs, simSec, "r=6"),
+          Cell(n, srpPairs, srpSec, s"planes=$planes"))
+    }
+
+    println("| n | lsh_pairs | lsh_sec | sim_pairs | sim_sec | srp_pairs | srp_sec | srp_planes |")
+    println("|---|---|---|---|---|---|---|---|")
+    rows.foreach { case (n, l, h, p) =>
+      println(f"| $n | ${l.pairs} | ${l.seconds}%.2f | ${h.pairs} | ${h.seconds}%.2f | ${p.pairs} | ${p.seconds}%.2f | ${p.knob} |")
+    }
+    // growth factors vs the 10× size jump (subquadratic ⇔ « 100)
+    val first = rows.head; val last = rows.last
+    def g(a: Long, b: Long) = if (a == 0) Double.NaN else b.toDouble / a
+    println(f"growth n=×${g(first._1, last._1)}%.1f: " +
+      f"lsh_pairs=×${g(first._2.pairs, last._2.pairs)}%.1f " +
+      f"sim_pairs=×${g(first._3.pairs, last._3.pairs)}%.1f " +
+      f"srp_pairs=×${g(first._4.pairs, last._4.pairs)}%.1f")
+    spark.stop()
+  }
+}
