@@ -17,8 +17,8 @@ object Bench {
     "q16_stats_numeric", "q21_log2_bucket", "q22_topk_window",
     "q30_dedup_exact", "q31_minhash_sig", "q32_lsh_candidates",
     "q33_ngram_jaccard", "q34_simhash", "q36_text_analyze", "q38_ann_topk",
-    "q40_srp_ann", "q42_embed_neardup", "q43_ivf_ann", "q41_window_events",
-    "q50_stats_model")
+    "q40_srp_ann", "q42_embed_neardup", "q43_ivf_ann", "q44_kmeans_step",
+    "q41_window_events", "q50_stats_model")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

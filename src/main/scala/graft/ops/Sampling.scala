@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import PortableHash.hash60
+
+/** Deterministic sampling & dataset-split operators for training-data
+  * pipelines. Everything is derived from the portable md5 hash of the
+  * row id, so splits are (a) reproducible across runs/engines — the
+  * DuckDB oracle recomputes them exactly, (b) stable under re-partition
+  * and re-ingestion (a row's split never depends on which executor saw
+  * it), and (c) join-free: assignment is a pure projection.
+  *
+  * The reference splits workloads with pandas `sample(frac)`
+  * (dqo/datasets/__init__.py:244-273); these are the corpus-scale
+  * equivalents of that capability.
+  */
+object Sampling {
+
+  /** Per-row hash in [0, 100): the split die. Keyed on (salt, strata,
+    * id) so each stratum rolls independently and different salts give
+    * independent splits.
+    */
+  private def die(salt: String, strata: Column, id: Column): Column =
+    hash60(concat(lit(salt), lit(":"), strata.cast("string"), lit(":"), id.cast("string"))) % 100
+
+  /** Assign train/valid/test labels, stratified: within every stratum
+    * the hash die is independent and uniform, so each stratum lands
+    * `trainPct`/`validPct`/rest in expectation regardless of stratum
+    * size skew. Pure projection — no shuffle, no state.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String, strataCol: String,
+                         trainPct: Int, validPct: Int,
+                         salt: String = "split"): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100)
+    val d = die(salt, col(strataCol), col(idCol))
+    df.withColumn("split",
+      when(d < trainPct, lit("train"))
+        .when(d < trainPct + validPct, lit("valid"))
+        .otherwise(lit("test")))
+  }
+
+  /** Fixed-size stratified sample: the `m` rows with the smallest hash
+    * die per stratum (deterministic reservoir). One shuffle on the
+    * stratum key; per-stratum work is a partitioned top-m, never a
+    * global sort.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       m: Int, salt: String = "sample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = die(salt, col(strataCol), col(idCol))
+    val w = Window.partitionBy(col(strataCol)).orderBy(d, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= m)
+  }
+}

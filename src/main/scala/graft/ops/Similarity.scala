@@ -208,6 +208,34 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"), col("rank"))
   }
 
+  /** One Lloyd iteration over the IVF cells: per-(cell, dimension) mean
+    * of the member vectors, computed with decimal-exact sums so the
+    * result is independent of partitioning/summation order (and
+    * reproducible by the oracle). Returns flat (cell, dim, n_members,
+    * mean) rows — the updated codebook for the next [[ivfAssign]] round.
+    *
+    * Scale design: one explode (×dims) then a map-side-combined groupBy
+    * on (cell, dim) — shuffle volume is one decimal per (cell, dim)
+    * partial, not the vectors.
+    */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
+                 centroidPred: Column): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroidPred)
+    assigned.select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(
+        count(lit(1)).as("n_members"),
+        // bround (HALF_EVEN) before the decimal cast: raw float values are
+        // dyadic, so exact scale-12 TIES occur (e.g. 1625/8192 =
+        // 0.1983642578125) — Spark's plain cast rounds ties HALF_UP while
+        // DuckDB rounds them half-even; bround resolves the tie the
+        // DuckDB way and the cast is then exact. (Products never tie, so
+        // the dot-product paths don't need this.)
+        sum(bround(col("x").cast("double"), 12).cast("decimal(20,12)")).as("s"))
+      .select(col("cell"), col("dim"), col("n_members"),
+        (col("s").cast("double") / col("n_members")).as("mean"))
+  }
+
   /** ANN top-k restricted to same-SRP-bucket candidates: the scale path.
     * Recall is tunable via `planes` (fewer planes → bigger buckets →
     * higher recall, more compute). Exact re-scoring inside buckets.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TopFraction}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TopFraction}
 import graft.ops.PortableHash.{duckHash60 => dh}
 
 /** Query + oracle entries for the training-data-pipeline operators
@@ -101,6 +101,22 @@ object OpsCatalog {
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") % IvfCentMod === 0, col("vec_id") % 100 === 0, TopK, IvfNprobe)
         .orderBy("id_a", "rank")
+    },
+    // one Lloyd iteration over the IVF cells: decimal-exact per-dim means
+    "q44_kmeans_step" -> { (s, dir) =>
+      Similarity.kmeansStep(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % IvfCentMod === 0)
+        .orderBy("cell", "dim")
+    },
+    // hash-deterministic stratified train/valid/test split
+    "q45_split" -> { (s, dir) =>
+      Sampling.deterministicSplit(Tables.load(s, dir, "documents"), "doc_id", "lang", 80, 10)
+        .select("doc_id", "lang", "split").orderBy("doc_id")
+    },
+    // fixed-size deterministic sample per stratum
+    "q46_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedSample(Tables.load(s, dir, "documents"), "doc_id", "lang", 10)
+        .select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -514,6 +530,59 @@ object OpsCatalog {
          |SELECT id_a, id_b, round(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $TopK ORDER BY id_a, rank""".stripMargin
     },
+
+    "q44_kmeans_step" -> {
+      // recompute the q43 cell assignment, then decimal-exact per-(cell,
+      // dim) means of the member vectors
+      s"""WITH norms AS (
+         |  SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS n2
+         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % $IvfCentMod = 0
+         |), adots AS (
+         |  SELECT vec_id, cent_id,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT e.vec_id, c.cent_id, unnest(e.embedding) AS x, unnest(c.cvec) AS y
+         |        FROM embeddings e, cents c) t
+         |  GROUP BY vec_id, cent_id
+         |), acos AS (
+         |  SELECT a.vec_id, a.cent_id,
+         |         CAST(a.dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+         |  FROM adots a
+         |  JOIN norms nv ON nv.vec_id = a.vec_id
+         |  JOIN norms nc ON nc.vec_id = a.cent_id
+         |), cells AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM acos) WHERE rn = 1
+         |), vals AS (
+         |  SELECT vec_id, unnest(embedding) AS x,
+         |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+         |  FROM embeddings
+         |)
+         |SELECT c.cell, v.dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       CAST(SUM(CAST(CAST(v.x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS mean
+         |FROM vals v JOIN cells c ON c.vec_id = v.vec_id
+         |GROUP BY c.cell, v.dim
+         |ORDER BY c.cell, v.dim""".stripMargin
+    },
+
+    "q45_split" ->
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN d < 80 THEN 'train' WHEN d < 90 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |             ${dh("'split:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS d
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q46_stratified_sample" ->
+      s"""SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank FROM (
+         |  SELECT doc_id, lang,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |           ORDER BY ${dh("'sample:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % 100, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 10
+         |ORDER BY lang, sample_rank""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,
