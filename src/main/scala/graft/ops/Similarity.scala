@@ -123,19 +123,29 @@ object Similarity {
     * all-pairs [[cosinePairs]] is the verification-only counterpart.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, planes: Int): DataFrame = {
+                   threshold: Double, planes: Int, saltBuckets: Int = 0): DataFrame = {
+    // SALTED self-join: the bucket key alone has only 2^planes values and
+    // SRP buckets are skewed, so a plain shuffle join keys the whole
+    // cosine workload onto a handful of tasks (observed 9× slowdown) and
+    // a broadcast join dies at corpus scale. Salting restores full
+    // parallelism deterministically: side A gets salt = hash(id) % S,
+    // side B is replicated across all S salts, the join runs on
+    // (bucket, salt) — every (a, b) pair meets exactly once, work spreads
+    // over 2^planes × S balanced partitions, and skew inside a bucket is
+    // flattened by the id hash. Replication costs S× of ONE side's
+    // signatures — at 100 TB pick S ≈ executor-core count, and grow
+    // `planes` with the corpus (SCALE.md knob rule) so buckets stay small.
+    val S = if (saltBuckets > 0) saltBuckets
+            else df.sparkSession.sparkContext.defaultParallelism
     val bucketed = withNorm2(df, vecCol)
       .withColumn("bucket", srpBucket(col(vecCol), planes))
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+        col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+      .withColumn("salt", PortableHash.hash60(concat(lit("salt:"), col("id_a").cast("string"))) % S)
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
-    // self-join as a shuffle join on purpose: both sides canonicalize to
-    // the same plan below the exchange, so Spark's ReuseExchange computes
-    // the (norm2 + SRP bucket) subtree ONCE and replays the shuffle for
-    // the other side — a broadcast join here would recompute it twice AND
-    // not survive a 100 TB corpus (neither side is small)
-    a.join(b.hint("shuffle_merge"), Seq("bucket"))
+        col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(S - 1L))))
+    a.join(b.hint("shuffle_merge"), Seq("bucket", "salt"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
       .where(col("cos") >= threshold)
@@ -202,6 +212,36 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), "cell")
       .where(col("id_a") =!= col("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
+  /** Multi-probe SRP ANN top-k: each query searches its own bucket PLUS
+    * every bucket at Hamming distance 1 (one sign bit flipped) — the
+    * standard recall lever for sign-random-projection LSH: the planes+1
+    * probes recover neighbors that a single hyperplane put on the wrong
+    * side, at linear (not exponential) extra candidate cost.
+    *
+    * Scale design: identical to [[lshBucketTopK]] — the corpus is
+    * bucketed once; only the (tiny) query side fans out ×(planes+1)
+    * before the broadcast join.
+    */
+  def srpMultiProbeTopK(df: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, k: Int, planes: Int): DataFrame = {
+    val bucketed = withNorm2(df, vecCol).withColumn("bucket", srpBucket(col(vecCol), planes))
+    val corpus = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
+    val flips = array(
+      col("bucket") +: (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val queries = bucketed.where(queryPred)
+      .select(explode(flips).as("bucket"), col(idCol).as("id_a"),
+        col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+    val scored = corpus.join(broadcast(queries), "bucket")
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

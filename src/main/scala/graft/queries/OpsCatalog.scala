@@ -118,6 +118,22 @@ object OpsCatalog {
       Sampling.stratifiedSample(Tables.load(s, dir, "documents"), "doc_id", "lang", 10)
         .select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
     },
+    // multi-probe SRP: each query also searches its 1-bit-flip buckets
+    "q47_srp_multiprobe" -> { (s, dir) =>
+      Similarity.srpMultiProbeTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, TopK, planes = 3)
+        .orderBy("id_a", "rank")
+    },
+    // end-to-end corpus curation: text metrics -> exact-dedup keep ->
+    // quality filter -> stratified split, all composed from the library
+    "q48_curation" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val metrics = TextAnalysis.analyze(docs, "doc_id", "text")
+      val keep = Dedup.exact(docs, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      val curated = metrics.join(keep, "doc_id").where(col("quality") >= 0.9)
+      Sampling.deterministicSplit(curated, "doc_id", "lang_pred", 80, 10)
+        .select("doc_id", "lang_pred", "quality", "split").orderBy("doc_id")
+    },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("""SELECT CAST(floor((ts DIV 1000000000) / 3600.0) AS BIGINT) AS hour_bucket,
@@ -211,6 +227,46 @@ object OpsCatalog {
   private val allStopwords =
     TextAnalysis.langProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
 
+  /** Full text-analysis SELECT (no ORDER BY): q36's oracle body, reused
+    * as a subquery by the q48 curation-pipeline oracle.
+    */
+  private lazy val textAnalysisSelect: String =
+    s"""WITH docw2 AS (
+       |  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+       |), $langCase, qual AS (
+       |  SELECT doc_id, text, w, max_cp, best,
+       |         score_en, score_de, score_fr, score_es,
+       |         CAST(length(text) AS DOUBLE) AS n_chars,
+       |         CAST(len(w) AS DOUBLE) AS n_words,
+       |         CAST(length(text) - length(replace(replace(replace(replace(replace(replace(text,
+       |             '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS DOUBLE) AS punct,
+       |         CAST(list_sum(list_transform(w,
+       |             x -> CASE WHEN x IN ($allStopwords) THEN 1 ELSE 0 END)) AS DOUBLE) AS stops
+       |  FROM langpick
+       |), fps AS (
+       |  SELECT doc_id,
+       |         -- CAST: DuckDB SUM(BIGINT) is HUGEINT (arrow decimal128);
+       |         -- Spark emits BIGINT — the driver's hash is type-sensitive.
+       |         CAST(SUM(${dh("CAST(pos AS VARCHAR) || ':' || tw")} % ${1L << 40}) % ${1L << 40} AS BIGINT) AS fingerprint
+       |  FROM (SELECT doc_id, unnest(w) AS tw, generate_subscripts(w, 1) - 1 AS pos FROM docw2) t
+       |  GROUP BY doc_id
+       |)
+       |SELECT q.doc_id,
+       |       CASE WHEN max_cp >= ${0x4E00} THEN 'zh' ELSE $langPickExpr END AS lang_pred,
+       |       round(
+       |         (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
+       |               WHEN n_chars < 100 THEN n_chars / 100.0
+       |               ELSE 10000.0 / n_chars END) * 0.4 +
+       |         (CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+       |                AND n_chars / greatest(n_words, 1.0) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+       |         (CASE WHEN punct / greatest(n_chars, 1.0) <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+       |         (CASE WHEN stops / greatest(n_words, 1.0) >= 0.05 THEN 1.0 ELSE 0.7 END) * 0.2,
+       |         6) AS quality,
+       |       CAST(len(w) AS BIGINT) AS n_ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_re_tokens,
+       |       fps.fingerprint
+       |FROM qual q JOIN fps ON fps.doc_id = q.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
@@ -274,43 +330,7 @@ object OpsCatalog {
          |  AND bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q36_text_analyze" ->
-      s"""WITH docw2 AS (
-         |  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
-         |), $langCase, qual AS (
-         |  SELECT doc_id, text, w, max_cp, best,
-         |         score_en, score_de, score_fr, score_es,
-         |         CAST(length(text) AS DOUBLE) AS n_chars,
-         |         CAST(len(w) AS DOUBLE) AS n_words,
-         |         CAST(length(text) - length(replace(replace(replace(replace(replace(replace(text,
-         |             '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS DOUBLE) AS punct,
-         |         CAST(list_sum(list_transform(w,
-         |             x -> CASE WHEN x IN ($allStopwords) THEN 1 ELSE 0 END)) AS DOUBLE) AS stops
-         |  FROM langpick
-         |), fps AS (
-         |  SELECT doc_id,
-         |         -- CAST: DuckDB SUM(BIGINT) is HUGEINT (arrow decimal128);
-         |         -- Spark emits BIGINT — the driver's hash is type-sensitive.
-         |         CAST(SUM(${dh("CAST(pos AS VARCHAR) || ':' || tw")} % ${1L << 40}) % ${1L << 40} AS BIGINT) AS fingerprint
-         |  FROM (SELECT doc_id, unnest(w) AS tw, generate_subscripts(w, 1) - 1 AS pos FROM docw2) t
-         |  GROUP BY doc_id
-         |)
-         |SELECT q.doc_id,
-         |       CASE WHEN max_cp >= ${0x4E00} THEN 'zh' ELSE $langPickExpr END AS lang_pred,
-         |       round(
-         |         (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
-         |               WHEN n_chars < 100 THEN n_chars / 100.0
-         |               ELSE 10000.0 / n_chars END) * 0.4 +
-         |         (CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
-         |                AND n_chars / greatest(n_words, 1.0) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
-         |         (CASE WHEN punct / greatest(n_chars, 1.0) <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
-         |         (CASE WHEN stops / greatest(n_words, 1.0) >= 0.05 THEN 1.0 ELSE 0.7 END) * 0.2,
-         |         6) AS quality,
-         |       CAST(len(w) AS BIGINT) AS n_ws_tokens,
-         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_re_tokens,
-         |       fps.fingerprint
-         |FROM qual q JOIN fps ON fps.doc_id = q.doc_id
-         |ORDER BY q.doc_id""".stripMargin,
+    "q36_text_analyze" -> s"$textAnalysisSelect\nORDER BY q.doc_id",
 
     "q37_multimodal_features" -> {
       val fCols = (0 until Multimodal.FeatureDim)
@@ -583,6 +603,78 @@ object OpsCatalog {
          |           ORDER BY ${dh("'sample:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % 100, doc_id) AS rn
          |  FROM documents) WHERE rn <= 10
          |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q47_srp_multiprobe" -> {
+      // q40's buckets plus 1-bit-flip probe buckets per query
+      val nPlanes = 3
+      val caseP = (0 until nPlanes).map(p => s"WHEN $p THEN ${1 << p}").mkString(" ")
+      val caseFlip = (0 until nPlanes).map(p => s"WHEN $p THEN xor(bucket, ${1L << p})").mkString(" ")
+      s"""WITH comp AS (
+         |  SELECT p, i,
+         |         (${dh("'plane' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+         |            / 1152921504606846976.0) - 0.5 AS c
+         |  FROM (SELECT unnest(range(0, $nPlanes)) AS p) ps,
+         |       (SELECT unnest(range(0, 64)) AS i) dims
+         |), vals AS (
+         |  SELECT vec_id, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) - 1 AS i
+         |  FROM embeddings
+         |), dots AS (
+         |  SELECT v.vec_id, c.p,
+         |         SUM(CAST(CAST(v.x AS DOUBLE) * c.c AS DECIMAL(20,12))) AS dot
+         |  FROM vals v JOIN comp c ON c.i = v.i
+         |  GROUP BY v.vec_id, c.p
+         |), buckets AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CASE WHEN dot >= 0 THEN (CASE p $caseP END) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id
+         |), norms AS (
+         |  SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS n2
+         |  FROM vals GROUP BY vec_id
+         |), probes AS (
+         |  SELECT b.vec_id AS id_a,
+         |         CASE WHEN f = -1 THEN bucket ELSE (CASE f $caseFlip END) END AS bucket
+         |  FROM buckets b, (SELECT unnest(range(-1, $nPlanes)) AS f) fs
+         |  WHERE b.vec_id % 100 = 0
+         |), pairs AS (
+         |  SELECT p.id_a, bc.vec_id AS id_b, qa.embedding AS ea, qb.embedding AS eb
+         |  FROM probes p
+         |  JOIN buckets bc ON bc.bucket = p.bucket
+         |  JOIN embeddings qa ON qa.vec_id = p.id_a
+         |  JOIN embeddings qb ON qb.vec_id = bc.vec_id
+         |  WHERE p.id_a <> bc.vec_id
+         |), pdots AS (
+         |  SELECT id_a, id_b,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs) t
+         |  GROUP BY id_a, id_b
+         |), ranked AS (
+         |  SELECT id_a, id_b,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a
+         |           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC, id_b) AS rank
+         |  FROM pdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+         |)
+         |SELECT id_a, id_b, round(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $TopK ORDER BY id_a, rank""".stripMargin
+    },
+
+    "q48_curation" ->
+      s"""WITH m AS (
+         |$textAnalysisSelect
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), cur AS (
+         |  SELECT m.doc_id, m.lang_pred, m.quality
+         |  FROM m JOIN keep ON keep.doc_id = m.doc_id
+         |  WHERE m.quality >= 0.9
+         |)
+         |SELECT doc_id, lang_pred, quality,
+         |       CASE WHEN d < 80 THEN 'train' WHEN d < 90 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang_pred, quality,
+         |             ${dh("'split:' || lang_pred || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS d
+         |      FROM cur)
+         |ORDER BY doc_id""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,

@@ -94,20 +94,46 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("nearDupPairs self-join reuses one exchange (bucket subtree runs once)") {
+  test("LSH candidate self-join reuses one exchange (band subtree runs once)") {
     import spark.implicits._
     val rng = new Random(13)
     val dir = java.nio.file.Files.createTempDirectory("simspec").toString
-    (1 to 300).map(i => (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1)))
-      .toDF("vec_id", "embedding")
-      .write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    // docs i and i+150 share text: identical signatures guarantee LSH
+    // collisions — an empty join would let AQE fold the final plan to
+    // EmptyRelation and erase the ReusedQueryStage under test
+    val texts = (1 to 150).map(_ => (1 to 60).map(_ => s"w${rng.nextInt(80)}").mkString(" "))
+    (0 until 300).map(i => ((i + 1).toLong, texts(i % 150)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
     // parquet-backed input: a local relation would be constant-folded on
     // the driver and never build the exchange under test
-    val df = spark.read.parquet(s"$dir/emb.parquet")
-    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.2, planes = 2)
+    val df = spark.read.parquet(s"$dir/docs.parquet")
+    val wide = Dedup.minhashSignaturesWide(df, "doc_id", "text", k = 8, shingleN = 3)
+    val pairs = Dedup.lshCandidates(Dedup.lshBandsWide(wide, "doc_id", 4, 2), "doc_id")
     pairs.collect() // finalize THIS plan's AQE stages
     val plan = pairs.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"expected exchange reuse in:\n$plan")
+  }
+
+  test("salted nearDupPairs == unsalted same-bucket reference, skew-proof") {
+    import spark.implicits._
+    val rng = new Random(23)
+    val df = (1 to 400).map(i => (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val salted = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.3, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: all-pairs exact cosine, restricted to same-bucket pairs
+    val buckets = df.select(col("vec_id"),
+        Similarity.srpBucket(col("embedding"), 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reference = Similarity.cosinePairs(df, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => buckets(a) == buckets(b) }.toSet
+    assert(salted == reference,
+      s"missing=${reference.diff(salted).take(3)} extra=${salted.diff(reference).take(3)}")
+    // salting must not duplicate pairs
+    val ids = salted.toSeq.map { case (a, b, _) => (a, b) }
+    assert(ids.distinct.size == ids.size)
   }
 }
