@@ -251,4 +251,87 @@ object Dedup {
   }
 
   private def bitCount(c: Column): Column = bit_count(c)
+
+  /** Connected components over a near-dup pair graph: every node gets
+    * `cluster_id` = the smallest node id reachable through the pairs —
+    * the canonical "keep one doc per duplicate cluster" step downstream
+    * of any candidate-pair generator ([[lshCandidates]],
+    * [[ngramJaccardPairs]], [[simhashPairs]], embedding near-dup).
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * current labels across the (symmetrized) edges and keeps the
+    * per-node minimum; labels only ever decrease, so the total strictly
+    * falls until the fixpoint, which the loop detects with a single
+    * scalar aggregate per round. Rounds = graph diameter (not n). The
+    * result is the exact component minimum — deterministic regardless of
+    * partitioning or join order.
+    *
+    * Scale design: each round is ONE shuffle keyed on the node id (the
+    * propagate-join and the min-groupBy share it), and
+    * `localCheckpoint` truncates the otherwise exponentially growing
+    * lineage each round (on a cluster, a reliable `checkpoint` does the
+    * same against the shuffle service). Near-dup graphs have tiny
+    * diameters (duplicate clusters are dense), so the round count stays
+    * single-digit at any corpus size; for adversarial long-chain graphs
+    * the standard large-star/small-star variant halves the rounds at the
+    * cost of two joins per round.
+    */
+  def connectedComponents(edges: DataFrame, idA: String, idB: String,
+                          nodes: DataFrame, idCol: String): DataFrame = {
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).cast("long").as("cluster_id"))
+      .localCheckpoint(true)
+    var total = labels.agg(sum("cluster_id")).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val prop = sym.join(labels, sym("dst") === labels("node"))
+        .select(col("src").as("node"), col("cluster_id"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val nextTotal = next.agg(sum("cluster_id")).head.getLong(0)
+      converged = nextTotal == total
+      labels = next
+      total = nextTotal
+    }
+    labels.select(col("node").as(idCol), col("cluster_id"))
+  }
+
+  /** Benchmark-contamination check: for each eval-side document, how many
+    * of its distinct word `shingleN`-grams appear in ANY train-side
+    * document. `evalPred` marks the eval side; everything else is train.
+    * Returns (id, n_sh, n_contam, contam_frac) for every eval document
+    * (including shingle-less ones, at zero).
+    *
+    * Scale design: the train side collapses to its DISTINCT shingle set
+    * before the join (one map-side-combined aggregation — a stop-shingle
+    * appears once, so the subsequent join key has no quadratic skew: the
+    * per-key fan-out is exactly the eval-side count). The join is
+    * hash-partitioned on the shingle; shuffle volume is O(distinct
+    * shingles), never document pairs. The contaminated count is a
+    * map-side-combined groupBy on the eval id.
+    */
+  def ngramContamination(df: DataFrame, idCol: String, textCol: String,
+                         evalPred: Column, shingleN: Int): DataFrame = {
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), evalPred.as("is_eval"), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("is_eval"),
+        array_distinct(shinglesOf(col("toks"), shingleN)).as("shs"))
+    val trainSh = base.where(!col("is_eval"))
+      .select(explode(col("shs")).as("sh")).distinct()
+    val evalSh = base.where(col("is_eval"))
+      .select(col(idCol), explode(col("shs")).as("sh"))
+    val hits = evalSh.join(trainSh, "sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
+    base.where(col("is_eval"))
+      .select(col(idCol), size(col("shs")).cast("long").as("n_sh"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+      .withColumn("contam_frac",
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(col("n_contam").cast("double") / col("n_sh")))
+  }
 }

@@ -41,6 +41,35 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Sequence packing for training pipelines: concatenate documents in
+    * deterministic (`groupCol`, `idCol`) order and chop the stream into
+    * fixed `budget`-token training sequences — documents may straddle a
+    * boundary (concat-and-chop packing, zero padding waste). Emits per
+    * document the sequence it starts in (`seq_id`, local to its group)
+    * and its offset inside that sequence (`seq_off`), from which a
+    * writer can slice the actual token stream. Pure integer window
+    * arithmetic — reproducible everywhere.
+    *
+    * Scale design: ONE window partitioned by `groupCol` (running token
+    * sum in doc-id order) — no global ordering, no unpartitioned window;
+    * parallelism = number of groups (shard the group key if a single
+    * group outgrows an executor). Everything else is a projection.
+    */
+  def packSequences(df: DataFrame, idCol: String, groupCol: String,
+                    nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // DIV, not `/`: Column./ is double division and loses exactness past
+    // 2^53 cumulative tokens — realistic for a 100 TB group
+    df.withColumn("start_tok", sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      .select(col("*"),
+        expr(s"start_tok DIV ${budget}L").as("seq_id"),
+        (col("start_tok") % budget).as("seq_off"))
+      .drop("start_tok")
+  }
+
   /** Fixed-size stratified sample: the `m` rows with the smallest hash
     * die per stratum (deterministic reservoir). One shuffle on the
     * stratum key; per-stratum work is a partitioned top-m, never a

@@ -90,6 +90,46 @@ object TextAnalysis {
     aggregate(salted, lit(0L), (acc, x) => acc + x) % lit(1L << 40)
   }
 
+  /** Repetition metrics (Gopher-style quality filters): the fraction of
+    * the document covered by its single most frequent word and most
+    * frequent word bigram. Highly repetitive machine-generated text
+    * scores near 1; natural text stays low. Only counts are exposed (not
+    * the words themselves) so ties cannot break determinism, and the
+    * fractions are BIGINT/BIGINT divisions — bit-identical IEEE results
+    * in every engine.
+    *
+    * Scale design: explode → two-level map-side-combined groupBy per
+    * metric (per-(doc, term) counts, then per-doc max/sum) — all
+    * shuffles are keyed on the doc id, volume O(distinct terms), never
+    * pairs. The in-row alternative (`transform` over `array_distinct`)
+    * is O(distinct·len) PER DOCUMENT and dies on long repetitive docs —
+    * exactly the ones this filter exists to catch.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), Dedup.shinglesOf(col("toks"), 2).as("bgs"))
+    val words = base.select(col(idCol), explode(col("toks")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum("n").as("n_words"), max("n").as("top_word_n"))
+    val bigrams = base.select(col(idCol), explode(col("bgs")).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum("n").as("n_bigrams"), max("n").as("top_bigram_n"))
+    // left join: single-word documents have no bigrams at all
+    words.join(bigrams, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+      .select(col(idCol), col("n_words"), col("top_word_n"),
+        (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"),
+        col("n_bigrams"), col("top_bigram_n"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+  }
+
   /** All text-analysis columns over a corpus in one pass: tokens are
     * materialized once per row, and the input is spread across cores
     * first (small single-file sources otherwise serialize the work).

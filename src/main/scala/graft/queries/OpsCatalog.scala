@@ -25,6 +25,7 @@ object OpsCatalog {
   private val TopK = 5
   private val IvfCentMod = 32  // deterministic centroid rule: vec_id % 32 == 0
   private val IvfNprobe = 2    // probe the 2 nearest cells per query
+  private val PackBudget = 512L // tokens per packed training sequence
 
   // ---- Spark-side query functions -----------------------------------
 
@@ -133,6 +134,36 @@ object OpsCatalog {
       val curated = metrics.join(keep, "doc_id").where(col("quality") >= 0.9)
       Sampling.deterministicSplit(curated, "doc_id", "lang_pred", 80, 10)
         .select("doc_id", "lang_pred", "quality", "split").orderBy("doc_id")
+    },
+    // connected components over the n-gram-Jaccard near-dup graph:
+    // every doc labeled with the min doc id reachable through dup pairs
+    "q49_dedup_clusters" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text", ShingleN, MaxDf, JaccThresh)
+      Dedup.connectedComponents(edges, "id_a", "id_b", docs, "doc_id")
+        .orderBy("doc_id")
+    },
+    // benchmark-contamination: distinct train/eval 3-gram overlap per
+    // eval doc (eval side = doc_id % 10 == 0)
+    "q51_contamination" -> { (s, dir) =>
+      Dedup.ngramContamination(Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") % 10 === 0, ShingleN)
+        .orderBy("doc_id")
+    },
+    // concat-and-chop sequence packing: budget-token training sequences
+    // per source, documents may straddle boundaries
+    "q52_pack_sequences" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(Dedup.tokens(col("text"))).as("n_tokens"))
+      Sampling.packSequences(docs, "doc_id", "source", "n_tokens", PackBudget)
+        .select("doc_id", "source", "n_tokens", "seq_id", "seq_off")
+        .orderBy("doc_id")
+    },
+    // Gopher-style repetition filters: top-word / top-bigram coverage
+    "q53_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionMetrics(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -675,6 +706,108 @@ object OpsCatalog {
          |             ${dh("'split:' || lang_pred || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS d
          |      FROM cur)
          |ORDER BY doc_id""".stripMargin,
+
+    "q49_dedup_clusters" ->
+      // q33's near-dup pairs as the edge set, then the transitive closure
+      // via a recursive CTE: cluster_id = min doc id reachable
+      s"""WITH RECURSIVE $shingleCte, dsh AS (
+         |  SELECT DISTINCT doc_id AS id, sh FROM sh
+         |), rare AS (
+         |  SELECT sh FROM dsh GROUP BY sh HAVING COUNT(*) <= $MaxDf
+         |), fsh AS (
+         |  SELECT id, dsh.sh FROM dsh JOIN rare ON dsh.sh = rare.sh
+         |), sizes AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM dsh GROUP BY id
+         |), inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM fsh a JOIN fsh b ON a.sh = b.sh
+         |  WHERE a.id < b.id GROUP BY a.id, b.id
+         |), edges AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= $JaccThresh
+         |), sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM edges
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM edges
+         |), reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.node = s.dst
+         |)
+         |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q51_contamination" ->
+      s"""WITH $shingleCte, dsh AS (
+         |  SELECT DISTINCT doc_id AS id, sh FROM sh
+         |), train AS (
+         |  SELECT DISTINCT sh FROM dsh WHERE id % 10 <> 0
+         |), evalsh AS (
+         |  SELECT id, sh FROM dsh WHERE id % 10 = 0
+         |), hits AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_contam
+         |  FROM evalsh JOIN train USING (sh) GROUP BY id
+         |), nsh AS (
+         |  -- LEFT JOIN keeps shingle-less eval docs (count of NULL = 0)
+         |  SELECT d.doc_id AS id, CAST(COUNT(dsh.sh) AS BIGINT) AS n_sh
+         |  FROM documents d LEFT JOIN dsh ON dsh.id = d.doc_id
+         |  WHERE d.doc_id % 10 = 0 GROUP BY d.doc_id
+         |)
+         |SELECT nsh.id AS doc_id, n_sh,
+         |       CAST(COALESCE(n_contam, 0) AS BIGINT) AS n_contam,
+         |       CASE WHEN n_sh = 0 THEN 0.0
+         |            ELSE CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_sh END AS contam_frac
+         |FROM nsh LEFT JOIN hits ON hits.id = nsh.id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q52_pack_sequences" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), cum AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+         |  FROM toks
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST(start_tok // $PackBudget AS BIGINT) AS seq_id,
+         |       CAST(start_tok % $PackBudget AS BIGINT) AS seq_off
+         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "q53_repetition" ->
+      s"""WITH docw AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+         |), wc AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT doc_id, unnest(w) AS term FROM docw) t GROUP BY doc_id, term
+         |), wagg AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+         |         CAST(MAX(n) AS BIGINT) AS top_word_n
+         |  FROM wc GROUP BY doc_id
+         |), bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(w), 1)),
+         |                i -> w[i] || ' ' || w[i+1])) AS b
+         |  FROM docw
+         |), bc AS (
+         |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY doc_id, b
+         |), bagg AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |         CAST(MAX(n) AS BIGINT) AS top_bigram_n
+         |  FROM bc GROUP BY doc_id
+         |)
+         |SELECT w.doc_id, n_words, top_word_n,
+         |       CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
+         |       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+         |       CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+         |            ELSE CAST(top_bigram_n AS DOUBLE) / n_bigrams END AS top_bigram_frac
+         |FROM wagg w LEFT JOIN bagg ON bagg.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-pipeline operators added in round 3: connected components over
+  * near-dup pairs, benchmark contamination, sequence packing, and
+  * repetition metrics. Tests pin the exact deterministic semantics the
+  * DuckDB oracles recompute.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("connectedComponents labels every node with its component minimum") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {5,6} (pair), {7} (singleton), {8,9,10} (triangle)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L),
+      (8L, 9L), (9L, 10L), (10L, 8L)).toDF("id_a", "id_b")
+    val nodes = (1L to 10L).toDF("id")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L)
+    assert(got == want)
+  }
+
+  test("connectedComponents is partition-independent and handles a long chain") {
+    import spark.implicits._
+    // a 40-node path graph: worst-case diameter for the propagation loop
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to 40L).toDF("id")
+    val got = Dedup.connectedComponents(edges.repartition(7), "id_a", "id_b",
+        nodes.repartition(3), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
+  test("ngramContamination counts distinct train-overlapping shingles per eval doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // train: shingles {abg, bgd'}
+      (2L, "alpha beta gamma epsilon"),      // train
+      (10L, "alpha beta gamma delta"),       // eval: all 2 shingles in train
+      (20L, "zeta eta theta iota"),          // eval: 0 of 2 in train
+      (30L, "one two")                       // eval: no shingles at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(docs, "doc_id", "text",
+        col("doc_id") >= 10, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got(0) == ((10L, 2L, 2L, 1.0)))
+    assert(got(1) == ((20L, 2L, 0L, 0.0)))
+    assert(got(2) == ((30L, 0L, 0L, 0.0)))
+  }
+
+  test("packSequences chops the per-group token stream at exact budget boundaries") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", 300L), (2L, "s1", 300L), (3L, "s1", 500L), (4L, "s1", 10L),
+      (5L, "s2", 1200L), (6L, "s2", 1L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = Sampling.packSequences(docs.repartition(5), "doc_id", "source", "n_tokens", 512L)
+      .select("doc_id", "seq_id", "seq_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // s1 stream offsets: doc1@0, doc2@300, doc3@600, doc4@1100
+    // s2 stream offsets: doc5@0, doc6@1200
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L), (4L, 2L, 76L),
+      (5L, 0L, 0L), (6L, 2L, 176L)))
+  }
+
+  test("repetitionMetrics exposes top-term coverage without tie-broken terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),   // top word 4/5; top bigram "spam spam" 3/4
+      (2L, "all words differ here"),     // top word 1/4; top bigram 1/3
+      (3L, "single")                     // one word, no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).sortBy(_._1)
+    assert(got(0) == ((1L, 5L, 4L, 0.8, 4L, 3L, 0.75)))
+    assert(got(1) == ((2L, 4L, 1L, 0.25, 3L, 1L, 1.0 / 3.0)))
+    assert(got(2) == ((3L, 1L, 1L, 1.0, 0L, 0L, 0.0)))
+  }
+}
