@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over keyed event logs: gap-based sessionization
+  * and point-in-time (as-of) joins. Both are pure window/aggregate
+  * compositions — no custom state, no range-join explosion — so Catalyst
+  * plans them as ordinary partitioned windows and they hold at any
+  * corpus size where a single key's history fits an executor.
+  */
+object EventOps {
+
+  /** Gap-based sessionization: consecutive events of the same key belong
+    * to one session while the time delta to the previous event is at
+    * most `gap`; a strictly larger delta starts a new session. Returns
+    * one row per (key, session) with start/end, event count, and the
+    * decimal-exact value sum. `session_id` is the 1-based session index
+    * within its key (deterministic: ties in the event order cannot move
+    * a session boundary, because a zero delta never exceeds the gap).
+    *
+    * Scale design: ONE shuffle (window partitioned by the key, ordered
+    * by event time) feeding a groupBy on (key, session) that reuses the
+    * same partitioning; per-key state is a lag + running sum, never the
+    * whole history in memory. The streaming counterpart is Spark's
+    * native `session_window` (see `EventStream.sessionCounts`), whose
+    * state is watermark-bounded; this batch form pins oracle-checkable
+    * semantics.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, gap: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val cum = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newSession = when(
+      lag(col(tsCol), 1).over(w).isNull ||
+        col(tsCol) - lag(col(tsCol), 1).over(w) > gap, 1).otherwise(0)
+    events
+      .withColumn("_new", newSession)
+      .withColumn("session_id", sum(col("_new")).over(cum).cast("long"))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(14,2)")).cast("double").as("sum_value"))
+  }
+
+  /** Point-in-time (as-of) join: every left row picks up the newest
+    * right row of the same key with `right.ts <= left.ts` (or nulls if
+    * none). The classic use is joining events to the most recent state
+    * snapshot / quote / feature value as of each event.
+    *
+    * Implementation is the union + running-`last` pattern, NOT a range
+    * join: right rows (deduplicated to one per (key, ts) by greatest
+    * value struct — a deterministic tie rule both engines reproduce)
+    * interleave with left rows in one window ordered by (ts, side) with
+    * right-before-left at equal ts (inclusive match), and
+    * `last(_vals, ignoreNulls)` carries the newest right payload
+    * forward.
+    *
+    * Scale design: zero joins — one shuffle on the key, one ordered
+    * window pass. A range join here would either explode (unbounded
+    * lookback) or need hand-bucketing; the window form streams each
+    * key's merged timeline once, at any history length. Right payload
+    * columns surface as `asof_ts` + `asof_<col>`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, valCols: Seq[String]): DataFrame = {
+    require(valCols.nonEmpty)
+    // one right row per (key, ts): keep the greatest payload struct
+    val rightSlim = right
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(struct(col(tsCol).as("_rts") +: valCols.map(col): _*)).as("_vals"))
+    val valsType = rightSlim.schema("_vals").dataType
+    val lAug = left
+      .withColumn("_side", lit(1))
+      .withColumn("_vals", lit(null).cast(valsType))
+    val rAug = rightSlim.select(
+      left.columns.map {
+        case c if c == keyCol => col(keyCol)
+        case c if c == tsCol => col(tsCol)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(lit(0).as("_side"), col("_vals")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lAug.unionByName(rAug)
+      .withColumn("_last", last(col("_vals"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        (col("_last").getField("_rts").as("asof_ts") +:
+          valCols.map(v => col("_last").getField(v).as(s"asof_$v"))): _*)
+  }
+}

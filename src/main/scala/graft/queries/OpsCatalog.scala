@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TopFraction}
+import graft.ops.{Dedup, EventOps, Multimodal, Sampling, Similarity, TextAnalysis, TopFraction}
 import graft.ops.PortableHash.{duckHash60 => dh}
 
 /** Query + oracle entries for the training-data-pipeline operators
@@ -26,6 +26,7 @@ object OpsCatalog {
   private val IvfCentMod = 32  // deterministic centroid rule: vec_id % 32 == 0
   private val IvfNprobe = 2    // probe the 2 nearest cells per query
   private val PackBudget = 512L // tokens per packed training sequence
+  private val SessionGapNs = 8L * 3600 * 1000000000L // 8h session gap (epoch-nanos)
 
   // ---- Spark-side query functions -----------------------------------
 
@@ -164,6 +165,29 @@ object OpsCatalog {
     "q53_repetition" -> { (s, dir) =>
       TextAnalysis.repetitionMetrics(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+    // gap-based sessionization: one row per (user, session). ts is
+    // truncated to µs-resolution nanos at the QUERY layer only: DuckDB
+    // reads TIMESTAMP(NANOS) parquet as µs TIMESTAMP, so sub-µs digits
+    // are invisible to the oracle (the operator itself is nanos-native)
+    "q54_sessionize" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts", expr("(ts DIV 1000) * 1000"))
+      EventOps.sessionize(ev, "user_id", "ts", "value", SessionGapNs)
+        .orderBy("user_id", "session_id")
+    },
+    // point-in-time join: each click joined to the user's most recent
+    // purchase at or before it (union + running-last, no range join);
+    // same µs truncation rationale as q54
+    "q55_asof_join" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts", expr("(ts DIV 1000) * 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      EventOps.asofJoin(clicks, purchases, "user_id", "ts", Seq("value"))
+        .orderBy("event_id")
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -808,6 +832,40 @@ object OpsCatalog {
          |            ELSE CAST(top_bigram_n AS DOUBLE) / n_bigrams END AS top_bigram_frac
          |FROM wagg w LEFT JOIN bagg ON bagg.doc_id = w.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+
+    "q54_sessionize" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, epoch_ns(ts) AS t, value,
+         |         CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) IS NULL
+         |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) > $SessionGapNs
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |), sess AS (
+         |  SELECT user_id, t, value,
+         |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM lagged
+         |)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |       MIN(t) AS session_start, MAX(t) AS session_end,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q55_asof_join" ->
+      // DuckDB's native ASOF JOIN reproduces the union+running-last
+      // semantics exactly once the right side is unique per (key, ts)
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ts, value
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, max(value) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS asof_ts, r.v AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,

@@ -44,6 +44,21 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
 
+  /** Gap-based session aggregation via Spark's NATIVE `session_window`
+    * (merging-state streaming operator): a session extends while the
+    * next event lands strictly inside [last, last + gap). State is
+    * watermark-bounded per (user, open session). The batch counterpart
+    * with oracle-pinned semantics is `EventOps.sessionize` (q54).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "8 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
   final case class SessionState(count: Long, sum: Double, lastNanos: Long)
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double)
 

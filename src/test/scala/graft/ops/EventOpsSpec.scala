@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gap sessionization and as-of join: boundary semantics pinned here are
+  * the ones the DuckDB oracles (q54/q55) recompute.
+  */
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("sessionize splits strictly-greater-than-gap deltas; delta == gap stays") {
+    import spark.implicits._
+    // user 1: 0, 10 (same session), 20 (delta == gap == 10 stays), 31 (> gap splits)
+    // user 2: single event
+    val ev = Seq((1L, 0L, 1.0), (1L, 10L, 2.0), (1L, 20L, 3.0), (1L, 31L, 4.0),
+      (2L, 100L, 5.0)).toDF("user_id", "ts", "value")
+    val got = EventOps.sessionize(ev.repartition(3), "user_id", "ts", "value", gap = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 20L, 3L, 6.0),
+      (1L, 2L, 31L, 31L, 1L, 4.0),
+      (2L, 1L, 100L, 100L, 1L, 5.0)))
+  }
+
+  test("asofJoin matches the newest right row at or before each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 5L, "a"), (2L, 20L, 5L, "b"), (3L, 5L, 5L, "c"),
+      (4L, 15L, 9L, "d")).toDF("event_id", "ts", "user_id", "tag")
+      .select("event_id", "user_id", "ts", "tag")
+    val right = Seq((5L, 10L, 1.5), (5L, 18L, 2.5), (9L, 99L, 9.9))
+      .toDF("user_id", "ts", "value")
+    val got = EventOps.asofJoin(left, right, "user_id", "ts", Seq("value"))
+      .collect().map(r => (r.getLong(0), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some(10L), Some(1.5)),  // inclusive: right at ts==left ts matches
+      (2L, Some(18L), Some(2.5)),  // newest of two candidates
+      (3L, None, None),            // nothing at or before
+      (4L, None, None)))           // other key's rows invisible
+  }
+
+  test("asofJoin deduplicates right-side (key, ts) ties by greatest payload") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 5L)).toDF("event_id", "ts", "user_id")
+      .select("event_id", "user_id", "ts")
+    val right = Seq((5L, 10L, 1.0), (5L, 10L, 3.0), (5L, 10L, 2.0))
+      .toDF("user_id", "ts", "value")
+    val got = EventOps.asofJoin(left, right, "user_id", "ts", Seq("value"))
+      .collect().map(r => r.getDouble(4))
+    assert(got.toSeq == Seq(3.0))
+  }
+}

@@ -48,6 +48,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.distinct.length == got.length)
   }
 
+  test("native session_window sessions agree with the batch sessionize totals") {
+    val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
+    val sessions = EventStream.sessionCounts(stream, "8 hours")
+    EventStream.runToMemory(sessions, "sw", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.sql("SELECT user_id, n_events FROM sw").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val static = spark.read
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+    // batch counterpart: same gap, strict semantics differ only when a
+    // delta is EXACTLY the gap (measure-zero for ns data; absent here).
+    // Append mode only emits sessions CLOSED before the final watermark,
+    // so streaming output is a subset: each user's last session stays
+    // open and unemitted. Assert subset + near-complete coverage.
+    val batch = graft.ops.EventOps.sessionize(
+        static, "user_id", "ts", "value", 8L * 3600 * 1000000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    val batchSessions = batch.groupBy(identity).view.mapValues(_.size).toMap
+    val gotSessions = got.groupBy(identity).view.mapValues(_.size).toMap
+    gotSessions.foreach { case (k, n) =>
+      assert(batchSessions.getOrElse(k, 0) >= n, s"streaming session $k not in batch")
+    }
+    val coverage = got.map(_._2).sum.toDouble / batch.map(_._2).sum
+    assert(coverage > 0.9, s"emitted only $coverage of events in closed sessions")
+  }
+
   test("stateful per-user sessions via mapGroupsWithState") {
     val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
     val sessions = EventStream.userSessions(spark, stream)
