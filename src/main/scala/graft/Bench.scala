@@ -18,6 +18,9 @@ object Bench {
     "q30_dedup_exact", "q31_minhash_sig", "q32_lsh_candidates",
     "q33_ngram_jaccard", "q34_simhash", "q36_text_analyze", "q38_ann_topk",
     "q40_srp_ann", "q42_embed_neardup", "q43_ivf_ann", "q44_kmeans_step",
+    "q47_srp_multiprobe", "q48_curation", "q49_dedup_clusters",
+    "q51_contamination", "q52_pack_sequences", "q53_repetition",
+    "q54_sessionize", "q55_asof_join",
     "q41_window_events", "q50_stats_model")
 
   def main(args: Array[String]): Unit = {
