@@ -42,8 +42,14 @@ object ScaleRehearsal {
     val len = (h % 41 + 40).cast("int") // 40..80 words
     val words = transform(sequence(lit(0), len - 1), j => {
       val hw = PortableHash.hash60(concat(lit("w:"), contentId.cast("string"), lit(":"), j.cast("string")))
-      // product of two uniforms → Zipf-ish skew toward low ranks
-      val rank = (hw % 2000) * ((hw / 2000) % 2000) / lit(2000)
+      val hw2 = PortableHash.hash60(concat(lit("w2:"), contentId.cast("string"), lit(":"), j.cast("string")))
+      // product of two INTEGER uniforms scaled back to [0, 2000) →
+      // Zipf-ish skew toward low ranks. floor() of the double quotient is
+      // exact here (operands < 2^53, true quotient never within an ulp of
+      // an integer it isn't); a plain Column `/` without floor() once made
+      // every rank fractional-unique, which silently removed ALL natural
+      // vocabulary collisions from the rehearsal corpus
+      val rank = floor((hw % 2000) * (hw2 % 2000) / lit(2000)).cast("long")
       // the near-dup copy differs in exactly its first word
       when(j === 0 && col("doc_id") % 50 === 1, lit("neardupmarker"))
         .otherwise(concat(lit("w"), rank.cast("string")))

@@ -278,23 +278,33 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, idA: String, idB: String,
                           nodes: DataFrame, idCol: String): DataFrame = {
+    val nodeSet = nodes.select(col(idCol).as("node")).distinct().localCheckpoint(true)
+    // contract: components over EXACTLY the given node set — an edge
+    // endpoint outside it (e.g. a pair computed before a filter dropped
+    // the doc) must not introduce phantom rows or labels, so foreign
+    // edges are semi-joined away up front
     val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .join(nodeSet.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nodeSet.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).cast("long").as("cluster_id"))
+    var labels = nodeSet.withColumn("cluster_id", col("node").cast("long"))
       .localCheckpoint(true)
-    var total = labels.agg(sum("cluster_id")).head.getLong(0)
-    var converged = false
+    // fixpoint = no label changed this round (a changed-row count, NOT a
+    // sum of labels: label sums overflow Long for 60-bit hash ids, and
+    // an empty corpus sums to NULL)
+    var converged = labels.isEmpty
     while (!converged) {
       val prop = sym.join(labels, sym("dst") === labels("node"))
         .select(col("src").as("node"), col("cluster_id"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(true)
-      val nextTotal = next.agg(sum("cluster_id")).head.getLong(0)
-      converged = nextTotal == total
+      val changed = next.as("n")
+        .join(labels.select(col("node"), col("cluster_id").as("prev")), "node")
+        .where(col("cluster_id") =!= col("prev")).count()
+      converged = changed == 0
       labels = next
-      total = nextTotal
     }
     labels.select(col("node").as(idCol), col("cluster_id"))
   }
@@ -315,11 +325,17 @@ object Dedup {
     */
   def ngramContamination(df: DataFrame, idCol: String, textCol: String,
                          evalPred: Column, shingleN: Int): DataFrame = {
+    // persisted: three consumers (train set, eval explode, eval sizes)
+    // branch off this base, and without the persist each branch re-runs
+    // the tokenize+shingle+distinct subtree — the re-inlining trap
+    // ngramJaccardPairs documents (measured 20× there). At warehouse
+    // scale, materialize the shingled base as a staging table instead.
     val base = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), evalPred.as("is_eval"), tokens(col(textCol)).as("toks"))
       .select(col(idCol), col("is_eval"),
         array_distinct(shinglesOf(col("toks"), shingleN)).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainSh = base.where(!col("is_eval"))
       .select(explode(col("shs")).as("sh")).distinct()
     val evalSh = base.where(col("is_eval"))

@@ -69,6 +69,11 @@ object EventOps {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, valCols: Seq[String]): DataFrame = {
     require(valCols.nonEmpty)
+    // fail fast instead of silently overwriting user data with the
+    // internal bookkeeping / output columns
+    val reserved = Seq("_side", "_vals", "_last", "asof_ts") ++ valCols.map("asof_" + _)
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty, s"left columns collide with asofJoin internals: ${clash.mkString(", ")}")
     // one right row per (key, ts): keep the greatest payload struct
     val rightSlim = right
       .groupBy(col(keyCol), col(tsCol))

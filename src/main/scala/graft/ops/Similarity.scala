@@ -84,6 +84,10 @@ object Similarity {
 
   /** Default embedding dimensionality of the testdata corpus (and of the
     * oracle SQL, which enumerates the same 64 hash-derived components).
+    * Every SRP entry point takes `dims` explicitly — the literal
+    * hyperplanes only project the first `dims` components, so a corpus
+    * with wider vectors MUST pass its true dimensionality or buckets
+    * silently ignore the tail dimensions.
     */
   val DefaultDims = 64
 
@@ -123,7 +127,8 @@ object Similarity {
     * all-pairs [[cosinePairs]] is the verification-only counterpart.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, planes: Int, saltBuckets: Int = 0): DataFrame = {
+                   threshold: Double, planes: Int, saltBuckets: Int = 0,
+                   dims: Int = DefaultDims): DataFrame = {
     // SALTED self-join: the bucket key alone has only 2^planes values and
     // SRP buckets are skewed, so a plain shuffle join keys the whole
     // cosine workload onto a handful of tasks (observed 9× slowdown) and
@@ -138,7 +143,7 @@ object Similarity {
     val S = if (saltBuckets > 0) saltBuckets
             else df.sparkSession.sparkContext.defaultParallelism
     val bucketed = withNorm2(df, vecCol)
-      .withColumn("bucket", srpBucket(col(vecCol), planes))
+      .withColumn("bucket", srpBucket(col(vecCol), planes, dims))
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
         col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
       .withColumn("salt", PortableHash.hash60(concat(lit("salt:"), col("id_a").cast("string"))) % S)
@@ -166,10 +171,19 @@ object Similarity {
     * `max(struct)` aggregate, and the join back to the corpus is one
     * co-partitioned hash join on the id.
     */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-                centroidPred: Column): DataFrame = {
-    val corpus = withNorm2(df, vecCol)
+  /** Normed corpus with canonical (id, vec, norm2) names, PERSISTED: the
+    * IVF ops read it from several branches (centroid set, query set,
+    * assignment scan, rerank side), and without the persist each branch
+    * re-runs the norm pass — a dims-length decimal dot per row. At
+    * warehouse scale, materialize it (e.g. `BucketedStore` by cell after
+    * assignment) instead of caching.
+    */
+  private def ivfCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withNorm2(df, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("norm2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def assignCells(corpus: DataFrame, centroidPred: Column): DataFrame = {
     val cents = corpus.where(centroidPred)
       .select(col("id").as("cent_id"), col("vec").as("cvec"), col("norm2").as("cnorm2"))
     val scored = corpus.crossJoin(broadcast(cents))
@@ -184,6 +198,10 @@ object Similarity {
       .select(col("id"), col("vec"), col("norm2"), col("cell"))
   }
 
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroidPred: Column): DataFrame =
+    assignCells(ivfCorpus(df, idCol, vecCol), centroidPred)
+
   /** IVF ANN top-k: queries probe their `nprobe` nearest cells and
     * exact-rerank only the vectors assigned there — the
     * coarse-quantizer counterpart of the SRP path ([[lshBucketTopK]]).
@@ -194,16 +212,19 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroidPred: Column, queryPred: Column,
               k: Int, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, centroidPred)
+    // ONE persisted norm pass feeds assignment, centroids, and queries
+    // (previously each side re-ran withNorm2 over the corpus)
+    val corpus0 = ivfCorpus(df, idCol, vecCol)
+    val assigned = assignCells(corpus0, centroidPred)
       .select(col("cell"), col("id").as("id_b"),
         col("vec").as("vec_b"), col("norm2").as("norm2_b"))
-    val corpus = withNorm2(df, vecCol)
-      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
     import org.apache.spark.sql.expressions.Window
     // rank centroids per query; keep the nprobe nearest as probe cells
-    val qscored = corpus.where(queryPred).crossJoin(broadcast(
-        withNorm2(df.where(centroidPred), vecCol)
-          .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"), col("norm2").as("cnorm2"))))
+    val qscored = corpus0.where(queryPred)
+      .select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm2").as("norm2_a"))
+      .crossJoin(broadcast(
+        corpus0.where(centroidPred)
+          .select(col("id").as("cent_id"), col("vec").as("cvec"), col("norm2").as("cnorm2"))))
       .withColumn("qcos", cosine(col("vec_a"), col("cvec"), col("norm2_a"), col("cnorm2")))
     val wq = Window.partitionBy(col("id_a")).orderBy(col("qcos").desc, col("cent_id"))
     val probes = qscored.withColumn("prank", row_number().over(wq))
@@ -229,8 +250,10 @@ object Similarity {
     * before the broadcast join.
     */
   def srpMultiProbeTopK(df: DataFrame, idCol: String, vecCol: String,
-                        queryPred: Column, k: Int, planes: Int): DataFrame = {
-    val bucketed = withNorm2(df, vecCol).withColumn("bucket", srpBucket(col(vecCol), planes))
+                        queryPred: Column, k: Int, planes: Int,
+                        dims: Int = DefaultDims): DataFrame = {
+    val bucketed = withNorm2(df, vecCol)
+      .withColumn("bucket", srpBucket(col(vecCol), planes, dims))
     val corpus = bucketed.select(col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
     val flips = array(
@@ -281,8 +304,10 @@ object Similarity {
     * higher recall, more compute). Exact re-scoring inside buckets.
     */
   def lshBucketTopK(df: DataFrame, idCol: String, vecCol: String,
-                    queryPred: Column, k: Int, planes: Int): DataFrame = {
-    val bucketed = withNorm2(df, vecCol).withColumn("bucket", srpBucket(col(vecCol), planes))
+                    queryPred: Column, k: Int, planes: Int,
+                    dims: Int = DefaultDims): DataFrame = {
+    val bucketed = withNorm2(df, vecCol)
+      .withColumn("bucket", srpBucket(col(vecCol), planes, dims))
     val corpus = bucketed.select(col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"), col("norm2").as("norm2_b"))
     val queries = bucketed.where(queryPred).select(col("bucket"), col(idCol).as("id_a"),

@@ -106,10 +106,14 @@ object TextAnalysis {
     * exactly the ones this filter exists to catch.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persisted: the word and bigram branches would otherwise each re-run
+    // the tokenize subtree (same re-inlining trap ngramJaccardPairs
+    // documents); at warehouse scale, stage the tokenized base instead
     val base = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
       .select(col(idCol), col("toks"), Dedup.shinglesOf(col("toks"), 2).as("bgs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = base.select(col(idCol), explode(col("toks")).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
       .groupBy(col(idCol))

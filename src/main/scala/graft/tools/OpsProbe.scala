@@ -21,11 +21,12 @@ object OpsProbe {
     spark.sparkContext.setLogLevel("WARN")
     val all = graft.SparkEntry.queries
     names.foreach { q =>
-      val df = all(q)(spark, dir)
-      val t0 = System.nanoTime(); val n = df.count(); val t1 = System.nanoTime()
-      val t2 = System.nanoTime(); df.count(); val t3 = System.nanoTime()
+      // construction INSIDE the timer: some queries (q49's label
+      // propagation) do their real work eagerly at build time
+      val t0 = System.nanoTime(); val n = all(q)(spark, dir).count(); val t1 = System.nanoTime()
+      val t2 = System.nanoTime(); all(q)(spark, dir).count(); val t3 = System.nanoTime()
       println(f"TIMING $q%-22s ${(t1 - t0) / 1e9}%6.2f s (2nd ${(t3 - t2) / 1e9}%6.2f s) rows=$n")
-      if (doExplain) { println(s"=== $q plan ==="); df.explain("formatted") }
+      if (doExplain) { println(s"=== $q plan ==="); all(q)(spark, dir).explain("formatted") }
     }
     spark.stop()
   }

@@ -42,6 +42,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == (1L to 40L).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents ignores edges touching nodes outside the given set") {
+    import spark.implicits._
+    // edge (5,9): 9 is not in the node set — must neither appear in the
+    // output nor pull 5's label anywhere
+    val edges = Seq((1L, 2L), (5L, 9L)).toDF("id_a", "id_b")
+    val nodes = (1L to 5L).toDF("id")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("connectedComponents on an empty node set returns empty") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val nodes = Seq.empty[Long].toDF("id")
+    assert(Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id").count() == 0L)
+  }
+
   test("ngramContamination counts distinct train-overlapping shingles per eval doc") {
     import spark.implicits._
     val docs = Seq(
