@@ -20,7 +20,8 @@ object Bench {
     "q40_srp_ann", "q42_embed_neardup", "q43_ivf_ann", "q44_kmeans_step",
     "q47_srp_multiprobe", "q48_curation", "q49_dedup_clusters",
     "q51_contamination", "q52_pack_sequences", "q53_repetition",
-    "q54_sessionize", "q55_asof_join",
+    "q54_sessionize", "q55_asof_join", "q56_shuffle_shards", "q57_vocab",
+    "q58_top_terms",
     "q41_window_events", "q50_stats_model")
 
   def main(args: Array[String]): Unit = {

@@ -70,6 +70,26 @@ object Sampling {
       .drop("start_tok")
   }
 
+  /** Deterministic corpus shuffle into training shards: every row gets a
+    * `shard` (hash-uniform in [0, shards)) and a `shard_pos` (its rank
+    * inside the shard by a second hash) — a reproducible global
+    * permutation materialized as N independently-shuffled shards, the
+    * layout a training job reads. No global ordering anywhere: the
+    * window is partitioned per shard, so parallelism = shard count
+    * (pick shards ≈ writer parallelism at scale).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, shards: Int,
+                    salt: String = "shuffle"): DataFrame = {
+    require(shards > 0)
+    import org.apache.spark.sql.expressions.Window
+    val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", (col("_h") % shards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Fixed-size stratified sample: the `m` rows with the smallest hash
     * die per stratum (deterministic reservoir). One shuffle on the
     * stratum key; per-stratum work is a partitioned top-m, never a

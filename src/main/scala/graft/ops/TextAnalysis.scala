@@ -134,6 +134,57 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Vocabulary induction: the `k` most frequent words corpus-wide with
+    * total and document frequencies (the seed table for BPE-style
+    * tokenizer training and frequency-based filters). Deterministic
+    * tie-break: count desc, then word.
+    *
+    * Scale design: one map-side-combined groupBy on the word, then
+    * Spark's distributed partial top-k (`TakeOrderedAndProject` — every
+    * partition keeps k, the driver merges k·p rows), never a
+    * single-partition global window.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val words = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
+    words.groupBy("word")
+      .agg(count(lit(1)).as("tf"),
+        count_distinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(k)
+  }
+
+  /** Per-document top-`k` characteristic terms by a TF-IDF-style score
+    * with NO libm on the result path (log() differs across engines by
+    * ulps): score = tf · n_docs / df, exact-integer products under 2^53
+    * divided once in IEEE double — bit-identical everywhere. Rank ties
+    * break by term.
+    *
+    * Scale design: per-(doc, word) counts and per-word document
+    * frequencies are both map-side-combined aggregates; the join back is
+    * hash-partitioned on the word (df rows are one per word — no skew
+    * amplification); ranking is a window partitioned per document.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = words.select(col(idCol), col("word")).distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(dfreq, "word")
+      .withColumn("score", col("tf").cast("double") * nDocs / col("df"))
+      .withColumn("term_rank", row_number().over(w))
+      .where(col("term_rank") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("df"), col("score"), col("term_rank"))
+  }
+
   /** All text-analysis columns over a corpus in one pass: tokens are
     * materialized once per row, and the input is spread across cores
     * first (small single-file sources otherwise serialize the work).

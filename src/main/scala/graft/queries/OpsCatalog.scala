@@ -27,6 +27,9 @@ object OpsCatalog {
   private val IvfNprobe = 2    // probe the 2 nearest cells per query
   private val PackBudget = 512L // tokens per packed training sequence
   private val SessionGapNs = 8L * 3600 * 1000000000L // 8h session gap (epoch-nanos)
+  private val ShuffleShards = 16 // training shards for the corpus shuffle
+  private val VocabK = 100       // vocabulary induction size
+  private val TopTermsK = 3      // characteristic terms per document
 
   // ---- Spark-side query functions -----------------------------------
 
@@ -188,6 +191,21 @@ object OpsCatalog {
         .select("user_id", "ts", "value")
       EventOps.asofJoin(clicks, purchases, "user_id", "ts", Seq("value"))
         .orderBy("event_id")
+    },
+    // deterministic corpus shuffle into independently-ordered shards
+    "q56_shuffle_shards" -> { (s, dir) =>
+      Sampling.shuffleShards(Tables.load(s, dir, "documents"), "doc_id", ShuffleShards)
+        .select("doc_id", "shard", "shard_pos").orderBy("doc_id")
+    },
+    // vocabulary induction: corpus-wide top-100 words by frequency
+    "q57_vocab" -> { (s, dir) =>
+      TextAnalysis.vocabulary(Tables.load(s, dir, "documents"), "doc_id", "text", VocabK)
+        .orderBy("word")
+    },
+    // per-doc characteristic terms: tf·n_docs/df score, no libm
+    "q58_top_terms" -> { (s, dir) =>
+      TextAnalysis.topTerms(Tables.load(s, dir, "documents"), "doc_id", "text", TopTermsK)
+        .orderBy("doc_id", "term_rank")
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -832,6 +850,48 @@ object OpsCatalog {
          |            ELSE CAST(top_bigram_n AS DOUBLE) / n_bigrams END AS top_bigram_frac
          |FROM wagg w LEFT JOIN bagg ON bagg.doc_id = w.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+
+    "q56_shuffle_shards" ->
+      s"""SELECT doc_id, CAST(h % $ShuffleShards AS INTEGER) AS shard,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShuffleShards
+         |           ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+         |FROM (SELECT doc_id,
+         |             ${dh("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q57_vocab" ->
+      s"""SELECT word, tf, df FROM (
+         |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS tf,
+         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |        FROM documents) t
+         |  GROUP BY w ORDER BY tf DESC, w LIMIT $VocabK)
+         |ORDER BY word""".stripMargin,
+
+    "q58_top_terms" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, word FROM words) t GROUP BY word
+         |), nd AS (
+         |  SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+         |), scored AS (
+         |  SELECT t.doc_id, t.word, t.tf, d.df,
+         |         CAST(t.tf AS DOUBLE) * (SELECT n FROM nd) / d.df AS score
+         |  FROM tf t JOIN dfreq d USING (word)
+         |), ranked AS (
+         |  SELECT doc_id, word, tf, df, score,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS term_rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, word, tf, df, score, CAST(term_rank AS INTEGER) AS term_rank
+         |FROM ranked WHERE term_rank <= $TopTermsK
+         |ORDER BY doc_id, term_rank""".stripMargin,
 
     "q54_sessionize" ->
       s"""WITH lagged AS (

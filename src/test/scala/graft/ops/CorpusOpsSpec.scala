@@ -94,6 +94,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       (5L, 0L, 0L), (6L, 2L, 176L)))
   }
 
+  test("shuffleShards is a stable permutation: contiguous positions per shard") {
+    import spark.implicits._
+    val docs = (1L to 500L).toDF("id")
+    val a = Sampling.shuffleShards(docs, "id", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = Sampling.shuffleShards(docs.repartition(13), "id", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq, "not repartition-stable")
+    assert(a.forall(x => x._2 >= 0 && x._2 < 8))
+    // positions within each shard are exactly 1..|shard|
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the permutation is not the identity order (it actually shuffles)
+    val inOrder = a.sortBy(x => (x._2, x._3)).map(_._1)
+    assert(inOrder.toSeq != inOrder.sorted.toSeq)
+  }
+
+  test("vocabulary returns the top-k words with tf/df, ties broken by word") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a a c"), (2L, "a b d"), (3L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // tf: a=3 b=3 c=1 d=1 → top2 = a, b (tie broken by word keeps both)
+    assert(got.toSeq == Seq(("a", 3L, 2L), ("b", 3L, 3L)))
+  }
+
+  test("topTerms ranks by tf·n_docs/df with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y common"), (2L, "y common"), (3L, "common")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(5))).sortBy(x => (x._1, x._3))
+    // doc1: x tf=2 df=1 → 6.0; y tf=1 df=2 → 1.5; common tf=1 df=3 → 1.0
+    assert(got.toSeq == Seq((1L, "x", 1), (1L, "y", 2),
+      (2L, "y", 1), (2L, "common", 2), (3L, "common", 1)))
+  }
+
   test("repetitionMetrics exposes top-term coverage without tie-broken terms") {
     import spark.implicits._
     val docs = Seq(
