@@ -83,6 +83,33 @@ object EventStream {
       }.toDF()
   }
 
+  /** Stream-stream interval join: attribute each purchase to every click
+    * by the same user within the preceding `withinSeconds` — the classic
+    * event-attribution shape. Both sides are watermarked so Spark's
+    * symmetric hash join can discard state older than the interval
+    * bound: per-key state is O(events inside the watermark window),
+    * never the full history. The equality key (`user_id`) is the shuffle
+    * key; the time-range predicate bounds the per-key scan.
+    */
+  def attributedPurchases(events: DataFrame, withinSeconds: Long): DataFrame = {
+    val clicks = withEventTime(events)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val purchases = withEventTime(events)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_time") <= col("purchase_time") &&
+        col("click_time") >= col("purchase_time") - expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_value"), col("click_time"), col("purchase_time"))
+  }
+
   /** Streaming exact dedup on a content hash — the ingestion-time
     * counterpart of the batch `Dedup.exact` (q30): keep the first
     * occurrence of each md5(content) seen within the watermark horizon.

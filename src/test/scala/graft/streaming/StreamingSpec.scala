@@ -74,6 +74,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(coverage > 0.9, s"emitted only $coverage of events in closed sessions")
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val within = 24L * 3600
+    val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
+    val attributed = EventStream.attributedPurchases(stream, within)
+    EventStream.runToMemory(attributed, "attr", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.sql("SELECT purchase_id, click_id FROM attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch equivalent on the same static data
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("event_time").as("ct"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("event_time").as("pt"))
+    val batch = p.join(c, col("pu") === col("cu") &&
+        col("ct") <= col("pt") && col("ct") >= col("pt") - expr(s"INTERVAL $within SECONDS"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "test corpus yields no attributed pairs")
+    // single-batch AvailableNow processing: watermark only advances at the
+    // end, so no pair is dropped — streaming must equal batch exactly
+    assert(got == batch)
+  }
+
   test("stateful per-user sessions via mapGroupsWithState") {
     val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
     val sessions = EventStream.userSessions(spark, stream)
