@@ -53,7 +53,11 @@ object Bench {
         }
       }
       val first = once()
-      name -> (if (first < 0) -1.0 else once())
+      val kept = if (first < 0) -1.0 else once()
+      // free operator-persisted intermediates between queries (cache
+      // lifecycle is session-owned; see Verify for the same rule)
+      spark.catalog.clearCache()
+      name -> kept
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

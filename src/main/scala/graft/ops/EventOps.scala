@@ -30,6 +30,10 @@ object EventOps {
     */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  valueCol: String, gap: Long): DataFrame = {
+    // fail fast on collisions with working/output columns (session_id is
+    // a common pre-existing name in event logs — never overwrite it)
+    val clash = events.columns.intersect(Seq("_new", "session_id"))
+    require(clash.isEmpty, s"input columns collide with sessionize internals: ${clash.mkString(", ")}")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     val cum = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -72,15 +72,19 @@ object Sampling {
 
   /** Deterministic corpus shuffle into training shards: every row gets a
     * `shard` (hash-uniform in [0, shards)) and a `shard_pos` (its rank
-    * inside the shard by a second hash) — a reproducible global
-    * permutation materialized as N independently-shuffled shards, the
-    * layout a training job reads. No global ordering anywhere: the
-    * window is partitioned per shard, so parallelism = shard count
-    * (pick shards ≈ writer parallelism at scale).
+    * inside the shard, ordered by the same hash — within a shard all
+    * hashes are ≡ shard mod `shards`, so the order is still a uniform
+    * scramble of that shard's rows) — a reproducible global permutation
+    * materialized as N independently-shuffled shards, the layout a
+    * training job reads. No global ordering anywhere: the window is
+    * partitioned per shard, so parallelism = shard count (pick shards ≈
+    * writer parallelism at scale).
     */
   def shuffleShards(df: DataFrame, idCol: String, shards: Int,
                     salt: String = "shuffle"): DataFrame = {
     require(shards > 0)
+    val clash = df.columns.intersect(Seq("_h", "shard", "shard_pos"))
+    require(clash.isEmpty, s"input columns collide with shuffleShards internals: ${clash.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))

@@ -171,36 +171,42 @@ object Similarity {
     * `max(struct)` aggregate, and the join back to the corpus is one
     * co-partitioned hash join on the id.
     */
-  /** Normed corpus with canonical (id, vec, norm2) names, PERSISTED: the
-    * IVF ops read it from several branches (centroid set, query set,
+  /** Normed corpus PERSISTED under its ORIGINAL column names: the IVF
+    * ops read it from several branches (centroid set, query set,
     * assignment scan, rerank side), and without the persist each branch
-    * re-runs the norm pass — a dims-length decimal dot per row. At
-    * warehouse scale, materialize it (e.g. `BucketedStore` by cell after
-    * assignment) instead of caching.
+    * re-runs the norm pass — a dims-length decimal dot per row. Keeping
+    * the original names matters: the centroid/query predicates reference
+    * them, so `corpus.where(pred)` resolves directly against the cached
+    * plan and hits the cache — a rename-first layout forces the analyzer
+    * into missing-attribute resolution, whose rewritten subtree no
+    * longer matches the cache entry. At warehouse scale, materialize the
+    * assignment instead (e.g. `BucketedStore` by cell); cache lifecycle
+    * is session-owned (`spark.catalog.clearCache()` between jobs — see
+    * Bench/Verify).
     */
-  private def ivfCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private def ivfCorpus(df: DataFrame, vecCol: String): DataFrame =
     withNorm2(df, vecCol)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("norm2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private def assignCells(corpus: DataFrame, centroidPred: Column): DataFrame = {
+  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                          centroidPred: Column): DataFrame = {
     val cents = corpus.where(centroidPred)
-      .select(col("id").as("cent_id"), col("vec").as("cvec"), col("norm2").as("cnorm2"))
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"), col("norm2").as("cnorm2"))
     val scored = corpus.crossJoin(broadcast(cents))
-      .select(col("id"),
+      .select(col(idCol).as("id"),
         struct(
-          cosine(col("vec"), col("cvec"), col("norm2"), col("cnorm2")).as("cos"),
+          cosine(col(vecCol), col("cvec"), col("norm2"), col("cnorm2")).as("cos"),
           (-col("cent_id")).as("neg_cent")).as("cand"))
     val cells = scored.groupBy("id")
       .agg(max(col("cand")).as("best"))
-      .select(col("id"), (-col("best.neg_cent")).as("cell"))
-    corpus.join(cells, "id")
-      .select(col("id"), col("vec"), col("norm2"), col("cell"))
+      .select(col("id").as("__cell_id"), (-col("best.neg_cent")).as("cell"))
+    corpus.join(cells, col(idCol) === col("__cell_id"))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("norm2"), col("cell"))
   }
 
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroidPred: Column): DataFrame =
-    assignCells(ivfCorpus(df, idCol, vecCol), centroidPred)
+    assignCells(ivfCorpus(df, vecCol), idCol, vecCol, centroidPred)
 
   /** IVF ANN top-k: queries probe their `nprobe` nearest cells and
     * exact-rerank only the vectors assigned there — the
@@ -212,19 +218,20 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroidPred: Column, queryPred: Column,
               k: Int, nprobe: Int): DataFrame = {
-    // ONE persisted norm pass feeds assignment, centroids, and queries
-    // (previously each side re-ran withNorm2 over the corpus)
-    val corpus0 = ivfCorpus(df, idCol, vecCol)
-    val assigned = assignCells(corpus0, centroidPred)
+    // ONE persisted norm pass feeds assignment, centroids, and queries;
+    // predicates filter the cached corpus under its original names so
+    // every branch is a cache hit
+    val corpus0 = ivfCorpus(df, vecCol)
+    val assigned = assignCells(corpus0, idCol, vecCol, centroidPred)
       .select(col("cell"), col("id").as("id_b"),
         col("vec").as("vec_b"), col("norm2").as("norm2_b"))
     import org.apache.spark.sql.expressions.Window
     // rank centroids per query; keep the nprobe nearest as probe cells
     val qscored = corpus0.where(queryPred)
-      .select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm2").as("norm2_a"))
+      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
       .crossJoin(broadcast(
         corpus0.where(centroidPred)
-          .select(col("id").as("cent_id"), col("vec").as("cvec"), col("norm2").as("cnorm2"))))
+          .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"), col("norm2").as("cnorm2"))))
       .withColumn("qcos", cosine(col("vec_a"), col("cvec"), col("norm2_a"), col("cnorm2")))
     val wq = Window.partitionBy(col("id_a")).orderBy(col("qcos").desc, col("cent_id"))
     val probes = qscored.withColumn("prank", row_number().over(wq))

@@ -171,15 +171,18 @@ object TextAnalysis {
     val words = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = df.select(col(idCol)).distinct().count()
     val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
-    val dfreq = words.select(col(idCol), col("word")).distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // df per word FROM tf: tf's keys already ARE the distinct (doc, word)
+    // pairs, so this is one extra map-side-combined agg — no second pass
+    // over the exploded tokens, and `words` has a single consumer
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // corpus size as a lazy 1-row broadcast, not an eager driver count —
+    // construction stays action-free like every other operator here
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("word"))
-    tf.join(dfreq, "word")
-      .withColumn("score", col("tf").cast("double") * nDocs / col("df"))
+    tf.join(dfreq, "word").crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
       .withColumn("term_rank", row_number().over(w))
       .where(col("term_rank") <= k)
       .select(col(idCol), col("word"), col("tf"), col("df"), col("score"), col("term_rank"))
