@@ -21,7 +21,7 @@ object Bench {
     "q47_srp_multiprobe", "q48_curation", "q49_dedup_clusters",
     "q51_contamination", "q52_pack_sequences", "q53_repetition",
     "q54_sessionize", "q55_asof_join", "q56_shuffle_shards", "q57_vocab",
-    "q58_top_terms",
+    "q58_top_terms", "q59_clean_text",
     "q41_window_events", "q50_stats_model")
 
   def main(args: Array[String]): Unit = {

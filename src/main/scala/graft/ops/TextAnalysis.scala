@@ -134,6 +134,36 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Markup / PII patterns shared with the DuckDB oracle. Kept inside
+    * the RE2 ∩ java.util.regex common subset (no backrefs, no
+    * lookaround) so both engines match identically.
+    */
+  val TagRe = "<[^>]*>"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{5,}[0-9]"
+
+  /** Text cleaning for ingestion pipelines: strip markup, redact
+    * emails/phone-shaped spans, collapse whitespace — with per-doc
+    * counts of what was removed (taken on the ORIGINAL text). Pure
+    * Column expressions; one projection, no shuffle at all.
+    */
+  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val cleaned = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, TagRe, " "),
+          EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      "\\s+", " "))
+    df.select(
+      col(idCol),
+      cleaned.as("clean_text"),
+      size(regexp_extract_all(t, lit(TagRe), lit(0))).cast("long").as("n_tags"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+  }
+
   /** Vocabulary induction: the `k` most frequent words corpus-wide with
     * total and document frequencies (the seed table for BPE-style
     * tokenizer training and frequency-based filters). Deterministic

@@ -207,6 +207,12 @@ object OpsCatalog {
       TextAnalysis.topTerms(Tables.load(s, dir, "documents"), "doc_id", "text", TopTermsK)
         .orderBy("doc_id", "term_rank")
     },
+    // ingestion cleaning: strip markup, redact emails/phones, collapse
+    // whitespace, count removals
+    "q59_clean_text" -> { (s, dir) =>
+      TextAnalysis.cleanText(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("""SELECT CAST(floor((ts DIV 1000000000) / 3600.0) AS BIGINT) AS hour_bucket,
@@ -892,6 +898,24 @@ object OpsCatalog {
          |SELECT doc_id, word, tf, df, score, CAST(term_rank AS INTEGER) AS term_rank
          |FROM ranked WHERE term_rank <= $TopTermsK
          |ORDER BY doc_id, term_rank""".stripMargin,
+
+    "q59_clean_text" -> {
+      val (tag, email, phone) =
+        (TextAnalysis.TagRe, TextAnalysis.EmailRe, TextAnalysis.PhoneRe)
+      s"""SELECT doc_id,
+         |       trim(regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(text, '$tag', ' ', 'g'),
+         |             '$email', '<EMAIL>', 'g'),
+         |           '$phone', '<PHONE>', 'g'),
+         |         '\\s+', ' ', 'g')) AS clean_text,
+         |       CAST(len(regexp_extract_all(text, '$tag')) AS BIGINT) AS n_tags,
+         |       CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q54_sessionize" ->
       s"""WITH lagged AS (

@@ -131,6 +131,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, "y", 1), (2L, "common", 2), (3L, "common", 1)))
   }
 
+  test("cleanText strips markup, redacts PII spans, collapses whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<p>Hello  <b>world</b></p> mail me at bob.smith+x@example.co.uk ok"),
+      (2L, "call +1 (555) 123-4567 now\n\tplease"),
+      (3L, "plain text stays")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cleanText(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, "Hello world mail me at <EMAIL> ok", 4L, 1L, 0L)))
+    assert(got(1) == ((2L, "call <PHONE> now please", 0L, 0L, 1L)))
+    assert(got(2) == ((3L, "plain text stays", 0L, 0L, 0L)))
+  }
+
   test("repetitionMetrics exposes top-term coverage without tie-broken terms") {
     import spark.implicits._
     val docs = Seq(
