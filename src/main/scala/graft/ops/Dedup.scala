@@ -309,6 +309,54 @@ object Dedup {
     labels.select(col("node").as(idCol), col("cluster_id"))
   }
 
+  /** Persist a corpus's LSH band rows as a BUCKETED table keyed on the
+    * band bucket — the reusable dedup index for incremental ingestion.
+    * Build once over the existing corpus; every arriving batch probes it
+    * via [[incrementalLshCandidates]] without the index ever being
+    * re-read into a shuffle. `numBuckets` sizes downstream probe
+    * parallelism (at 100 TB: pick so one bucket fits an executor).
+    */
+  /** Single-column probe key for the LSH index: (band, bucket) folded
+    * into one hash. Spark's bucketed-scan planner only elides the
+    * index-side shuffle when the join keys are EXACTLY the bucketing
+    * column (joining on the (band, bucket) pair disables the bucketed
+    * scan), so the index is keyed, bucketed, and probed on this fold. A
+    * cross-band hash collision (~2^-60) can only ADD a candidate pair,
+    * and candidates are similarity-verified downstream.
+    */
+  private def bandKey(band: Column, bucket: Column): Column =
+    hash60(concat_ws(":", band, bucket))
+
+  def buildLshIndex(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, shingleN: Int, bands: Int,
+                    table: String, path: String, numBuckets: Int): Unit = {
+    val bandRows = lshBandsWide(
+      minhashSignaturesWide(docs, idCol, textCol, k, shingleN), idCol, bands, k / bands)
+      .withColumn("bkey", bandKey(col("band"), col("bucket")))
+    graft.sources.BucketedStore.writeBucketed(bandRows, table, "bkey", numBuckets, path)
+  }
+
+  /** Incremental dedup: candidates between a NEW batch and the existing
+    * corpus via the persisted [[buildLshIndex]] table. The new batch
+    * (small) computes its own band rows and shuffles once to the index's
+    * bucket layout; the index side reads its buckets IN PLACE — no
+    * shuffle, no recompute, probe cost ∝ batch size. This is the
+    * ingestion-time shape at 100 TB: the quadratic-risk side (the
+    * corpus) never moves.
+    */
+  def incrementalLshCandidates(newDocs: DataFrame, idCol: String, textCol: String,
+                               k: Int, shingleN: Int, bands: Int,
+                               indexTable: String): DataFrame = {
+    val newBands = lshBandsWide(
+      minhashSignaturesWide(newDocs, idCol, textCol, k, shingleN), idCol, bands, k / bands)
+      .select(bandKey(col("band"), col("bucket")).as("bkey"), col(idCol).as("id_new"))
+    val idx = newDocs.sparkSession.table(indexTable)
+      .select(col("bkey"), col(idCol).as("id_idx"))
+    newBands.join(idx, Seq("bkey"))
+      .where(col("id_new") =!= col("id_idx"))
+      .select("id_new", "id_idx").distinct()
+  }
+
   /** Benchmark-contamination check: for each eval-side document, how many
     * of its distinct word `shingleN`-grams appear in ANY train-side
     * document. `evalPred` marks the eval side; everything else is train.
