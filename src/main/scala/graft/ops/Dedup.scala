@@ -309,13 +309,6 @@ object Dedup {
     labels.select(col("node").as(idCol), col("cluster_id"))
   }
 
-  /** Persist a corpus's LSH band rows as a BUCKETED table keyed on the
-    * band bucket — the reusable dedup index for incremental ingestion.
-    * Build once over the existing corpus; every arriving batch probes it
-    * via [[incrementalLshCandidates]] without the index ever being
-    * re-read into a shuffle. `numBuckets` sizes downstream probe
-    * parallelism (at 100 TB: pick so one bucket fits an executor).
-    */
   /** Single-column probe key for the LSH index: (band, bucket) folded
     * into one hash. Spark's bucketed-scan planner only elides the
     * index-side shuffle when the join keys are EXACTLY the bucketing
@@ -327,13 +320,72 @@ object Dedup {
   private def bandKey(band: Column, bucket: Column): Column =
     hash60(concat_ws(":", band, bucket))
 
+  private def bandRowsWithKey(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int, shingleN: Int, bands: Int): DataFrame =
+    lshBandsWide(
+      minhashSignaturesWide(docs, idCol, textCol, k, shingleN), idCol, bands, k / bands)
+      .withColumn("bkey", bandKey(col("band"), col("bucket")))
+
+  /** Persist a corpus's LSH band rows as a BUCKETED table keyed on the
+    * folded band key — the reusable dedup index for incremental
+    * ingestion. Build once over the existing corpus; every arriving
+    * batch probes it via [[incrementalLshCandidates]] (and is folded in
+    * with [[appendToLshIndex]] once accepted) without the index ever
+    * being re-read into a shuffle. The signature parameters are stored
+    * as table properties and validated at probe/append time — a
+    * mismatched probe would silently find nothing. `numBuckets` sizes
+    * downstream probe parallelism (at 100 TB: pick so one bucket fits
+    * an executor).
+    */
   def buildLshIndex(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, shingleN: Int, bands: Int,
                     table: String, path: String, numBuckets: Int): Unit = {
-    val bandRows = lshBandsWide(
-      minhashSignaturesWide(docs, idCol, textCol, k, shingleN), idCol, bands, k / bands)
-      .withColumn("bkey", bandKey(col("band"), col("bucket")))
-    graft.sources.BucketedStore.writeBucketed(bandRows, table, "bkey", numBuckets, path)
+    graft.sources.BucketedStore.writeBucketed(
+      bandRowsWithKey(docs, idCol, textCol, k, shingleN, bands), table, "bkey", numBuckets, path)
+    docs.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES(" +
+        s"'graft.lsh.k'='$k','graft.lsh.shingleN'='$shingleN'," +
+        s"'graft.lsh.bands'='$bands','graft.lsh.idCol'='$idCol'," +
+        s"'graft.lsh.buckets'='$numBuckets')")
+  }
+
+  /** Assert the caller's signature parameters match what the index was
+    * built with — a mismatch computes band keys over different
+    * signature slices and the probe silently returns nothing, which in
+    * a dedup pipeline means every duplicate is silently ingested.
+    */
+  private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                  indexTable: String, idCol: String,
+                                  k: Int, shingleN: Int, bands: Int): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = Map("graft.lsh.k" -> k.toString, "graft.lsh.shingleN" -> shingleN.toString,
+      "graft.lsh.bands" -> bands.toString, "graft.lsh.idCol" -> idCol)
+    val bad = want.filter { case (p, v) => props.get(p).exists(_ != v) }
+    require(bad.isEmpty,
+      s"index $indexTable was built with different parameters: " +
+        bad.map { case (p, v) => s"$p: caller=$v index=${props(p)}" }.mkString("; "))
+  }
+
+  /** Fold an ACCEPTED batch's band rows into the index (same bucket
+    * layout, append mode) so later batches dedup against it too —
+    * without this, batch-vs-batch duplicates pass unseen until a full
+    * rebuild.
+    */
+  def appendToLshIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                       k: Int, shingleN: Int, bands: Int, indexTable: String): Unit = {
+    val spark = newDocs.sparkSession
+    validateIndexParams(spark, indexTable, idCol, k, shingleN, bands)
+    // the append writer must re-declare the table's bucket spec or Spark
+    // rejects it ("Specified bucketing does not match")
+    val numBuckets = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .collectFirst { case r if r.getString(0) == "graft.lsh.buckets" => r.getString(1).toInt }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$indexTable lacks graft.lsh.buckets — not built by buildLshIndex?"))
+    bandRowsWithKey(newDocs, idCol, textCol, k, shingleN, bands)
+      .write.format("parquet")
+      .bucketBy(numBuckets, "bkey").sortBy("bkey")
+      .mode("append").saveAsTable(indexTable)
   }
 
   /** Incremental dedup: candidates between a NEW batch and the existing
@@ -347,9 +399,9 @@ object Dedup {
   def incrementalLshCandidates(newDocs: DataFrame, idCol: String, textCol: String,
                                k: Int, shingleN: Int, bands: Int,
                                indexTable: String): DataFrame = {
-    val newBands = lshBandsWide(
-      minhashSignaturesWide(newDocs, idCol, textCol, k, shingleN), idCol, bands, k / bands)
-      .select(bandKey(col("band"), col("bucket")).as("bkey"), col(idCol).as("id_new"))
+    validateIndexParams(newDocs.sparkSession, indexTable, idCol, k, shingleN, bands)
+    val newBands = bandRowsWithKey(newDocs, idCol, textCol, k, shingleN, bands)
+      .select(col("bkey"), col(idCol).as("id_new"))
     val idx = newDocs.sparkSession.table(indexTable)
       .select(col("bkey"), col(idCol).as("id_idx"))
     newBands.join(idx, Seq("bkey"))

@@ -136,16 +136,24 @@ object TextAnalysis {
 
   /** Markup / PII patterns shared with the DuckDB oracle. Kept inside
     * the RE2 ∩ java.util.regex common subset (no backrefs, no
-    * lookaround) so both engines match identically.
+    * lookaround) so both engines match identically. Whitespace is an
+    * EXPLICIT class, not `\s`: Java's `\s` includes vertical tab
+    * U+000B, RE2's does not — the one place the dialects' shorthands
+    * diverge on this surface.
     */
   val TagRe = "<[^>]*>"
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+?[0-9][0-9 ()-]{5,}[0-9]"
+  val WsRe = "[ \\t\\n\\x0B\\f\\r]+"
 
   /** Text cleaning for ingestion pipelines: strip markup, redact
-    * emails/phone-shaped spans, collapse whitespace — with per-doc
-    * counts of what was removed (taken on the ORIGINAL text). Pure
-    * Column expressions; one projection, no shuffle at all.
+    * emails/phone-shaped spans, collapse whitespace. The `n_*` columns
+    * count PATTERN OCCURRENCES IN THE ORIGINAL TEXT — because the
+    * replacements run sequentially on transformed text, they are not
+    * exact audit totals of the redactions performed (a tag strip can
+    * create a phone-shaped span that was never counted; an email match
+    * can consume a digit run the phone counter saw). Pure Column
+    * expressions; one projection, no shuffle at all.
     */
   def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -155,7 +163,7 @@ object TextAnalysis {
           regexp_replace(t, TagRe, " "),
           EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
-      "\\s+", " "))
+      WsRe, " "))
     df.select(
       col(idCol),
       cleaned.as("clean_text"),

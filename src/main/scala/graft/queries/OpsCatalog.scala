@@ -900,8 +900,8 @@ object OpsCatalog {
          |ORDER BY doc_id, term_rank""".stripMargin,
 
     "q59_clean_text" -> {
-      val (tag, email, phone) =
-        (TextAnalysis.TagRe, TextAnalysis.EmailRe, TextAnalysis.PhoneRe)
+      val (tag, email, phone, ws) =
+        (TextAnalysis.TagRe, TextAnalysis.EmailRe, TextAnalysis.PhoneRe, TextAnalysis.WsRe)
       s"""SELECT doc_id,
          |       trim(regexp_replace(
          |         regexp_replace(
@@ -909,7 +909,7 @@ object OpsCatalog {
          |             regexp_replace(text, '$tag', ' ', 'g'),
          |             '$email', '<EMAIL>', 'g'),
          |           '$phone', '<PHONE>', 'g'),
-         |         '\\s+', ' ', 'g')) AS clean_text,
+         |         '$ws', ' ', 'g')) AS clean_text,
          |       CAST(len(regexp_extract_all(text, '$tag')) AS BIGINT) AS n_tags,
          |       CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
          |       CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones

@@ -54,20 +54,31 @@ object BucketedStore {
                     keyCol: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keyCol)
 
+  /** Flatten a physical plan to its nodes, looking through the AQE
+    * wrapper nodes (AdaptiveSparkPlanExec re-plans under itself; query
+    * stages hold their subtree in `plan`). Shared by the layout proofs
+    * here and the per-join-side assertions in tests.
+    */
+  def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan)
+      case q: QueryStageExec => q +: planNodes(q.plan)
+      case other => other +: other.children.flatMap(planNodes)
+    }
+  }
+
+  /** True when the (sub)plan contains a shuffle exchange. */
+  def subtreeHasShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    planNodes(p).exists(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
   /** True when the finalized physical plan of `df` contains no shuffle
     * exchange — the co-location proof used by tests and by callers
     * validating a layout before a big run.
     */
-  def isShuffleFree(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def hasShuffle(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
-      case q: QueryStageExec => hasShuffle(q.plan)
-      case _: ShuffleExchangeLike => true
-      case other => other.children.exists(hasShuffle)
-    }
-    !hasShuffle(df.queryExecution.executedPlan)
-  }
+  def isShuffleFree(df: DataFrame): Boolean =
+    !subtreeHasShuffle(df.queryExecution.executedPlan)
 }

@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.lab.ScaleRehearsal
+import graft.sources.BucketedStore
 
 /** Incremental ingestion dedup: a new batch probes the persisted LSH
-  * index. Two contracts: (a) candidates match what a full recompute
-  * would find for the batch, (b) the INDEX side of the probe join has no
-  * shuffle — the corpus never moves, only the batch does.
+  * index. Contracts: (a) candidates match what a full recompute would
+  * find for the batch, (b) the INDEX side of the probe join has no
+  * shuffle — the corpus never moves, only the batch does, (c) accepted
+  * batches fold into the index so later batches dedup against them,
+  * (d) probing with mismatched signature parameters fails fast instead
+  * of silently returning nothing.
   */
 class IncrementalDedupSpec extends AnyFunSuite {
   private lazy val warehouse = java.nio.file.Files.createTempDirectory("incwh").toString
@@ -25,18 +29,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     s
   }
 
-  test("new batch finds its corpus duplicates through the bucketed index, shuffle-free on the index side") {
-    import spark.implicits._
+  private def buildIndex(table: String): Unit = {
     val corpus = ScaleRehearsal.syntheticDocs(spark, 300)
     Dedup.buildLshIndex(corpus, "doc_id", "text", k = 8, shingleN = 3, bands = 4,
-      table = "lsh_idx", path = s"$warehouse/lsh_idx", numBuckets = 8)
+      table = table, path = s"$warehouse/$table", numBuckets = 8)
+  }
+
+  test("new batch finds its corpus duplicates through the bucketed index, shuffle-free on the index side") {
+    import spark.implicits._
+    buildIndex("lsh_idx")
+    val corpus = ScaleRehearsal.syntheticDocs(spark, 300)
 
     // new batch: three exact copies of corpus docs under new ids + one novel doc
     val copied = corpus.where($"doc_id".isin(0L, 50L, 100L))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    val newDocs = (copied.zipWithIndex.map { case ((src, text), i) =>
-      (1000L + src, text)
-    } :+ (2000L, "entirely novel vocabulary that matches nothing in the corpus at all"))
+    val newDocs = (copied.map { case (src, text) => (1000L + src, text) } :+
+      (2000L, "entirely novel vocabulary that matches nothing in the corpus at all"))
       .toSeq.toDF("doc_id", "text")
 
     val cands = Dedup.incrementalLshCandidates(newDocs, "doc_id", "text",
@@ -49,26 +57,49 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 2000L || p._2 == 2000L), s"novel doc matched: $got")
 
     // plan proof: the join child holding the index scan contains no shuffle
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => q +: nodes(q.plan)
-      case _ => p +: p.children.flatMap(nodes)
-    }
-    val all = nodes(cands.queryExecution.executedPlan)
+    val all = BucketedStore.planNodes(cands.queryExecution.executedPlan)
     val join = all.collectFirst {
       case j: SortMergeJoinExec => j
       case j: ShuffledHashJoinExec => j
     }.getOrElse(fail(s"no shuffle join in plan:\n${cands.queryExecution.executedPlan}"))
-    val sides = join.children.map(nodes)
-    val idxSide = sides.find(_.exists {
+    val idxSide = join.children.find(c => BucketedStore.planNodes(c).exists {
       case s: FileSourceScanExec => s.toString.contains("lsh_idx")
       case _ => false
     }).getOrElse(fail("no join side scans the index table"))
-    assert(!idxSide.exists(_.isInstanceOf[ShuffleExchangeLike]),
+    assert(!BucketedStore.subtreeHasShuffle(idxSide),
       s"index side shuffled:\n${join.children.mkString("\n---\n")}")
   }
+
+  test("accepted batches fold into the index; batch-vs-batch duplicates are caught") {
+    import spark.implicits._
+    buildIndex("lsh_idx2")
+    val batch1 = Seq((5000L, "a brand new document that only exists in batch one today"))
+      .toDF("doc_id", "text")
+    val none = Dedup.incrementalLshCandidates(batch1, "doc_id", "text",
+      k = 8, shingleN = 3, bands = 4, indexTable = "lsh_idx2")
+    assert(none.where(col("id_new") === 5000L || col("id_idx") === 5000L).count() == 0)
+    Dedup.appendToLshIndex(batch1, "doc_id", "text", 8, 3, 4, "lsh_idx2")
+
+    val batch2 = Seq((6000L, "a brand new document that only exists in batch one today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalLshCandidates(batch2, "doc_id", "text",
+        k = 8, shingleN = 3, bands = 4, indexTable = "lsh_idx2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((6000L, 5000L)), s"batch-vs-batch duplicate missed: $got")
+  }
+
+  test("probing with mismatched signature parameters fails fast") {
+    import spark.implicits._
+    buildIndex("lsh_idx3")
+    val batch = Seq((1L, "whatever text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalLshCandidates(batch, "doc_id", "text",
+        k = 16, shingleN = 3, bands = 8, indexTable = "lsh_idx3")
+    }
+    assert(e.getMessage.contains("different parameters"))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
