@@ -42,6 +42,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == (1L to 40L).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents agrees with a reference union-find on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val n = 120
+    val edges = Seq.fill(90)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+      .filter(e => e._1 != e._2)
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        "id_a", "id_b", (1L to n.toLong).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: plain union-find with path compression
+    val parent = Array.tabulate(n + 1)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (1 to n).map { i =>
+      // component minimum: after unions, walk to the root (roots are
+      // always the component minimum because we union larger -> smaller)
+      i.toLong -> find(i).toLong
+    }.toMap
+    assert(got == want)
+  }
+
   test("connectedComponents ignores edges touching nodes outside the given set") {
     import spark.implicits._
     // edge (5,9): 9 is not in the node set — must neither appear in the
@@ -92,6 +116,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       (1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L), (4L, 2L, 76L),
       (5L, 0L, 0L), (6L, 2L, 176L)))
+  }
+
+  test("packSequences: a document larger than the budget spans sequences; stream stays exact") {
+    import spark.implicits._
+    // doc 1 alone fills seqs 0..2 (1300 tokens / 512); doc 2 starts at
+    // offset 1300 -> seq 2 off 276; doc 3 at 1400 -> seq 2 off 376
+    val docs = Seq((1L, "g", 1300L), (2L, "g", 100L), (3L, "g", 50L))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Sampling.packSequences(docs, "doc_id", "source", "n_tokens", 512L)
+      .select("doc_id", "seq_id", "seq_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 2L, 276L), (3L, 2L, 376L)))
+  }
+
+  test("vocabulary with k beyond the vocab size returns every word") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, "doc_id", "text", 100)
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("a", "b", "c"))
   }
 
   test("shuffleShards is a stable permutation: contiguous positions per shard") {

@@ -48,6 +48,19 @@ class EventOpsSpec extends AnyFunSuite {
       (4L, None, None)))           // other key's rows invisible
   }
 
+  test("asofJoin carries multiple payload columns from the same matched row") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 20L)).toDF("event_id", "user_id", "ts")
+      .select("event_id", "user_id", "ts")
+    val right = Seq((5L, 10L, 1.0, "ten"), (5L, 15L, 2.0, "fifteen"))
+      .toDF("user_id", "ts", "value", "tag")
+    val got = EventOps.asofJoin(left, right, "user_id", "ts", Seq("value", "tag"))
+      .select("asof_ts", "asof_value", "asof_tag")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    // both payload columns come from the SAME newest row — never mixed
+    assert(got.toSeq == Seq((15L, 2.0, "fifteen")))
+  }
+
   test("asofJoin deduplicates right-side (key, ts) ties by greatest payload") {
     import spark.implicits._
     val left = Seq((1L, 10L, 5L)).toDF("event_id", "ts", "user_id")
