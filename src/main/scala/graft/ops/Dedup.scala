@@ -321,10 +321,15 @@ object Dedup {
     hash60(concat_ws(":", band, bucket))
 
   private def bandRowsWithKey(docs: DataFrame, idCol: String, textCol: String,
-                              k: Int, shingleN: Int, bands: Int): DataFrame =
+                              k: Int, shingleN: Int, bands: Int): DataFrame = {
+    // k % bands != 0 would silently ignore trailing signature values;
+    // bands > k would hash ZERO columns per band (every doc collides)
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     lshBandsWide(
       minhashSignaturesWide(docs, idCol, textCol, k, shingleN), idCol, bands, k / bands)
       .withColumn("bkey", bandKey(col("band"), col("bucket")))
+  }
 
   /** Persist a corpus's LSH band rows as a BUCKETED table keyed on the
     * folded band key — the reusable dedup index for incremental
@@ -356,15 +361,19 @@ object Dedup {
     */
   private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
                                   indexTable: String, idCol: String,
-                                  k: Int, shingleN: Int, bands: Int): Unit = {
+                                  k: Int, shingleN: Int, bands: Int): Map[String, String] = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val want = Map("graft.lsh.k" -> k.toString, "graft.lsh.shingleN" -> shingleN.toString,
       "graft.lsh.bands" -> bands.toString, "graft.lsh.idCol" -> idCol)
-    val bad = want.filter { case (p, v) => props.get(p).exists(_ != v) }
+    // a MISSING property is a failure too: a table not built by
+    // buildLshIndex must not silently pass as "matching"
+    val bad = want.filter { case (p, v) => !props.get(p).contains(v) }
     require(bad.isEmpty,
       s"index $indexTable was built with different parameters: " +
-        bad.map { case (p, v) => s"$p: caller=$v index=${props(p)}" }.mkString("; "))
+        bad.map { case (p, v) => s"$p: caller=$v index=${props.getOrElse(p, "<missing>")}" }
+          .mkString("; "))
+    props
   }
 
   /** Fold an ACCEPTED batch's band rows into the index (same bucket
@@ -375,11 +384,10 @@ object Dedup {
   def appendToLshIndex(newDocs: DataFrame, idCol: String, textCol: String,
                        k: Int, shingleN: Int, bands: Int, indexTable: String): Unit = {
     val spark = newDocs.sparkSession
-    validateIndexParams(spark, indexTable, idCol, k, shingleN, bands)
+    val props = validateIndexParams(spark, indexTable, idCol, k, shingleN, bands)
     // the append writer must re-declare the table's bucket spec or Spark
     // rejects it ("Specified bucketing does not match")
-    val numBuckets = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
-      .collectFirst { case r if r.getString(0) == "graft.lsh.buckets" => r.getString(1).toInt }
+    val numBuckets = props.get("graft.lsh.buckets").map(_.toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"$indexTable lacks graft.lsh.buckets — not built by buildLshIndex?"))
     bandRowsWithKey(newDocs, idCol, textCol, k, shingleN, bands)

@@ -69,10 +69,18 @@ object BucketedStore {
     }
   }
 
-  /** True when the (sub)plan contains a shuffle exchange. */
+  /** True when the (sub)plan contains a shuffle exchange — including a
+    * ReusedExchangeExec pointing at a shuffle planned elsewhere (the
+    * subtree's data IS shuffled even though the exchange node lives in
+    * another branch).
+    */
   def subtreeHasShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    planNodes(p).exists(_.isInstanceOf[ShuffleExchangeLike])
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    planNodes(p).exists {
+      case _: ShuffleExchangeLike => true
+      case r: ReusedExchangeExec => r.child.isInstanceOf[ShuffleExchangeLike]
+      case _ => false
+    }
   }
 
   /** True when the finalized physical plan of `df` contains no shuffle

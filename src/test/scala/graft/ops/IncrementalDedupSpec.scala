@@ -101,5 +101,19 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different parameters"))
   }
 
+  test("probing a table not built by buildLshIndex (no properties) fails fast") {
+    import spark.implicits._
+    // a bucketed table with the right shape but none of the graft.lsh.*
+    // properties — must NOT silently pass as "matching"
+    val fake = Seq((1L, 0, 42L, 7L)).toDF("doc_id", "band", "bucket", "bkey")
+    BucketedStore.writeBucketed(fake, "not_an_index", "bkey", 4, s"$warehouse/not_an_index")
+    val batch = Seq((1L, "whatever text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalLshCandidates(batch, "doc_id", "text",
+        k = 8, shingleN = 3, bands = 4, indexTable = "not_an_index")
+    }
+    assert(e.getMessage.contains("<missing>"))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
