@@ -266,48 +266,87 @@ object Dedup {
     * result is the exact component minimum — deterministic regardless of
     * partitioning or join order.
     *
-    * Scale design: each round is ONE shuffle keyed on the node id (the
-    * propagate-join and the min-groupBy share it), and
-    * `localCheckpoint` truncates the otherwise exponentially growing
-    * lineage each round (on a cluster, a reliable `checkpoint` does the
-    * same against the shuffle service). Near-dup graphs have tiny
-    * diameters (duplicate clusters are dense), so the round count stays
-    * single-digit at any corpus size; for adversarial long-chain graphs
-    * the standard large-star/small-star variant halves the rounds at the
-    * cost of two joins per round.
+    * Scale design: each round is one shuffle keyed on the node id for
+    * the propagate-join + min-groupBy, plus one keyed on the label for
+    * a pointer-jump shortcut (`label(n) := min(label(n),
+    * label(label(n)))`), which makes the round count O(log diameter)
+    * instead of O(diameter) — on a 64-node chain, 6 rounds instead of
+    * 63 (asserted in CorpusOpsSpec). Near-dup graphs have tiny
+    * diameters anyway (duplicate clusters are dense); the shortcut is
+    * insurance for adversarial chains. Checkpointing truncates the
+    * otherwise exponentially growing lineage each round:
+    * `localCheckpoint` (fast, executor-local blocks) by default, or a
+    * reliable `checkpoint` with `reliable = true` for real clusters
+    * where executor loss would kill local blocks mid-iteration — the
+    * caller must have set `SparkContext.setCheckpointDir` to a
+    * fault-tolerant location first.
+    *
+    * Labels carry the node id in its NATIVE type (min works for any
+    * orderable id — long, string, decimal): the previous `cast("long")`
+    * turned string doc-ids into all-NULL labels and converged instantly
+    * to garbage.
     */
   def connectedComponents(edges: DataFrame, idA: String, idB: String,
-                          nodes: DataFrame, idCol: String): DataFrame = {
-    val nodeSet = nodes.select(col(idCol).as("node")).distinct().localCheckpoint(true)
+                          nodes: DataFrame, idCol: String,
+                          reliable: Boolean = false): DataFrame = {
+    if (reliable) require(nodes.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs SparkContext.setCheckpointDir (a fault-tolerant path)")
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val nodeSet = cp(nodes.select(col(idCol).as("node")).distinct())
     // contract: components over EXACTLY the given node set — an edge
     // endpoint outside it (e.g. a pair computed before a filter dropped
     // the doc) must not introduce phantom rows or labels, so foreign
     // edges are semi-joined away up front
-    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+    val sym = cp(edges.select(col(idA).as("src"), col(idB).as("dst"))
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .join(nodeSet.select(col("node").as("src")), Seq("src"), "left_semi")
-      .join(nodeSet.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint(true)
-    var labels = nodeSet.withColumn("cluster_id", col("node").cast("long"))
-      .localCheckpoint(true)
+      .join(nodeSet.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+    var labels = cp(nodeSet.withColumn("cluster_id", col("node")))
     // fixpoint = no label changed this round (a changed-row count, NOT a
     // sum of labels: label sums overflow Long for 60-bit hash ids, and
     // an empty corpus sums to NULL)
     var converged = labels.isEmpty
+    var rounds = 0
     while (!converged) {
       val prop = sym.join(labels, sym("dst") === labels("node"))
-        .select(col("src").as("node"), col("cluster_id"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+        .select(col("src").as("node"), col("cluster_id").as("prop_min"))
+        .groupBy("node").agg(min("prop_min").as("prop_min"))
+      // merge via left join + least (null-skipping), NOT union+groupBy: a
+      // Union over the checkpointed seed frame — which carries the
+      // node=cluster_id attribute-equality constraint from the identity
+      // seeding — crashes Catalyst's Union constraint rewriting
+      // (NoSuchElementException in rewriteConstraints). The join keys
+      // both sides on node: the same single shuffle the union had.
+      // direct is materialized before the jump self-joins it: its two
+      // join branches key on different columns, so without the
+      // checkpoint the whole propagate subtree would execute twice
+      val direct = cp(labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), col("prop_min")).as("cluster_id")))
+      // pointer jump: labels are always node ids (by induction from the
+      // identity seeding), so label(label(n)) is one more join away —
+      // each round the label chain halves, hence O(log d) rounds
+      val next = cp(direct.as("d")
+        .join(direct.select(col("node").as("cl"), col("cluster_id").as("cl_lab")),
+          col("d.cluster_id") === col("cl"))
+        .select(col("d.node").as("node"),
+          least(col("d.cluster_id"), col("cl_lab")).as("cluster_id")))
       val changed = next.as("n")
         .join(labels.select(col("node"), col("cluster_id").as("prev")), "node")
         .where(col("cluster_id") =!= col("prev")).count()
       converged = changed == 0
+      rounds += 1
       labels = next
     }
+    lastRounds = rounds
     labels.select(col("node").as(idCol), col("cluster_id"))
   }
+
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * test/diagnostic hook for the O(log diameter) claim.
+    */
+  @volatile private[graft] var lastRounds: Int = 0
 
   /** Single-column probe key for the LSH index: (band, bucket) folded
     * into one hash. Spark's bucketed-scan planner only elides the
@@ -408,13 +447,20 @@ object Dedup {
                                k: Int, shingleN: Int, bands: Int,
                                indexTable: String): DataFrame = {
     validateIndexParams(newDocs.sparkSession, indexTable, idCol, k, shingleN, bands)
-    val newBands = bandRowsWithKey(newDocs, idCol, textCol, k, shingleN, bands)
-      .select(col("bkey"), col(idCol).as("id_new"))
+    val bandRows = bandRowsWithKey(newDocs, idCol, textCol, k, shingleN, bands)
+    val newBands = bandRows.select(col("bkey"), col(idCol).as("id_new"))
     val idx = newDocs.sparkSession.table(indexTable)
       .select(col("bkey"), col(idCol).as("id_idx"))
-    newBands.join(idx, Seq("bkey"))
+    val vsIndex = newBands.join(idx, Seq("bkey"))
       .where(col("id_new") =!= col("id_idx"))
-      .select("id_new", "id_idx").distinct()
+      .select("id_new", "id_idx")
+    // batch-INTERNAL duplicates never meet the index (neither copy is in
+    // it yet), so probing alone would ingest both: union a self-join over
+    // the batch's own band rows, oriented so the smaller id plays the
+    // "already present" side — downstream keep-min then keeps exactly it
+    val within = lshCandidates(bandRows, idCol)
+      .select(col("id_b").as("id_new"), col("id_a").as("id_idx"))
+    vsIndex.union(within).distinct()
   }
 
   /** Benchmark-contamination check: for each eval-side document, how many

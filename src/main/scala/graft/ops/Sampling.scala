@@ -94,16 +94,23 @@ object Sampling {
       .drop("_h")
   }
 
-  /** Fixed-size stratified sample: the `m` rows with the smallest hash
-    * die per stratum (deterministic reservoir). One shuffle on the
-    * stratum key; per-stratum work is a partitioned top-m, never a
+  /** Fixed-size stratified sample: the `m` rows with the smallest
+    * 60-bit hash per stratum (deterministic reservoir). One shuffle on
+    * the stratum key; per-stratum work is a partitioned top-m, never a
     * global sort.
+    *
+    * Ordering uses the FULL 60-bit hash, not the 100-valued split die:
+    * with only 100 distinct order values, any stratum ≫ 100·m
+    * degenerates to "the lowest ids among die==0" — a systematic low-id
+    * bias. The full hash makes the order a uniform permutation of the
+    * stratum; `idCol` stays only as a collision tiebreak.
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        m: Int, salt: String = "sample"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = die(salt, col(strataCol), col(idCol))
-    val w = Window.partitionBy(col(strataCol)).orderBy(d, col(idCol))
+    val h = hash60(concat(lit(salt), lit(":"),
+      col(strataCol).cast("string"), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= m)
   }

@@ -140,6 +140,12 @@ object Similarity {
     // flattened by the id hash. Replication costs S× of ONE side's
     // signatures — at 100 TB pick S ≈ executor-core count, and grow
     // `planes` with the corpus (SCALE.md knob rule) so buckets stay small.
+    // the internals are added with withColumn, which silently REPLACES an
+    // existing column of the same name (including idCol/vecCol when the
+    // caller named them "bucket"/"salt"/"norm2") — fail fast instead
+    val clash = df.columns.intersect(Seq("norm2", "bucket", "salt"))
+    require(clash.isEmpty,
+      s"input columns collide with nearDupPairs internals: ${clash.mkString(", ")}")
     val S = if (saltBuckets > 0) saltBuckets
             else df.sparkSession.sparkContext.defaultParallelism
     val bucketed = withNorm2(df, vecCol)

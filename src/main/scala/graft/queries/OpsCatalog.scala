@@ -679,7 +679,7 @@ object OpsCatalog {
       s"""SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank FROM (
          |  SELECT doc_id, lang,
          |         ROW_NUMBER() OVER (PARTITION BY lang
-         |           ORDER BY ${dh("'sample:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % 100, doc_id) AS rn
+         |           ORDER BY ${dh("'sample:' || lang || ':' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
          |  FROM documents) WHERE rn <= 10
          |ORDER BY lang, sample_rank""".stripMargin,
 

@@ -77,6 +77,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("connectedComponents pointer jump converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // 64-node path: diameter 63. Plain min-propagation needs ~63 rounds;
+    // with the label(label(n)) jump the chain halves every round, so the
+    // count must land well under the diameter (2^8 > 63 → ≤ 8 + slack).
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to 64L).toDF("id")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+    assert(Dedup.lastRounds <= 10,
+      s"64-chain took ${Dedup.lastRounds} rounds — pointer jump not effective")
+  }
+
+  test("connectedComponents keeps string ids native (no silent long cast)") {
+    import spark.implicits._
+    // pre-fix behavior: cast("long") turned these ids into all-NULL
+    // labels and converged instantly to garbage
+    val edges = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b")).toDF("id_a", "id_b")
+    val nodes = Seq("doc-a", "doc-b", "doc-c", "doc-z").toDF("id")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "doc-z" -> "doc-z"))
+  }
+
+  test("connectedComponents reliable=true checkpoints through the configured dir") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (3L, 2L)).toDF("id_a", "id_b")
+    val nodes = (1L to 4L).toDF("id")
+    // without a checkpoint dir the reliable path must fail fast
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id", reliable = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id",
+        reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    // proof the reliable path actually wrote checkpoint files
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"reliable=true left no files under $dir")
+  }
+
   test("connectedComponents on an empty node set returns empty") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -56,18 +56,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
       assert(got.contains((1000L + src, src)), s"copy of $src not found in $got")
     assert(!got.exists(p => p._1 == 2000L || p._2 == 2000L), s"novel doc matched: $got")
 
-    // plan proof: the join child holding the index scan contains no shuffle
+    // plan proof: the join child holding the index scan contains no
+    // shuffle (the plan now also holds the batch-internal self-join —
+    // pick the join whose subtree actually scans the index table)
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def scansIndex(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      BucketedStore.planNodes(p).exists {
+        case s: FileSourceScanExec => s.toString.contains("lsh_idx")
+        case _ => false
+      }
     val all = BucketedStore.planNodes(cands.queryExecution.executedPlan)
-    val join = all.collectFirst {
-      case j: SortMergeJoinExec => j
-      case j: ShuffledHashJoinExec => j
-    }.getOrElse(fail(s"no shuffle join in plan:\n${cands.queryExecution.executedPlan}"))
-    val idxSide = join.children.find(c => BucketedStore.planNodes(c).exists {
-      case s: FileSourceScanExec => s.toString.contains("lsh_idx")
-      case _ => false
-    }).getOrElse(fail("no join side scans the index table"))
+    val join = all.collect {
+      case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      case j: ShuffledHashJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+    }.find(j => j.children.exists(scansIndex))
+      .getOrElse(fail(s"no shuffle join over the index in plan:\n${cands.queryExecution.executedPlan}"))
+    val idxSide = join.children.find(scansIndex)
+      .getOrElse(fail("no join side scans the index table"))
     assert(!BucketedStore.subtreeHasShuffle(idxSide),
       s"index side shuffled:\n${join.children.mkString("\n---\n")}")
   }
@@ -88,6 +94,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
         k = 8, shingleN = 3, bands = 4, indexTable = "lsh_idx2")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((6000L, 5000L)), s"batch-vs-batch duplicate missed: $got")
+  }
+
+  test("duplicates arriving INSIDE one batch are caught, oriented keep-min") {
+    import spark.implicits._
+    buildIndex("lsh_idx4")
+    // two copies of the same novel text in the SAME batch: neither is in
+    // the index, so the index probe alone would ingest both silently
+    val batch = Seq(
+      (7000L, "the same fresh sentence appears twice inside this single batch"),
+      (7001L, "the same fresh sentence appears twice inside this single batch"),
+      (7002L, "an unrelated fresh document with completely different words entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalLshCandidates(batch, "doc_id", "text",
+        k = 8, shingleN = 3, bands = 4, indexTable = "lsh_idx4")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((7001L, 7000L)),
+      s"batch-internal duplicate missed (want id_new=7001 vs id_idx=7000): $got")
+    assert(!got.exists(p => p._1 == 7002L || p._2 == 7002L),
+      s"unrelated batch doc matched: $got")
   }
 
   test("probing with mismatched signature parameters fails fast") {
