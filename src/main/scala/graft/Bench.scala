@@ -40,9 +40,13 @@ object Bench {
     // not first-call class loading (same protocol as the reference's
     // run-twice-keep-2nd, dqo/lab/query_executor.py:79-103)
     all("q01_agg_min_join")(spark, sfDir).count()
-    // reference timing protocol: execute twice, keep the 2nd run
-    // (dqo/lab/query_executor.py:79-103) — isolates engine time from
-    // plan-compilation/codegen cold start
+    // timing protocol: one untimed warm run (plan compile + codegen +
+    // class loading, the reference's run-twice-keep-2nd idea,
+    // dqo/lab/query_executor.py:79-103), then median-of-3 timed runs.
+    // A single kept run proved unable to gate regressions: identical
+    // binaries in rounds 3/4 swung individual queries 2-4x run-to-run.
+    // The per-query relative spread (max-min)/median is emitted so the
+    // reader can tell signal from scheduler noise.
     val results = headline.filter(all.contains).map { name =>
       // a failing query must surface as -1, never as a plausible timing
       def once(): Double = {
@@ -52,14 +56,23 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       }
-      val first = once()
-      val kept = if (first < 0) -1.0 else once()
+      val warm = once()
+      val (kept, spread) = if (warm < 0) (-1.0, -1.0) else {
+        val runs = Seq(once(), once(), once())
+        if (runs.exists(_ < 0)) (-1.0, -1.0)
+        else {
+          val sorted = runs.sorted
+          (sorted(1), (sorted(2) - sorted(0)) / sorted(1))
+        }
+      }
       // free operator-persisted intermediates between queries (cache
       // lifecycle is session-owned; see Verify for the same rule)
       spark.catalog.clearCache()
-      name -> kept
+      (name, kept, spread)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -78,7 +91,7 @@ object Bench {
       scala.util.Try(graft.encode.Encoder.encodeQuery(db, sql)).toOption)
     val encodeQps = encoded.size / ((System.nanoTime() - te0) / 1e9)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","parse_qps":$parseQps,"encode_qps":$encodeQps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","parse_qps":$parseQps,"encode_qps":$encodeQps}""")
     spark.stop()
   }
 }

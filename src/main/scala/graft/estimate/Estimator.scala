@@ -36,12 +36,18 @@ object Estimator {
   }
 
   /** Alternate fixed-width feature families over the same stats model —
-    * the reference's encoder-comparison axis (kipf / neo / greq):
-    * "gerelt" is the tree summary above; "neo" is the flat join+predicate
-    * bit vector; "greq" sums the compact per-node vectors into one
-    * 25-slot query vector (their model sums node encodings); "mscn"
-    * concatenates the masked set-matrix sums per set.
+    * the reference's encoder-comparison axis (kipf / neo / greq /
+    * relcnn / treelstm): "gerelt" is the tree summary above; "neo" is
+    * the flat join+predicate bit vector; "greq" sums the compact
+    * per-node vectors into one 25-slot query vector (their model sums
+    * node encodings); "mscn" concatenates the masked set-matrix sums
+    * per set; "relcnn" column-means the padded node matrix the CNN
+    * would convolve over (relcnn/v1 feeds the same matrix); "treelstm"
+    * pairs that matrix summary with the parent-pointer structure the
+    * TreeLSTM recurses over (node count, tree depth, branch count).
     */
+  val families: Seq[String] = Seq("gerelt", "mscn", "greq", "neo", "relcnn", "treelstm")
+
   def featurizeWith(db: DbModel, sql: String, family: String): Array[Double] =
     family match {
       case "gerelt" => featurize(db, sql)
@@ -63,6 +69,26 @@ object Estimator {
             } :+ mask.sum
         maskedSum(m.tables, m.tablesMask) ++ maskedSum(m.joins, m.joinsMask) ++
           maskedSum(m.predicates, m.predicatesMask)
+      case "relcnn" =>
+        // fixed width: pad each node vector to the widest node type (join,
+        // 203) and column-mean — the order-free summary of the matrix
+        // relcnn/v1 convolves over — prefixed with the node count
+        val m = graft.encode.SetEncoders.flatMatrix(db, sql)
+        val padded = m.map(_.padTo(203, 0.0))
+        val mean = (0 until 203).map(i => padded.map(_(i)).sum / m.length).toArray
+        m.length.toDouble +: mean
+      case "treelstm" =>
+        // the TreeLSTM consumes (parents, vectors): summarize the
+        // structure it recurses over — node count, depth, branching —
+        // alongside the same column-meaned vector content
+        val (parents, vecs) = graft.encode.SetEncoders.treeWithParents(db, sql)
+        def depth(i: Int): Int =
+          Iterator.iterate(i)(parents(_)).takeWhile(_ >= 0).size
+        val maxDepth = parents.indices.map(depth).maxOption.getOrElse(0)
+        val branches = parents.count(_ >= 0)
+        val padded = vecs.map(_.padTo(203, 0.0))
+        val mean = (0 until 203).map(i => padded.map(_(i)).sum / math.max(1, vecs.length)).toArray
+        Array(parents.length.toDouble, maxDepth.toDouble, branches.toDouble) ++ mean
       case other => throw new IllegalArgumentException(s"unknown family $other")
     }
 

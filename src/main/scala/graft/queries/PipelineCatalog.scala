@@ -14,6 +14,17 @@ import graft.model.StatsCollector
   * execution-lab plan capture (X1/X4), feature encoding (E1-E11), and
   * estimator training/evaluation — the full §3.1/§3.2 lifecycle running
   * on the driver testdata.
+  *
+  * These components are not SQL-expressible, so the driver's DuckDB
+  * oracle cannot check them — instead each query asserts equality
+  * against a GOLDEN value (a CRC over the canonical row dump, captured
+  * once at sf0.01 where generation/encoding is seed-deterministic,
+  * mirroring the reference's own literal encoder asserts,
+  * v20/encoder.py:401,461,493,541). A drifted generator SQL string or
+  * encoder vector now FAILS the query (the driver records the error)
+  * instead of passing a rows-only check. The assert applies only on
+  * the sf0.01 gate directory; other scales report `matches_golden`
+  * without failing, since stats-derived literals legitimately differ.
   */
 object PipelineCatalog {
 
@@ -22,6 +33,29 @@ object PipelineCatalog {
 
   private def model(s: SparkSession, dir: String) =
     StatsCollector.collect(s, dir, statTables)
+
+  private def crc32(s: String): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    c.getValue
+  }
+
+  /** The golden values are pinned to the driver's correctness-gate
+    * scale; elsewhere the comparison is reported but not enforced. */
+  private def goldenApplies(dir: String): Boolean =
+    dir.replaceAll("/+$", "").endsWith("sf0.01")
+
+  private def checkGolden(name: String, dir: String, crc: Long, golden: Long): Boolean = {
+    if (sys.env.get("GRAFT_GOLDEN_RECORD").contains("true")) {
+      println(s"[golden] $name crc=$crc")
+      return true
+    }
+    val ok = crc == golden
+    if (goldenApplies(dir))
+      require(ok, s"$name golden mismatch: computed crc=$crc expected=$golden — " +
+        "generator/encoder output drifted from the pinned sf0.01 canon")
+    ok
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G2: seeded random workload over the collected stats model
@@ -32,7 +66,10 @@ object PipelineCatalog {
         val q = new RandomQueryGen(db, seed).randomize()
         (seed, q.toSql(pretty = false), q.valid)
       }
-      rows.toDF("seed", "sql", "valid").orderBy("seed")
+      val crc = crc32(rows.map { case (sd, sql, v) => s"$sd|$sql|$v" }.mkString("\n"))
+      val ok = checkGolden("q60_generate", dir, crc, Golden.q60)
+      rows.map { case (sd, sql, v) => (sd, sql, v, ok) }
+        .toDF("seed", "sql", "valid", "matches_golden").orderBy("seed")
     },
 
     // X1/X4: timing protocol + physical-plan op-tree capture
@@ -50,9 +87,14 @@ object PipelineCatalog {
           |GROUP BY o.o_orderkey""".stripMargin)
       df.collect()
       val ops = graft.lab.PlanOps.fromDataFrame(df).preorder
+      // the physical op-tree shape is the golden (details carry plan
+      // literals that are fine to show but too Spark-formatting-coupled
+      // to pin): Aggregate/Aggregate/Join/Filter/Scan/Filter/Scan
+      val kinds = ops.map(_.kind).mkString(",")
+      val ok = checkGolden("q61_plan_ops", dir, crc32(kinds), Golden.q61)
       ops.zipWithIndex
-        .map { case (op, i) => (i, op.kind, op.detail.take(60), run.seconds > 0) }
-        .toDF("op_idx", "kind", "detail", "timed").orderBy("op_idx")
+        .map { case (op, i) => (i, op.kind, op.detail.take(60), run.seconds > 0, ok) }
+        .toDF("op_idx", "kind", "detail", "timed", "matches_golden").orderBy("op_idx")
     },
 
     // E1-E11: deterministic per-node feature vectors for a fixed query
@@ -62,10 +104,15 @@ object PipelineCatalog {
       val tree = Encoder.encodeQuery(db,
         """SELECT MIN(l.l_extendedprice) FROM lineitem as l, orders as o
           |WHERE l.l_orderkey = o.o_orderkey AND o.o_totalprice > 50000.0""".stripMargin)
-      tree.preorder.zipWithIndex.map { case (n, i) =>
+      val rows = tree.preorder.zipWithIndex.map { case (n, i) =>
         (i, n.nodeType, n.vector.length,
           math.round(n.vector.map(v => if (v.isNaN || v.isInfinite) 0.0 else v).sum * 1000) / 1000.0)
-      }.toDF("node_idx", "node_type", "vec_len", "vec_sum").orderBy("node_idx")
+      }
+      val crc = crc32(rows.map { case (i, t, l, sm) => s"$i|$t|$l|$sm" }.mkString("\n"))
+      val ok = checkGolden("q62_encode", dir, crc, Golden.q62)
+      rows.map { case (i, t, l, sm) => (i, t, l, sm, ok) }
+        .toDF("node_idx", "node_type", "vec_len", "vec_sum", "matches_golden")
+        .orderBy("node_idx")
     },
 
     // E-families 2+3: MSCN set encoding and greq compact per-node
@@ -98,12 +145,23 @@ object PipelineCatalog {
           (i, "treelstm", parents.length, parents.count(_ >= 0).toDouble,
             parents.sum.toDouble))
       }
-      rows.toDF("query_idx", "family", "n_vectors", "mask_or_len", "checksum")
+      val sorted = rows.sortBy(r => (r._1, r._2))
+      val crc = crc32(sorted.map { case (i, f, n, m, c) => s"$i|$f|$n|$m|$c" }.mkString("\n"))
+      val ok = checkGolden("q64_set_encoders", dir, crc, Golden.q64)
+      sorted.map { case (i, f, n, m, c) => (i, f, n, m, c, ok) }
+        .toDF("query_idx", "family", "n_vectors", "mask_or_len", "checksum", "matches_golden")
         .orderBy("query_idx", "family")
     },
 
-    // estimator: train on a generated workload with a deterministic
-    // synthetic cost label; report bucket metrics
+    // estimator: train EVERY encoder family on the same generated
+    // workload (deterministic synthetic cost label) and report
+    // per-family bucket metrics — the reference's encoder-comparison
+    // axis (gerelt vs mscn vs greq vs neo vs relcnn vs treelstm,
+    // estimator/evaluate.py) through one GBT regressor. The feature
+    // matrices are golden-pinned per family, so shape or value drift
+    // in ANY encoder family fails the query even though the trained
+    // metrics themselves are not pinned (GBT internals are not part of
+    // the encoding contract).
     "q63_estimate" -> { (s, dir) =>
       import s.implicits._
       val db = model(s, dir)
@@ -117,23 +175,40 @@ object PipelineCatalog {
           scala.util.Try { Estimator.featurize(db, sql); (sql, cost) }.toOption
         }
       }
-      val trained = Estimator.train(s, db, workload, maxIter = 10)
-      val preds = workload.map { case (sql, rt) =>
-        (trained.predictLog2(Estimator.featurize(db, sql)),
-          math.log(rt) / math.log(2))
-      }
-      val (acc, mae, f1) = Estimator.evaluate(preds)
-      // reference-parity extended metrics (metrics.py:9-79, evaluate.py:64-97)
       import graft.estimate.Metrics
-      val rounded = preds.map { case (p, l) => (math.rint(p).toInt, math.rint(l).toInt) }
-      val kappa = Metrics.cohenKappa(rounded)
-      val buckets = Metrics.bucketMetrics(preds)
-      val (_, bestBoundary, bestAcc, _) = Metrics.maximizeBinarySplit(
-        preds.map { case (p, l) => (math.pow(2, p), math.pow(2, l)) })
-      Seq((workload.size, acc > 0.3, mae < 2.0, f1 >= 0.0, kappa > 0.0,
-        buckets.values.nonEmpty, bestBoundary >= 1, bestAcc >= 0.0))
-        .toDF("n_queries", "acc_ok", "mae_ok", "f1_ok", "kappa_ok",
-          "buckets_ok", "split_boundary_ok", "split_acc_ok")
+      val rows = Estimator.families.map { fam =>
+        val feats = workload.map { case (sql, _) => Estimator.featurizeWith(db, sql, fam) }
+        val featCrc = crc32(feats.map(_.map(v =>
+          (math.round(v * 1000) / 1000.0).toString).mkString(",")).mkString("\n"))
+        val ok = checkGolden(s"q63_estimate/$fam", dir, featCrc, Golden.q63(fam))
+        val trained = Estimator.train(s, db, workload, maxIter = 10, family = fam)
+        val preds = workload.zip(feats).map { case ((_, rt), f) =>
+          (trained.predictLog2(f), math.log(rt) / math.log(2))
+        }
+        val (acc, mae, f1) = Estimator.evaluate(preds)
+        val kappa = Metrics.cohenKappa(
+          preds.map { case (p, l) => (math.rint(p).toInt, math.rint(l).toInt) })
+        (fam, workload.size, feats.head.length, featCrc, ok,
+          math.round(acc * 1000) / 1000.0, math.round(mae * 1000) / 1000.0,
+          math.round(f1 * 1000) / 1000.0, math.round(kappa * 1000) / 1000.0)
+      }
+      rows.toDF("family", "n_queries", "feat_dim", "feat_crc", "matches_golden",
+        "bucket_acc", "mae_log2", "macro_f1", "kappa").orderBy("family")
     }
   )
+
+  /** Golden CRCs captured at sf0.01 (see object Scaladoc). To re-pin
+    * after an INTENTIONAL generator/encoder change: run
+    * `graft.Verify /root/testdata/sf0.01 out` with environment
+    * `GRAFT_GOLDEN_RECORD=true` and copy the printed values.
+    */
+  private object Golden {
+    val q60: Long = 3930762357L
+    val q61: Long = 443654505L
+    val q62: Long = 835429714L
+    val q64: Long = 3671029350L
+    val q63: Map[String, Long] = Map(
+      "gerelt" -> 1770067409L, "mscn" -> 1062057986L, "greq" -> 208779266L,
+      "neo" -> 3911205913L, "relcnn" -> 2862703386L, "treelstm" -> 2699018380L)
+  }
 }
