@@ -224,10 +224,27 @@ object Dedup {
     * least one chunk, so the self-join on (chunkIdx, chunkValue) finds
     * every qualifying pair — identical output to brute force, without the
     * all-pairs product.
+    *
+    * The pigeonhole only prunes when the chunks are WIDE: with C =
+    * maxHamming+1 chunks of w = 60/C bits, two unrelated fingerprints
+    * still collide on some chunk with p ≈ C/2^w (union bound), and the
+    * candidate join degenerates toward all-pairs as that fraction grows
+    * (at maxHamming=14: 15 4-bit chunks, p ≈ 0.94 — quadratic by
+    * configuration). The guard fails fast when the fraction exceeds
+    * `maxCollisionFraction` (default 5%); a small verification corpus
+    * that genuinely wants exact recall at a wide radius must raise it
+    * EXPLICITLY, which keeps the scale hazard visible at the call site.
     */
-  def simhashPairs(simDf: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def simhashPairs(simDf: DataFrame, idCol: String, maxHamming: Int,
+                   maxCollisionFraction: Double = 0.05): DataFrame = {
     val chunks = maxHamming + 1
     val width = SimBits / chunks
+    val collisionFrac = chunks / math.pow(2.0, width)
+    require(collisionFrac <= maxCollisionFraction,
+      f"simhashPairs(maxHamming=$maxHamming) yields $chunks chunks of $width bits: " +
+        f"unrelated fingerprints collide with p~=$collisionFrac%.3f > $maxCollisionFraction%.3f " +
+        "(candidate join degenerates toward all-pairs at corpus scale) — tighten the " +
+        "radius or raise maxCollisionFraction explicitly for a small verification corpus")
     val chunked = simDf.select(
       col(idCol).as("id"), col("simhash"),
       explode(array((0 until chunks).map { c =>

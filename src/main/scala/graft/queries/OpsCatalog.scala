@@ -63,7 +63,11 @@ object OpsCatalog {
     },
     "q35_simhash_pairs" -> { (s, dir) =>
       val sim = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
-      Dedup.simhashPairs(sim, "doc_id", MaxHamming).orderBy("id_a", "id_b")
+      // exact-recall verification config: radius 14 keeps ~94% of random
+      // chunk collisions, fine at 500 docs, quadratic at corpus scale —
+      // the explicit override is the documented opt-in (see simhashPairs)
+      Dedup.simhashPairs(sim, "doc_id", MaxHamming, maxCollisionFraction = 1.0)
+        .orderBy("id_a", "id_b")
     },
     "q36_text_analyze" -> { (s, dir) =>
       TextAnalysis.analyze(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -211,6 +215,31 @@ object OpsCatalog {
     // whitespace, count removals
     "q59_clean_text" -> { (s, dir) =>
       TextAnalysis.cleanText(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // physical layout: lang-partitioned rewrite of the corpus, then a
+    // partition-pruned scan — the ONE §2 capability (S6 partition
+    // introspection / writePartitioned) previously without end-to-end
+    // driver evidence. The query re-reads its own partitioned copy and
+    // FAILS unless the scan proves directory pruning (a partition
+    // filter pushed, exactly one of the five lang directories read), so
+    // a regression in the pruning path cannot pass as a value match.
+    "q65_partition_prune" -> { (s, dir) =>
+      import graft.sources.BucketedStore
+      val docs = Tables.load(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_q65_").toString
+      BucketedStore.writePartitioned(docs, out, "lang")
+      val pruned = s.read.parquet(out).where(col("lang") === "de")
+      pruned.collect() // drive THIS plan so its scan metrics fill
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scan = BucketedStore.planNodes(pruned.queryExecution.executedPlan)
+        .collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(sys.error("no file scan in the partitioned read"))
+      require(scan.partitionFilters.nonEmpty,
+        s"lang predicate not pushed as a partition filter:\n${pruned.queryExecution.executedPlan}")
+      val nPart = scan.metrics("numPartitions").value
+      require(nPart == 1, s"expected 1 pruned lang directory, scanned $nPart")
+      pruned.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     },
     "q41_window_events" -> { (s, dir) =>
@@ -950,6 +979,13 @@ object OpsCatalog {
         |SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS asof_ts, r.v AS asof_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // the oracle reads the ORIGINAL unpartitioned table: value equality
+    // proves the partitioned rewrite round-trips; the pruning itself is
+    // asserted plan-side inside the query
+    "q65_partition_prune" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'de' ORDER BY doc_id""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,

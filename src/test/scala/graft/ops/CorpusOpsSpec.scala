@@ -123,6 +123,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(wrote > 0, s"reliable=true left no files under $dir")
   }
 
+  test("simhashPairs rejects radius configs whose pigeonhole cannot prune") {
+    import spark.implicits._
+    val sim = Seq((1L, 7L), (2L, 7L)).toDF("doc_id", "simhash")
+    // maxHamming=14 → 15 chunks of 4 bits: unrelated fingerprints collide
+    // with p ≈ 15/16 — quadratic by configuration, must fail fast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(sim, "doc_id", maxHamming = 14)
+    }
+    assert(e.getMessage.contains("all-pairs"))
+    // the same radius with an explicit opt-in (verification corpus) runs
+    assert(Dedup.simhashPairs(sim, "doc_id", 14, maxCollisionFraction = 1.0)
+      .count() == 1)
+    // a corpus-scale radius (3 → 4 chunks of 15 bits, p ≈ 1.2e-4) passes
+    // the default guard and still finds the qualifying pair exactly
+    val got = Dedup.simhashPairs(sim, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L)))
+  }
+
   test("connectedComponents on an empty node set returns empty") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
