@@ -229,6 +229,12 @@ object OpsCatalog {
       val docs = Tables.load(s, dir, "documents")
       val out = java.nio.file.Files.createTempDirectory("graft_q65_").toString
       BucketedStore.writePartitioned(docs, out, "lang")
+      // S6 partition introspection (the reference's PARTITIONS_QUERY,
+      // postgres.py:19-45): the written layout must report its partition
+      // column, and the unpartitioned source must report none
+      val introspected = graft.model.StatsCollector.partitionColumns(s, out)
+      require(introspected == Seq("lang"),
+        s"partition introspection saw $introspected, expected [lang]")
       val pruned = s.read.parquet(out).where(col("lang") === "de")
       pruned.collect() // drive THIS plan so its scan metrics fill
       import org.apache.spark.sql.execution.FileSourceScanExec
