@@ -34,10 +34,55 @@ object StatsCollector {
     case _ => None
   }
 
-  private def numAggs(prefix: String, m: Column, nRows: Column): Seq[Column] = Seq(
-    min(m).as(s"${prefix}_min"), max(m).as(s"${prefix}_max"), avg(m).as(s"${prefix}_mean"),
-    var_samp(m).as(s"${prefix}_var"), skewness(m).as(s"${prefix}_skew"),
-    kurtosis(m).as(s"${prefix}_kurt"))
+  /** Scan-1 aggregates per measure: min/max plus a DECIMAL-exact mean.
+    * Spark's double `avg`/`var_samp`/`skewness`/`kurtosis` merge partial
+    * aggregates in partition order, so their low bits change with the
+    * split count — the same table yields a (ulp-)different model on a
+    * different cluster size, which breaks model reproducibility (and the
+    * golden-pinned encoder vectors downstream). The mean goes through an
+    * exact decimal sum (order-independent); central moments move to scan
+    * 2 as decimal-exact sums of range-normalized deviations. Domain
+    * bound: |value| < 10^32 (decimal(38,6)) — holds for every measure
+    * the model covers (prices, counts, epoch seconds, string lengths).
+    */
+  private def numAggs(prefix: String, m: Column): Seq[Column] = Seq(
+    min(m).as(s"${prefix}_min"), max(m).as(s"${prefix}_max"),
+    avg(m.cast("decimal(38,6)")).cast("double").as(s"${prefix}_mean"))
+
+  /** Scan-2 aggregates for one measure: exact decimal sums of the first
+    * four powers of u = (x - mean)/width. |u| <= 1, so the quartic can
+    * never overflow decimal(38,18) regardless of the column's magnitude
+    * or the corpus size (a raw Σx⁴ of epoch-seconds overflows decimal at
+    * any realistic row count); skew/kurt are scale-free so the
+    * normalization cancels, and the variance rescales by width².
+    */
+  private def momentAggs(key: String, m: Column, mean: Double, width: Double): Seq[Column] = {
+    val u = (m - lit(mean)) / lit(width)
+    val u2 = u * u
+    Seq("s1" -> u, "s2" -> u2, "s3" -> (u2 * u), "s4" -> (u2 * u2))
+      .map { case (n, c) => sum(c.cast("decimal(38,18)")).as(s"${key}__$n") }
+  }
+
+  /** Driver-side combine of the scan-2 sums into (var_samp, skewness,
+    * kurtosis) matching Spark's definitions (population m3/m2^1.5 and
+    * m4/m2²-3, NaN on degenerate inputs) — pure double arithmetic over
+    * exact sums, so the result is identical at any partition count.
+    */
+  private def combineMoments(n: Long, width: Double,
+                             s1: Double, s2: Double, s3: Double, s4: Double)
+      : (Double, Double, Double) = {
+    if (n == 0) return (Double.NaN, Double.NaN, Double.NaN)
+    val nd = n.toDouble
+    val c2 = s2 - s1 * s1 / nd
+    val varSamp = if (n < 2) Double.NaN else width * width * c2 / (nd - 1)
+    val m2 = c2 / nd
+    val m3 = (s3 - 3 * s1 * s2 / nd + 2 * s1 * s1 * s1 / (nd * nd)) / nd
+    val m4 = (s4 - 4 * s1 * s3 / nd + 6 * s1 * s1 * s2 / (nd * nd)
+      - 3 * s1 * s1 * s1 * s1 / (nd * nd * nd)) / nd
+    val skew = if (m2 > 0) m3 / (m2 * math.sqrt(m2)) else Double.NaN
+    val kurt = if (m2 > 0) m4 / (m2 * m2) - 3 else Double.NaN
+    (varSamp, skew, kurt)
+  }
 
   /** Schema-only model (no stats) from parquet footers. */
   def schemaModel(spark: SparkSession, dir: String, tables: Seq[String]): DbModel =
@@ -70,64 +115,90 @@ object StatsCollector {
     def distinctAgg(c: Column): Column =
       if (exact) count_distinct(c) else approx_count_distinct(c, 0.01)
 
-    // ---- scan 1: counts + moments for every column at once
+    // every moment-bearing measure: numeric/time columns plus the string
+    // length and word-count distributions (key, expr, count-field)
+    def strMeasures(c: ColumnModel): Seq[(String, Column)] = {
+      val cc = col(c.name)
+      Seq(s"${c.name}__len" -> length(cc).cast("double"),
+        s"${c.name}__wc" -> size(split(cc, "\\s+")).cast("double"))
+    }
+    val allMeasures: Seq[(String, Column, String)] =
+      schema.columns.flatMap { c =>
+        measure(c).map(m => (c.name, m, c.name)).toSeq ++
+          (if (c.dtype == DType.Str) strMeasures(c).map { case (k, m) => (k, m, c.name) }
+           else Nil)
+      }
+
+    // ---- scan 1: counts + min/max + exact means for every column at once
     var aggs = Seq[Column](nRowsCol.as("__rows"))
     schema.columns.foreach { c =>
       val cc = col(c.name)
       aggs :+= count(cc).as(s"${c.name}__n")
       aggs :+= distinctAgg(cc).as(s"${c.name}__nd")
-      measure(c).foreach { m => aggs ++= numAggs(c.name, m, nRowsCol) }
-      if (c.dtype == DType.Str) {
-        aggs ++= numAggs(s"${c.name}__len", length(cc).cast("double"), nRowsCol)
-        aggs ++= numAggs(s"${c.name}__wc", size(split(cc, "\\s+")).cast("double"), nRowsCol)
-      }
     }
+    allMeasures.foreach { case (k, m, _) => aggs ++= numAggs(k, m) }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val nRows = r.getAs[Long]("__rows")
 
-    def numStats(r: Row, p: String): NumericStats = NumericStats(
-      getD(r, s"${p}_min"), getD(r, s"${p}_mean"), getD(r, s"${p}_max"),
-      getD(r, s"${p}_var"), getD(r, s"${p}_skew"), getD(r, s"${p}_kurt"))
-
-    // ---- scan 2: combined equi-width histograms for numeric/time columns
+    // ---- scan 2: central-moment sums for every measure + equi-width
+    // histograms for the numeric/time columns, ONE combined aggregation
+    val momentTargets = allMeasures
+      .map { case (k, m, nk) =>
+        (k, m, nk, getD(r, s"${k}_min"), getD(r, s"${k}_max"), getD(r, s"${k}_mean")) }
+      .filter { case (_, _, _, mn, mx, _) => !mn.isNaN && !mx.isNaN }
     val histTargets = schema.columns.filter(c => measure(c).isDefined)
       .map(c => c -> (getD(r, s"${c.name}_min"), getD(r, s"${c.name}_max")))
       .filter { case (_, (mn, mx)) => !mn.isNaN && !mx.isNaN }
-    val hists: Map[String, (Seq[Double], Seq[Long])] =
-      if (histTargets.isEmpty) Map.empty
-      else {
-        // width_bucket(v, min, max+1, 10) semantics (postgres.py:122-138);
-        // one groupBy-free scan: per column, 10 conditional counts
-        var hAggs = Seq.empty[Column]
-        histTargets.foreach { case (c, (mn, mx)) =>
-          val m = measure(c).get
-          val w = (mx + 1.0 - mn) / HistBuckets
-          (1 to HistBuckets).foreach { b =>
-            val lo = mn + (b - 1) * w; val hi = mn + b * w
-            hAggs :+= sum(when(m >= lo && m < hi, 1L).otherwise(0L)).as(s"${c.name}__h$b")
-          }
-        }
-        val hr = df.agg(hAggs.head, hAggs.tail: _*).head()
-        histTargets.map { case (c, (mn, mx)) =>
-          val w = (mx + 1.0 - mn) / HistBuckets
-          val bounds = (1 to HistBuckets).map(b => mn + b * w)
-          val freqs = (1 to HistBuckets).map(b => hr.getAs[Long](s"${c.name}__h$b"))
-          c.name -> (bounds, freqs)
-        }.toMap
+    var moments = Map.empty[String, (Double, Double, Double)]
+    var hists = Map.empty[String, (Seq[Double], Seq[Long])]
+    if (momentTargets.nonEmpty) {
+      var sAggs = Seq.empty[Column]
+      momentTargets.foreach { case (k, m, _, mn, mx, mean) =>
+        sAggs ++= momentAggs(k, m, mean, if (mx > mn) mx - mn else 1.0)
       }
+      // width_bucket(v, min, max+1, 10) semantics (postgres.py:122-138):
+      // per column, 10 conditional counts
+      histTargets.foreach { case (c, (mn, mx)) =>
+        val m = measure(c).get
+        val w = (mx + 1.0 - mn) / HistBuckets
+        (1 to HistBuckets).foreach { b =>
+          val lo = mn + (b - 1) * w; val hi = mn + b * w
+          sAggs :+= sum(when(m >= lo && m < hi, 1L).otherwise(0L)).as(s"${c.name}__h$b")
+        }
+      }
+      val hr = df.agg(sAggs.head, sAggs.tail: _*).head()
+      moments = momentTargets.map { case (k, _, nk, mn, mx, _) =>
+        k -> combineMoments(r.getAs[Long](s"${nk}__n"),
+          if (mx > mn) mx - mn else 1.0,
+          getD(hr, s"${k}__s1"), getD(hr, s"${k}__s2"),
+          getD(hr, s"${k}__s3"), getD(hr, s"${k}__s4"))
+      }.toMap
+      hists = histTargets.map { case (c, (mn, mx)) =>
+        val w = (mx + 1.0 - mn) / HistBuckets
+        val bounds = (1 to HistBuckets).map(b => mn + b * w)
+        val freqs = (1 to HistBuckets).map(b => hr.getAs[Long](s"${c.name}__h$b"))
+        c.name -> (bounds, freqs)
+      }.toMap
+    }
+
+    def numStats(p: String): NumericStats = {
+      val (v, sk, ku) = moments.getOrElse(p, (Double.NaN, Double.NaN, Double.NaN))
+      NumericStats(getD(r, s"${p}_min"), getD(r, s"${p}_mean"), getD(r, s"${p}_max"),
+        v, sk, ku)
+    }
 
     val cols = schema.columns.map { c =>
       val n = r.getAs[Long](s"${c.name}__n")
       val nd = r.getAs[Long](s"${c.name}__nd")
       val numeric = measure(c).map { _ =>
-        val base = numStats(r, c.name)
+        val base = numStats(c.name)
         hists.get(c.name) match {
           case Some((h, f)) => base.copy(hist = h, freq = f)
           case None => base
         }
       }
       val string = if (c.dtype == DType.Str)
-        Some(StringStats(numStats(r, s"${c.name}__len"), numStats(r, s"${c.name}__wc")))
+        Some(StringStats(numStats(s"${c.name}__len"), numStats(s"${c.name}__wc")))
       else None
       c.copy(stats = Some(ColumnStats(nRows, nRows - n, nd, indexed(name, c.name),
         numeric, string)))

@@ -203,12 +203,14 @@ object PipelineCatalog {
     * `GRAFT_GOLDEN_RECORD=true` and copy the printed values.
     */
   private object Golden {
+    // pinned after making StatsCollector moments partition-count
+    // independent; verified identical at SPARK_GRAFT_CPUS=4 and =32
     val q60: Long = 3930762357L
     val q61: Long = 443654505L
-    val q62: Long = 835429714L
-    val q64: Long = 3671029350L
+    val q62: Long = 3306985350L
+    val q64: Long = 2310795803L
     val q63: Map[String, Long] = Map(
-      "gerelt" -> 1770067409L, "mscn" -> 1062057986L, "greq" -> 208779266L,
-      "neo" -> 3911205913L, "relcnn" -> 2862703386L, "treelstm" -> 2699018380L)
+      "gerelt" -> 2574475482L, "mscn" -> 1062057986L, "greq" -> 208779266L,
+      "neo" -> 3911205913L, "relcnn" -> 3781842940L, "treelstm" -> 1998997615L)
   }
 }
