@@ -339,22 +339,22 @@ object Dedup {
       // join branches key on different columns, so without the
       // checkpoint the whole propagate subtree would execute twice
       val direct = cp(labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("cluster_id").as("prev"),
           least(col("cluster_id"), col("prop_min")).as("cluster_id")))
       // pointer jump: labels are always node ids (by induction from the
       // identity seeding), so label(label(n)) is one more join away —
-      // each round the label chain halves, hence O(log d) rounds
+      // each round the label chain halves, hence O(log d) rounds. The
+      // round's START label rides along as `prev`, making the
+      // convergence check a filter over the already-materialized result
+      // instead of a third join per round.
       val next = cp(direct.as("d")
         .join(direct.select(col("node").as("cl"), col("cluster_id").as("cl_lab")),
           col("d.cluster_id") === col("cl"))
-        .select(col("d.node").as("node"),
+        .select(col("d.node").as("node"), col("d.prev").as("prev"),
           least(col("d.cluster_id"), col("cl_lab")).as("cluster_id")))
-      val changed = next.as("n")
-        .join(labels.select(col("node"), col("cluster_id").as("prev")), "node")
-        .where(col("cluster_id") =!= col("prev")).count()
-      converged = changed == 0
+      converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
       rounds += 1
-      labels = next
+      labels = next.drop("prev")
     }
     lastRounds = rounds
     labels.select(col("node").as(idCol), col("cluster_id"))
