@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.plans.BloomSketch
+
+/** Mergeable-synopsis operators: bloom membership, HLL cardinality and
+  * count-min frequency. At warehouse scale the pattern is always the
+  * same — build a bounded sketch per partition in one pass, merge
+  * sketches associatively (the shuffle carries kilobytes, not rows),
+  * and either ship the merged sketch back into the plan as a literal
+  * (bloom prefilter) or read the answer straight off it (HLL estimate,
+  * CMS point query). The reference engine's stats probes
+  * (`dqo/db/clients/postgres.py:122-172`) recompute exact aggregates per
+  * question; sketches are the 100 TB substitute: one pass, then every
+  * follow-up question is free.
+  *
+  * Correctness stance: the bloom path is EXACT (no false negatives, and
+  * false positives die in the exact join that follows — the filter only
+  * decides which rows travel). HLL and CMS are approximate by contract;
+  * their driver queries report the exact value next to a bound check so
+  * the oracle stays deterministic.
+  */
+object Sketches {
+
+  /** [[Dedup.ngramContamination]] with a broadcast bloom prefilter —
+    * identical output, different data movement. The eval side (benchmark
+    * suites — tiny next to the corpus) collapses to its distinct shingle
+    * set and folds into ONE bloom filter; the corpus side then drops
+    * every shingle the filter rules out INSIDE its scan stage, so the
+    * distinct+join shuffle sees only true overlaps plus an fpp-sized
+    * trickle of false positives instead of every shingle in the corpus.
+    * This is the decontamination shape at 100 TB: the quadratic-risk
+    * side (the corpus) never shuffles in full.
+    *
+    * Exactness does not depend on the filter quality: inserted shingles
+    * always pass (no false negatives), and a false positive is a train
+    * shingle absent from the eval set — the equi-join with the eval
+    * shingles discards it. `fpp` only tunes shuffle volume.
+    */
+  def bloomContamination(df: DataFrame, idCol: String, textCol: String,
+                         evalPred: Column, shingleN: Int,
+                         fpp: Double = 0.03): DataFrame = {
+    val spark = df.sparkSession
+    BloomSketch.register(spark)
+    // persisted: the eval branch is consumed three times (filter build,
+    // join probe, per-doc sizes) and the train branch once — without the
+    // persist each consumer re-runs tokenize+shingle+distinct (the
+    // re-inline trap ngramJaccardPairs documents, measured 20× there)
+    val base = df
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), evalPred.as("is_eval"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("is_eval"),
+        array_distinct(Dedup.shinglesOf(col("toks"), shingleN)).as("shs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val evalSh = base.where(col("is_eval"))
+      .select(col(idCol), explode(col("shs")).as("sh"))
+    val evalDistinct = evalSh.select("sh").distinct()
+    // the filter build is one eager job over the (persisted, small) eval
+    // branch; its result is a bounded binary on the driver — the same
+    // driver-side footprint Spark's own runtime-filter rule accepts
+    val nEval = evalDistinct.count()
+    val trainSh = base.where(!col("is_eval")).select(explode(col("shs")).as("sh"))
+    val trainCand =
+      if (nEval == 0) trainSh.limit(0)
+      else {
+        val bits = BloomSketch.bloomBits(spark, nEval, fpp)
+        val items = BloomSketch.bloomItems(spark, nEval)
+        val bf = evalDistinct
+          .agg(BloomSketch.bloomAgg(col("sh"), items, bits).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        trainSh.where(BloomSketch.mightContain(bf, col("sh")))
+      }
+    val hits = evalSh.join(trainCand.distinct(), "sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
+    base.where(col("is_eval"))
+      .select(col(idCol), size(col("shs")).cast("long").as("n_sh"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+      .withColumn("contam_frac",
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(col("n_contam").cast("double") / col("n_sh")))
+  }
+
+  /** Per-shard HLL sketches of `valueCol`'s distinct count: one row per
+    * shard with the reusable binary sketch and its point estimate. The
+    * aggregation is map-side combined (each task folds its rows into a
+    * 2^lgK-register sketch; the shuffle moves sketches). Persist the
+    * sketch column per day/partition once and every later cross-shard
+    * cardinality question is a [[hllMergedEstimate]] over kilobytes —
+    * the mergeability exact counts can never have.
+    */
+  def hllShardSketches(df: DataFrame, shardCol: String, valueCol: String,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(col(shardCol))
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /** Union previously built shard sketches into one global estimate —
+    * the shuffle-free merge path over a [[hllShardSketches]] result.
+    */
+  def hllMergedEstimate(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("estimate"))
+
+  /** Count-min sketch over every row of `valueCol` (string terms): one
+    * pass, one bounded binary whose width/depth follow from `eps`
+    * (over-count ≤ eps·N) and `confidence`. Deterministic for a fixed
+    * seed, so estimates are reproducible across runs and partitionings.
+    */
+  def cmsAgg(df: DataFrame, valueCol: String, eps: Double, confidence: Double,
+             seed: Int): Array[Byte] =
+    df.agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+      .head.getAs[Array[Byte]]("cms")
+
+  /** Point-query a serialized [[cmsAgg]] sketch (driver-side, O(depth)). */
+  def cmsEstimate(sketch: Array[Byte], term: String): Long =
+    CountMinSketch.readFrom(new ByteArrayInputStream(sketch)).estimateCount(term)
+}

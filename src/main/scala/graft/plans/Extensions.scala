@@ -102,6 +102,69 @@ object HistogramAgg {
   }
 }
 
+/** Column access to Spark's internal bloom-filter expressions
+  * (`BloomFilterAggregate` / `BloomFilterMightContain` — the pair
+  * Catalyst's own InjectRuntimeFilter rule plants under joins). Exposing
+  * them as session functions lets operators build an EXPLICIT broadcast
+  * bloom: aggregate the small side's keys into one bounded binary
+  * (partial buffers merge associatively, so the shuffle carries one
+  * filter per partition), ship it as a literal, and drop non-candidate
+  * rows inside the big side's scan stage — before any exchange. Both
+  * sides must hash identically; the helpers take the caller's column and
+  * wrap it in the public `xxhash64` at the call site, mirroring the
+  * XxHash64 wrap InjectRuntimeFilter applies.
+  *
+  * Size caps: `checkInputDataTypes` enforces the session confs
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+  * (defaults 4M items / 64Mbits = 8 MB). At warehouse scale, raise the
+  * confs with the driver memory that pays for it; [[bloomBits]] clamps
+  * to the conf so a huge estimate degrades fpp instead of erroring.
+  */
+object BloomSketch {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
+
+  /** Register the two functions on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Optimal bit count for `n` items at false-positive rate `fpp`
+    * (m = -n ln p / ln²2), clamped to the session's runtime-filter cap.
+    */
+  def bloomBits(spark: org.apache.spark.sql.SparkSession, n: Long, fpp: Double): Long = {
+    require(n > 0 && fpp > 0.0 && fpp < 1.0, s"need n>0, 0<fpp<1; got n=$n fpp=$fpp")
+    val ideal = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val cap = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    math.max(64L, math.min(ideal, cap))
+  }
+
+  /** `estimatedNumItems` clamped to the session's runtime-filter cap
+    * (the aggregate rejects values above it; clamping just means the
+    * filter saturates and fpp degrades, which the exact join absorbs).
+    */
+  def bloomItems(spark: org.apache.spark.sql.SparkSession, n: Long): Long = {
+    val cap = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    math.max(1L, math.min(n, cap))
+  }
+
+  /** Aggregate: bloom filter over `xxhash64(c)`, returned as one binary. */
+  def bloomAgg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    call_function("graft_bloom_agg", xxhash64(c), lit(estimatedItems), lit(numBits))
+
+  /** Predicate: might `xxhash64(c)` be in the serialized filter? The
+    * filter rides as a foldable literal, deserialized once per task, and
+    * the test runs in generated code inside the scan's WholeStageCodegen.
+    */
+  def mightContain(filter: Array[Byte], c: Column): Column =
+    call_function("graft_bloom_contains", lit(filter), xxhash64(c))
+}
+
 /** Sound interval predicate-merge on Catalyst Filters: collapses
   * redundant same-column comparisons the reference merges in its IR
   * (a>1 ∧ a>10 → a>10; a>=c ∧ a<=c → a=c; = absorbed by satisfied
@@ -187,5 +250,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[HistogramAgg].getName, "graft_histogram"),
       (exprs: Seq[Expression]) =>
         HistogramAgg(exprs(0), exprs(1), exprs(2), exprs(3)).toAggregateExpression()))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_contains"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, EventOps, Multimodal, Sampling, Similarity, TextAnalysis, TopFraction}
+import graft.ops.{Dedup, EventOps, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TopFraction}
 import graft.ops.PortableHash.{duckHash60 => dh}
 
 /** Query + oracle entries for the training-data-pipeline operators
@@ -30,6 +30,10 @@ object OpsCatalog {
   private val ShuffleShards = 16 // training shards for the corpus shuffle
   private val VocabK = 100       // vocabulary induction size
   private val TopTermsK = 3      // characteristic terms per document
+  private val HllLgK = 12        // 2^12 HLL registers (~1.6% rel. std. err.)
+  private val HllRtol = 0.05     // accepted estimate band (≈3 sigma)
+  private val CmsEps = 0.001     // CMS over-count bound: eps * total tokens
+  private val CmsTopK = 20       // heavy hitters checked against the CMS
 
   // ---- Spark-side query functions -----------------------------------
 
@@ -247,6 +251,56 @@ object OpsCatalog {
       require(nPart == 1, s"expected 1 pruned lang directory, scanned $nPart")
       pruned.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    },
+    // bloom-prefiltered benchmark contamination: same exact semantics
+    // as q51 on a different eval slice (doc_id % 7). The broadcast bloom
+    // only decides which corpus shingles TRAVEL (no false negatives;
+    // false positives die in the exact join), so the oracle is the same
+    // plain SQL — a wrong filter shows up as a value mismatch, not a
+    // weaker check.
+    "q66_bloom_contamination" -> { (s, dir) =>
+      Sketches.bloomContamination(Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") % 7 === 0, ShingleN)
+        .orderBy("doc_id")
+    },
+    // per-shard HLL cardinality sketches + lossless merge: each nation's
+    // distinct-customer estimate and the union-merged global estimate
+    // must sit within HllRtol of the EXACT counts the query also
+    // computes (shard -1 = the merged global row) — the oracle pins the
+    // exact counts and `true` for every band check
+    "q67_hll_cardinality" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val sk = Sketches.hllShardSketches(c, "c_nationkey", "c_custkey", HllLgK)
+      val exact = c.groupBy("c_nationkey").agg(countDistinct("c_custkey").as("n_exact"))
+      val per = exact.join(sk.select(col("c_nationkey"), col("estimate")), Seq("c_nationkey"))
+        .select(col("c_nationkey").cast("long").as("shard"), col("n_exact"),
+          (abs(col("estimate") - col("n_exact")) <= col("n_exact") * HllRtol).as("hll_ok"))
+      val global = c.agg(countDistinct("c_custkey").as("n_exact"))
+        .crossJoin(Sketches.hllMergedEstimate(sk))
+        .select(lit(-1L).as("shard"), col("n_exact"),
+          (abs(col("estimate") - col("n_exact")) <= col("n_exact") * HllRtol).as("hll_ok"))
+      per.unionAll(global).orderBy("shard")
+    },
+    // count-min heavy hitters: the exact top-CmsTopK terms (one
+    // distributed TakeOrdered) checked against CMS point estimates —
+    // over-count bounded by eps·N, never an undercount. The sketch and
+    // the ≤CmsTopK term rows are the only driver-side data.
+    "q68_cms_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("term")).limit(CmsTopK)
+      val n = toks.count()
+      val sketch = Sketches.cmsAgg(toks, "term", CmsEps, 0.99, seed = 42)
+      val bound = math.ceil(CmsEps * n).toLong
+      val rows = top.collect().map { r =>
+        val term = r.getString(0); val cnt = r.getLong(1)
+        val est = Sketches.cmsEstimate(sketch, term)
+        (term, cnt, est >= cnt && est <= cnt + bound)
+      }.toSeq
+      rows.toDF("term", "cnt", "cms_ok").orderBy(desc("cnt"), asc("term"))
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -992,6 +1046,53 @@ object OpsCatalog {
     "q65_partition_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'de' ORDER BY doc_id""".stripMargin,
+
+    // exact contamination SQL (q51's shape on the % 7 eval slice): the
+    // Spark side's bloom prefilter must be value-invisible
+    "q66_bloom_contamination" ->
+      s"""WITH $shingleCte, dsh AS (
+         |  SELECT DISTINCT doc_id AS id, sh FROM sh
+         |), train AS (
+         |  SELECT DISTINCT sh FROM dsh WHERE id % 7 <> 0
+         |), evalsh AS (
+         |  SELECT id, sh FROM dsh WHERE id % 7 = 0
+         |), hits AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_contam
+         |  FROM evalsh JOIN train USING (sh) GROUP BY id
+         |), nsh AS (
+         |  SELECT d.doc_id AS id, CAST(COUNT(dsh.sh) AS BIGINT) AS n_sh
+         |  FROM documents d LEFT JOIN dsh ON dsh.id = d.doc_id
+         |  WHERE d.doc_id % 7 = 0 GROUP BY d.doc_id
+         |)
+         |SELECT nsh.id AS doc_id, n_sh,
+         |       CAST(COALESCE(n_contam, 0) AS BIGINT) AS n_contam,
+         |       CASE WHEN n_sh = 0 THEN 0.0
+         |            ELSE CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_sh END AS contam_frac
+         |FROM nsh LEFT JOIN hits ON hits.id = nsh.id
+         |ORDER BY doc_id""".stripMargin,
+
+    // the oracle pins the EXACT distinct counts and `true` for every
+    // estimate-band check — an HLL estimate drifting past the band (or a
+    // broken sketch merge) fails as a plain value mismatch
+    "q67_hll_cardinality" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS shard,
+        |       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_exact,
+        |       TRUE AS hll_ok
+        |FROM customer GROUP BY 1
+        |UNION ALL
+        |SELECT -1, CAST(COUNT(DISTINCT c_custkey) AS BIGINT), TRUE FROM customer
+        |ORDER BY shard""".stripMargin,
+
+    // exact top-K terms; cms_ok pinned TRUE = the sketch answer stayed
+    // inside [count, count + ceil(eps*N)] for every heavy hitter
+    "q68_cms_heavy_hitters" ->
+      s"""WITH w AS (
+         |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents
+         |)
+         |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS cms_ok
+         |FROM w GROUP BY term
+         |ORDER BY cnt DESC, term LIMIT $CmsTopK""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,
