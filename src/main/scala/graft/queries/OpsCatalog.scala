@@ -302,6 +302,21 @@ object OpsCatalog {
       }.toSeq
       rows.toDF("term", "cnt", "cms_ok").orderBy(desc("cnt"), asc("term"))
     },
+    // ingestion boundary: export the corpus as JSONL shards, re-ingest
+    // through the declared-schema + corrupt-line gate, emit the rows.
+    // The oracle reads the ORIGINAL parquet, so a lossy escape, schema
+    // drift, or dropped row in the JSONL boundary is a value mismatch.
+    "q69_jsonl_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val docs = Tables.load(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_q69_").toString
+      graft.sources.JsonlStore.write(docs, out)
+      val schema = new StructType()
+        .add("doc_id", LongType).add("text", StringType).add("lang", StringType)
+        .add("source", StringType).add("n_chars", LongType)
+      graft.sources.JsonlStore.readChecked(s, out, schema)
+        .orderBy("doc_id")
+    },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("""SELECT CAST(floor((ts DIV 1000000000) / 3600.0) AS BIGINT) AS hour_bucket,
@@ -1093,6 +1108,12 @@ object OpsCatalog {
          |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS cms_ok
          |FROM w GROUP BY term
          |ORDER BY cnt DESC, term LIMIT $CmsTopK""".stripMargin,
+
+    // the unmodified source table: the JSONL export/ingest must be
+    // value-invisible
+    "q69_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,

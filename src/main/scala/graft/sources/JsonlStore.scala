@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSON-lines corpus source/sink — the interchange format raw text
+  * dumps actually arrive in (one document object per line). Counterpart
+  * of the reference's CSV workload source/sink (`dqo/lab/workloads.py`)
+  * for the document tables; parquet ([[BucketedStore]]) stays the
+  * engine-native layout, JSONL is the ingestion/export boundary.
+  *
+  * Scale rules baked into the API:
+  *  - **Schema is declared, never inferred.** Inference is a full extra
+  *    pass over the data (and samples by default) — at corpus scale the
+  *    schema is a contract, not a discovery.
+  *  - **Malformed lines must not kill the job.** A thousand-executor
+  *    ingest of a crawled dump WILL meet broken lines; PERMISSIVE mode
+  *    routes them to a corrupt-record column so the pipeline counts and
+  *    gates on them ([[readChecked]]) instead of dying at 97%.
+  *  - **Splittability.** Uncompressed (or per-file-sharded) JSONL splits
+  *    on line boundaries, so parallelism follows file size; gzip does
+  *    not split — one giant .gz file serializes the whole scan. The
+  *    writer therefore shards by the dataframe's partitioning.
+  */
+object JsonlStore {
+
+  /** Column malformed lines land in (must be part of the read schema). */
+  val CorruptCol = "_corrupt_record"
+
+  /** Write one JSON object per row/line, sharded by `df`'s partitioning.
+    * `compression` e.g. Some("gzip"): only with enough files to keep the
+    * cluster busy — gzip shards don't split.
+    */
+  def write(df: DataFrame, path: String, compression: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    compression.foreach(c => w.option("compression", c))
+    w.json(path)
+  }
+
+  /** Permissive read with an explicit schema: well-formed lines bind to
+    * `schema`'s columns, malformed ones surface whole in [[CorruptCol]]
+    * (null everywhere else). Note Spark refuses queries that reference
+    * ONLY the corrupt column on the raw relation — aggregate it together
+    * with data columns or cache first ([[readChecked]] does).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Gated ingest: read permissively, count malformed lines, fail fast
+    * if they exceed `maxCorrupt`, and return only the clean rows without
+    * the corrupt column. The count and the clean scan share one cached
+    * pass (also sidestepping the corrupt-column-only query restriction).
+    */
+  def readChecked(spark: SparkSession, path: String, schema: StructType,
+                  maxCorrupt: Long = 0L): DataFrame = {
+    val raw = read(spark, path, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = raw.where(col(CorruptCol).isNotNull).count()
+    require(bad <= maxCorrupt,
+      s"$path: $bad malformed JSONL lines (gate: $maxCorrupt); " +
+        s"inspect with JsonlStore.read(...).where(col(\"$CorruptCol\").isNotNull)")
+    raw.where(col(CorruptCol).isNull).drop(CorruptCol)
+  }
+}
