@@ -59,6 +59,25 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Windowed approximate distinct users — the streaming-safe form of
+    * "unique visitors per hour" at ingest scale. Exact distinct in a
+    * stream needs per-window state proportional to the user set; the
+    * HLL++ aggregate (`approx_count_distinct`) keeps a FIXED register
+    * array per window whatever the cardinality, its buffers merge by
+    * register-max (order-insensitive, so micro-batch boundaries cannot
+    * change the answer), and the watermark still bounds how many windows
+    * hold state. Batch-vs-stream parity is exact, not approximate: both
+    * fold the same value set into the same deterministic sketch
+    * (asserted in StreamingSpec).
+    */
+  def approxDistinctUsers(events: DataFrame, window_ : String = "1 hour",
+                          rsd: Double = 0.02): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), window_))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("approx_users"))
+
   final case class SessionState(count: Long, sum: Double, lastNanos: Long)
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double)
 

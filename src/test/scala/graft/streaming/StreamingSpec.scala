@@ -32,6 +32,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == total) // complete mode emits every window
   }
 
+  test("windowed approx-distinct users equals the batch HLL++ sketch exactly") {
+    val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
+    val agg = EventStream.approxDistinctUsers(stream)
+    EventStream.runToMemory(agg, "adu", org.apache.spark.sql.streaming.OutputMode.Complete())
+    val got = spark.sql("SELECT * FROM adu").collect()
+      .map(r => r.getAs[Any]("window_start").toString -> r.getAs[Long]("approx_users")).toMap
+    assert(got.nonEmpty)
+    // batch ground truth: same sketch over the static table — register-max
+    // merging makes the estimate independent of micro-batching, so this is
+    // EQUALITY, not a tolerance band
+    import org.apache.spark.sql.functions._
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("approx_users"))
+      .collect()
+      .map(r => r.getAs[Any]("window_start").toString -> r.getAs[Long]("approx_users")).toMap
+    assert(got == batch)
+    // and the estimates are real: within rsd-ish of exact per window
+    val exact = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .collect()
+      .map(r => r.getAs[Any]("window_start").toString -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (w, n) =>
+      val e = got(w)
+      assert(math.abs(e - n.toDouble) / math.max(n, 1L) < 0.1, s"window $w: est $e exact $n")
+    }
+  }
+
   test("streaming exact dedup matches the batch content-hash dedup") {
     import org.apache.spark.sql.functions._
     val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
