@@ -73,7 +73,10 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
+    // Double.toString, not the f-interpolator: %f is default-locale
+    // dependent and a comma decimal separator would corrupt the JSON
+    val sp = results.map { case (k, _, s) =>
+      "\"" + k + "\":" + (math.rint(s * 1000) / 1000).toString }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 

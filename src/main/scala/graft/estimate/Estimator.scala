@@ -101,11 +101,20 @@ object Estimator {
     * selects the encoder features ([[featurizeWith]]). */
   def train(spark: SparkSession, db: DbModel, workload: Seq[(String, Double)],
             maxIter: Int = 20, seed: Long = 42L,
-            family: String = "gerelt"): Trained = {
+            family: String = "gerelt"): Trained =
+    trainOnFeatures(spark,
+      workload.map { case (sql, rt) => (featurizeWith(db, sql, family), rt) },
+      maxIter, seed)
+
+  /** [[train]] on pre-computed feature vectors — for callers that
+    * already featurized the workload (encoding is the expensive step;
+    * q63 computes the vectors for its golden CRC anyway).
+    */
+  def trainOnFeatures(spark: SparkSession, featured: Seq[(Array[Double], Double)],
+                      maxIter: Int = 20, seed: Long = 42L): Trained = {
     import spark.implicits._
-    val rows = workload.map { case (sql, rt) =>
-      (Vectors.dense(featurizeWith(db, sql, family)),
-        math.log(math.max(rt, 1e-3)) / math.log(2))
+    val rows = featured.map { case (f, rt) =>
+      (Vectors.dense(f), math.log(math.max(rt, 1e-3)) / math.log(2))
     }.toDF("features", "label")
     val gbt = new GBTRegressor().setMaxIter(maxIter).setMaxDepth(4).setSeed(seed)
     Trained(gbt.fit(rows))

@@ -44,6 +44,10 @@ object StatsCollector {
     * 2 as decimal-exact sums of range-normalized deviations. Domain
     * bound: |value| < 10^32 (decimal(38,6)) — holds for every measure
     * the model covers (prices, counts, epoch seconds, string lengths).
+    * The same cast sets a LOWER precision cliff: values quantize at
+    * 1e-6 absolute before summation, so a measure whose signal lives
+    * below that (per-token probabilities, sub-micro rates) would mean
+    * to 0 silently — rescale such columns before feeding the model.
     */
   private def numAggs(prefix: String, m: Column): Seq[Column] = Seq(
     min(m).as(s"${prefix}_min"), max(m).as(s"${prefix}_max"),

@@ -356,14 +356,18 @@ object Dedup {
       rounds += 1
       labels = next.drop("prev")
     }
-    lastRounds = rounds
+    lastRoundsTL.set(rounds)
     labels.select(col("node").as(idCol), col("cluster_id"))
   }
 
-  /** Rounds the last [[connectedComponents]] call took to converge —
-    * test/diagnostic hook for the O(log diameter) claim.
+  /** Rounds the most recent [[connectedComponents]] call ON THIS THREAD
+    * took — a test-introspection hook (the O(log diameter) assertion in
+    * CorpusOpsSpec). ThreadLocal, not a shared var: concurrent CC runs
+    * in one JVM must not report each other's round counts.
     */
-  @volatile private[graft] var lastRounds: Int = 0
+  private[graft] val lastRoundsTL: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => 0)
+  private[graft] def lastRounds: Int = lastRoundsTL.get()
 
   /** Single-column probe key for the LSH index: (band, bucket) folded
     * into one hash. Spark's bucketed-scan planner only elides the

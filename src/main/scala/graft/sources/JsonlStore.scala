@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructType}
 
 /** JSON-lines corpus source/sink — the interchange format raw text
@@ -51,19 +50,24 @@ object JsonlStore {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
-  /** Gated ingest: read permissively, count malformed lines, fail fast
-    * if they exceed `maxCorrupt`, and return only the clean rows without
-    * the corrupt column. The count and the clean scan share one cached
-    * pass (also sidestepping the corrupt-column-only query restriction).
+  /** Gated ingest: fail fast if malformed lines exceed `maxCorrupt`,
+    * then return the clean rows. The gate is two STREAMING counts — all
+    * lines (PERMISSIVE) minus clean lines (DROPMALFORMED) — never a
+    * cache of the corpus: persisting the whole ingest to run a count
+    * would spill terabytes to executor storage and leak it for the
+    * session (the returned frame gives callers no unpersist handle).
+    * Two extra source scans are I/O-bounded and free of state; they also
+    * sidestep Spark's corrupt-column-only query restriction.
     */
   def readChecked(spark: SparkSession, path: String, schema: StructType,
                   maxCorrupt: Long = 0L): DataFrame = {
-    val raw = read(spark, path, schema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bad = raw.where(col(CorruptCol).isNotNull).count()
+    def mode(m: String) = spark.read.schema(schema).option("mode", m).json(path)
+    val total = mode("PERMISSIVE").count()
+    val clean = mode("DROPMALFORMED")
+    val bad = total - clean.count()
     require(bad <= maxCorrupt,
       s"$path: $bad malformed JSONL lines (gate: $maxCorrupt); " +
         s"inspect with JsonlStore.read(...).where(col(\"$CorruptCol\").isNotNull)")
-    raw.where(col(CorruptCol).isNull).drop(CorruptCol)
+    clean
   }
 }
