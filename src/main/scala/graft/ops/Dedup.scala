@@ -360,6 +360,30 @@ object Dedup {
     labels.select(col("node").as(idCol), col("cluster_id"))
   }
 
+  /** Canonical-corpus selection: keep ONE representative per duplicate
+    * cluster — the document with the highest `scoreCol`, ties to the
+    * smallest `idCol`. Composes downstream of [[connectedComponents]]
+    * (cluster → best doc) to turn a clustered corpus into the deduped
+    * corpus a training run actually reads.
+    *
+    * Scale design: the winner per cluster is ONE struct-max aggregation
+    * — struct ordering is lexicographic, so max of (score, -id) is
+    * "highest score, then smallest id" with full map-side combining and
+    * no per-group sort (a ROW_NUMBER window would sort every cluster);
+    * the kept rows come back via a semi-join on (cluster, id), which
+    * AQE broadcasts when the winner set is small.
+    */
+  def keepBest(df: DataFrame, clusterCol: String, idCol: String,
+               scoreCol: String): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBest needs a numeric id for the deterministic tie-break; " +
+        s"$idCol is ${df.schema(idCol).dataType.simpleString}")
+    val winners = df.groupBy(col(clusterCol))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("neg_id"))).as("w"))
+      .select(col(clusterCol), (-col("w.neg_id")).as(idCol))
+    df.join(winners, Seq(clusterCol, idCol), "left_semi")
+  }
+
   /** Rounds the most recent [[connectedComponents]] call ON THIS THREAD
     * took — a test-introspection hook (the O(log diameter) assertion in
     * CorpusOpsSpec). ThreadLocal, not a shared var: concurrent CC runs

@@ -173,6 +173,18 @@ object OpsCatalog {
       Dedup.connectedComponents(edges, "id_a", "id_b", docs, "doc_id")
         .orderBy("doc_id")
     },
+    // the dedup pipeline's endpoint: cluster near-dups (as q49), then
+    // keep ONE representative per cluster — highest n_chars, ties to
+    // the smallest doc_id — via the map-side-combinable struct-max
+    // (the oracle recomputes it as a ROW_NUMBER window)
+    "q70_canonical_corpus" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text", ShingleN, MaxDf, JaccThresh)
+      val labels = Dedup.connectedComponents(edges, "id_a", "id_b", docs, "doc_id")
+      Dedup.keepBest(docs.join(labels, "doc_id"), "cluster_id", "doc_id", "n_chars")
+        .select("doc_id", "cluster_id", "n_chars")
+        .orderBy("cluster_id")
+    },
     // benchmark-contamination: distinct train/eval 3-gram overlap per
     // eval doc (eval side = doc_id % 10 == 0)
     "q51_contamination" -> { (s, dir) =>
@@ -362,6 +374,38 @@ object OpsCatalog {
        |         unnest(list_transform(range(1, greatest(len(w) - ${ShingleN - 2}, 1)),
        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
        |  FROM docw
+       |)""".stripMargin
+
+  // q33's near-dup pair derivation + the transitive closure over it —
+  // the duplicate-cluster labeling shared by the q49 and q70 oracles
+  // (ends with the open `reach(node, r)` CTE; append further CTEs with
+  // a comma or a final SELECT)
+  private val clusterCte =
+    s"""WITH RECURSIVE $shingleCte, dsh AS (
+       |  SELECT DISTINCT doc_id AS id, sh FROM sh
+       |), rare AS (
+       |  SELECT sh FROM dsh GROUP BY sh HAVING COUNT(*) <= $MaxDf
+       |), fsh AS (
+       |  SELECT id, dsh.sh FROM dsh JOIN rare ON dsh.sh = rare.sh
+       |), sizes AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM dsh GROUP BY id
+       |), inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM fsh a JOIN fsh b ON a.sh = b.sh
+       |  WHERE a.id < b.id GROUP BY a.id, b.id
+       |), edges AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.id = id_a
+       |  JOIN sizes sb ON sb.id = id_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= $JaccThresh
+       |), sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM edges
+       |), reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.node = s.dst
        |)""".stripMargin
 
   private val sigCte = {
@@ -883,34 +927,23 @@ object OpsCatalog {
     "q49_dedup_clusters" ->
       // q33's near-dup pairs as the edge set, then the transitive closure
       // via a recursive CTE: cluster_id = min doc id reachable
-      s"""WITH RECURSIVE $shingleCte, dsh AS (
-         |  SELECT DISTINCT doc_id AS id, sh FROM sh
-         |), rare AS (
-         |  SELECT sh FROM dsh GROUP BY sh HAVING COUNT(*) <= $MaxDf
-         |), fsh AS (
-         |  SELECT id, dsh.sh FROM dsh JOIN rare ON dsh.sh = rare.sh
-         |), sizes AS (
-         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM dsh GROUP BY id
-         |), inter AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-         |  FROM fsh a JOIN fsh b ON a.sh = b.sh
-         |  WHERE a.id < b.id GROUP BY a.id, b.id
-         |), edges AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes sa ON sa.id = id_a
-         |  JOIN sizes sb ON sb.id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= $JaccThresh
-         |), sym AS (
-         |  SELECT id_a AS src, id_b AS dst FROM edges
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM edges
-         |), reach(node, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.node = s.dst
-         |)
+      s"""$clusterCte
          |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // clustering composed with keep-best selection: one representative
+    // per duplicate cluster (max n_chars, ties to the smallest doc_id)
+    "q70_canonical_corpus" ->
+      s"""$clusterCte, labels AS (
+         |  SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY node
+         |)
+         |SELECT doc_id, cluster_id, n_chars FROM (
+         |  SELECT d.doc_id, l.cluster_id, d.n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |                            ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN labels l ON l.doc_id = d.doc_id) t
+         |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
     "q51_contamination" ->
       s"""WITH $shingleCte, dsh AS (

@@ -31,6 +31,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("keepBest keeps the top-scored doc per cluster, ties to the smallest id") {
+    import spark.implicits._
+    val rows = Seq(
+      // cluster 1: clear winner by score
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 20L),
+      // cluster 5: score tie -> smallest id wins
+      (5L, 5L, 40L), (6L, 5L, 40L), (7L, 5L, 15L),
+      // singleton cluster
+      (9L, 9L, 1L)
+    ).toDF("doc_id", "cluster_id", "score")
+    val kept = Dedup.keepBest(rows.repartition(3), "cluster_id", "doc_id", "score")
+      .select("doc_id", "cluster_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(2L -> 1L, 5L -> 5L, 9L -> 9L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepBest(rows.withColumn("doc_id", $"doc_id".cast("string")),
+        "cluster_id", "doc_id", "score")
+    }
+    assert(e.getMessage.contains("numeric id"))
+  }
+
   test("connectedComponents is partition-independent and handles a long chain") {
     import spark.implicits._
     // a 40-node path graph: worst-case diameter for the propagation loop
