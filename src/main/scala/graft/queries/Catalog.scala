@@ -41,6 +41,12 @@ object Catalog {
     // Widening one operand of each multiply to width ≥19 keeps DuckDB in
     // hugeint decimal math (int64 would overflow) while every result stays
     // ≤ DECIMAL(38) so Spark performs the same exact arithmetic.
+    // The derived variance additionally ROUNDs to 4 decimals before
+    // emission: sx2's unscaled value exceeds int64 from sf0.1 up, and
+    // DuckDB's hugeint-decimal→double conversion double-rounds where the
+    // JVM single-rounds — a last-ulp divergence the ROUND collapses
+    // (both engines round the same decimal once the inputs agree to
+    // 1e-16 relative).
     s"""WITH raw AS (
        |  SELECT $col AS xd,
        |         CAST($col AS DECIMAL(14,2)) AS d,
@@ -74,7 +80,7 @@ object Catalog {
        |  n_distinct,
        |  mn AS min_val, mx AS max_val,
        |  CAST(sx AS DOUBLE) / n AS mean_val,
-       |  (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_samp_val,
+       |  ROUND((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 4) AS var_samp_val,
        |  (CAST(sy3 AS DOUBLE) / n
        |     - 3 * (CAST(sy AS DOUBLE) / n) * (CAST(sy2 AS DOUBLE) / n)
        |     + 2 * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
