@@ -38,6 +38,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaCol == got)
   }
 
+  test("bloom functions work through the extensions injection path (SQL)") {
+    import spark.implicits._
+    // build a filter over half the keys via pure SQL — the injected
+    // graft_bloom_agg/graft_bloom_contains, no BloomSketch.register call
+    (1L to 1000L).toDF("k").createOrReplaceTempView("bk")
+    val bf = spark.sql(
+      "SELECT graft_bloom_agg(xxhash64(k), 500L, 8192L) AS bf FROM bk WHERE k % 2 = 0")
+      .head().getAs[Array[Byte]](0)
+    val hits = spark.sql("SELECT k FROM bk")
+      .where(BloomSketch.mightContain(bf, $"k"))
+      .count()
+    // no false negatives: all 500 even keys pass; odd keys only as fpp
+    assert(hits >= 500, s"false negatives: only $hits of 500 members passed")
+    assert(hits <= 600, s"fpp blown: $hits of 1000 passed (expected ~500 + small fp)")
+  }
+
   test("interval merge collapses redundant bounds in the optimized plan") {
     val filtered = rangeA(100).where("a > 1.0 AND a > 10.0 AND a < 90.0 AND a < 95.0")
     val optimized = filtered.queryExecution.optimizedPlan.toString
