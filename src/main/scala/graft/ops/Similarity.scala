@@ -252,6 +252,72 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"), col("rank"))
   }
 
+  /** Persist the IVF index for repeated serving: the cell assignments
+    * land as a parquet table BUCKETED on `cell` (the probe join key)
+    * with the centroid codebook as a small side table — the ANN
+    * counterpart of [[graft.ops.Dedup.buildLshIndex]]. A later
+    * [[ivfIndexTopK]] probes it without recomputing assignments and,
+    * because the cell side is pre-bucketed, without shuffling the
+    * corpus: only the (small) query batch moves. At 100 TB the index
+    * build is the one expensive pass; every subsequent query batch
+    * costs O(batch × nprobe × cell size).
+    */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    centroidPred: Column, table: String, path: String,
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    val corpus = ivfCorpus(df, vecCol)
+    corpus.where(centroidPred)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"), col("norm2").as("cnorm2"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/centroids").saveAsTable(s"${table}_centroids")
+    graft.sources.BucketedStore.writeBucketed(
+      assignCells(corpus, idCol, vecCol, centroidPred), table, "cell",
+      numBuckets, s"$path/cells")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'graft.ivf.idCol'='$idCol','graft.ivf.buckets'='$numBuckets')")
+    corpus.unpersist()
+    ()
+  }
+
+  /** ANN top-k for a NEW query batch against a persisted
+    * [[buildIvfIndex]] table: queries rank the broadcast codebook, keep
+    * their `nprobe` nearest cells, and exact-rerank only those cells'
+    * members. The index side joins in place through its bucket layout
+    * (asserted shuffle-free in IvfIndexSpec); nothing of the corpus
+    * is recomputed or moved.
+    */
+  def ivfIndexTopK(queries: DataFrame, idCol: String, vecCol: String,
+                   indexTable: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // a MISSING property is a failure too: a table not built by
+    // buildIvfIndex must not silently serve wrong neighbors
+    require(props.get("graft.ivf.idCol").contains(idCol),
+      s"index $indexTable: graft.ivf.idCol=${props.getOrElse("graft.ivf.idCol", "<missing>")}, caller=$idCol")
+    val cents = broadcast(spark.table(s"${indexTable}_centroids"))
+    val qscored = withNorm2(queries, vecCol)
+      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+      .crossJoin(cents)
+      .withColumn("qcos", cosine(col("vec_a"), col("cvec"), col("norm2_a"), col("cnorm2")))
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("id_a")).orderBy(col("qcos").desc, col("cent_id"))
+    val probes = qscored.withColumn("prank", row_number().over(wq))
+      .where(col("prank") <= nprobe)
+      .select(col("cent_id").as("cell"), col("id_a"), col("vec_a"), col("norm2_a"))
+    val idx = spark.table(indexTable)
+      .select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"),
+        col("norm2").as("norm2_b"))
+    val scored = idx.join(probes, "cell")
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
   /** Multi-probe SRP ANN top-k: each query searches its own bucket PLUS
     * every bucket at Hamming distance 1 (one sign bit flipped) — the
     * standard recall lever for sign-random-projection LSH: the planes+1
