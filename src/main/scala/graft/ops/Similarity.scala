@@ -280,6 +280,43 @@ object Similarity {
     ()
   }
 
+  /** Fold a NEW vector batch into a persisted [[buildIvfIndex]] table:
+    * each vector joins the cell of its nearest stored centroid (the
+    * codebook is NOT re-fit — same quantizer, so existing cells stay
+    * valid) and appends under the same bucket layout. The ingestion
+    * counterpart of [[graft.ops.Dedup.appendToLshIndex]]: index growth
+    * costs O(batch), never a corpus rewrite. Re-fit the codebook with
+    * [[kmeansStep]] + a rebuild when drift warrants it.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                       indexTable: String): Unit = {
+    val spark = newVecs.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.ivf.idCol").contains(idCol),
+      s"index $indexTable: graft.ivf.idCol=${props.getOrElse("graft.ivf.idCol", "<missing>")}, caller=$idCol")
+    val numBuckets = props.get("graft.ivf.buckets").map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$indexTable lacks graft.ivf.buckets — not built by buildIvfIndex?"))
+    val cents = broadcast(newVecs.sparkSession.table(s"${indexTable}_centroids"))
+    val scored = withNorm2(newVecs, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("norm2"))
+      .crossJoin(cents)
+      .select(col("id"), col("vec"), col("norm2"),
+        struct(
+          cosine(col("vec"), col("cvec"), col("norm2"), col("cnorm2")).as("cos"),
+          (-col("cent_id")).as("neg_cent")).as("cand"))
+    val assigned = scored.groupBy("id")
+      .agg(max(col("cand")).as("best"), first(col("vec")).as("vec"),
+        first(col("norm2")).as("norm2"))
+      .select(col("id"), col("vec"), col("norm2"), (-col("best.neg_cent")).as("cell"))
+    // the append writer must re-declare the table's bucket spec or Spark
+    // rejects it ("Specified bucketing does not match")
+    assigned.write.format("parquet")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .mode("append").saveAsTable(indexTable)
+  }
+
   /** ANN top-k for a NEW query batch against a persisted
     * [[buildIvfIndex]] table: queries rank the broadcast codebook, keep
     * their `nprobe` nearest cells, and exact-rerank only those cells'

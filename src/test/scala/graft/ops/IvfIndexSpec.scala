@@ -66,6 +66,20 @@ class IvfIndexSpec extends AnyFunSuite {
       s"index side shuffled:\n${join.children.mkString("\n---\n")}")
   }
 
+  test("appended vectors are served by subsequent probes") {
+    // exact copies of two corpus vectors under new ids: after the
+    // append, a probe with the original vectors must surface the copies
+    // (cosine 1.0 -> rank 1 ahead of any non-identical neighbor)
+    val newRows = embeddings.where(col("vec_id").isin(3L, 7L))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(newRows, "vec_id", "embedding", "ivf_idx")
+    val got = Similarity.ivfIndexTopK(embeddings.where(col("vec_id").isin(3L, 7L)),
+        "vec_id", "embedding", "ivf_idx", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (q <- Seq(3L, 7L))
+      assert(got.contains((q, q + 100000L)), s"appended copy of $q not served: $got")
+  }
+
   test("probe refuses an index built with a different id column") {
     val e = intercept[IllegalArgumentException] {
       Similarity.ivfIndexTopK(embeddings, "other_id", "embedding", "ivf_idx",
