@@ -26,15 +26,22 @@ object Tables {
     * the timed runs measure the query. Keyed by session identity so a
     * rebuilt session (new catalog) re-registers.
     */
-  private val registered = scala.collection.concurrent.TrieMap.empty[Int, String]
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark)
-    // memoize the LAST dir, not a set: switching dirs must re-register
-    // (the views are same-named), and switching back must re-register
-    // again or stale views would serve the other dir's data
-    if (!registered.get(key).contains(dir)) {
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered(key) = dir
+  // WeakHashMap on the session OBJECT: identity hashes collide across
+  // GC'd sessions (a later session could silently no-op registration),
+  // and weak keys let dead sessions drop out instead of pinning entries
+  private val registered = new java.util.WeakHashMap[SparkSession, String]()
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    // one lock around check+register: concurrent callers with different
+    // dirs must not interleave the ten view writes (the memo would then
+    // record one dir over a half-and-half catalog)
+    registered.synchronized {
+      // memoize the LAST dir, not a set: switching dirs must re-register
+      // (the views are same-named), and switching back must re-register
+      // again or stale views would serve the other dir's data
+      if (registered.get(spark) != dir) {
+        names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+        registered.put(spark, dir)
+        ()
+      }
     }
-  }
 }

@@ -267,6 +267,16 @@ object Similarity {
                     numBuckets: Int): Unit = {
     val spark = df.sparkSession
     val corpus = ivfCorpus(df, vecCol)
+    // pin the vector dimensionality in the table properties: the decimal
+    // dot kernel truncates to the SHORTER operand, so a wrong-dims probe
+    // or append would silently compute garbage cosines instead of failing
+    val dims = corpus.agg(
+        min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"))
+      .head match {
+        case r if r.getInt(0) == r.getInt(1) => r.getInt(0)
+        case r => throw new IllegalArgumentException(
+          s"mixed vector dims in corpus: ${r.getInt(0)}..${r.getInt(1)}")
+      }
     corpus.where(centroidPred)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"), col("norm2").as("cnorm2"))
       .write.mode("overwrite").format("parquet")
@@ -275,9 +285,34 @@ object Similarity {
       assignCells(corpus, idCol, vecCol, centroidPred), table, "cell",
       numBuckets, s"$path/cells")
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
-      s"'graft.ivf.idCol'='$idCol','graft.ivf.buckets'='$numBuckets')")
+      s"'graft.ivf.idCol'='$idCol','graft.ivf.buckets'='$numBuckets'," +
+      s"'graft.ivf.dims'='$dims')")
     corpus.unpersist()
     ()
+  }
+
+  /** Shared probe/append validation against a [[buildIvfIndex]] table:
+    * the id column and the batch's vector dimensionality must match the
+    * build (a missing property fails too — a table not built by
+    * buildIvfIndex must not serve). Returns the parsed properties.
+    * Mirrors [[graft.ops.Dedup]]'s validateIndexParams.
+    */
+  private def validateIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                               indexTable: String): Map[String, String] = {
+    val spark = batch.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.ivf.idCol").contains(idCol),
+      s"index $indexTable: graft.ivf.idCol=${props.getOrElse("graft.ivf.idCol", "<missing>")}, caller=$idCol")
+    val dims = props.get("graft.ivf.dims").map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$indexTable lacks graft.ivf.dims — not built by buildIvfIndex?"))
+    val batchDims = batch.agg(
+      min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx")).head
+    require(batchDims.getInt(0) == dims && batchDims.getInt(1) == dims,
+      s"vector dims ${batchDims.getInt(0)}..${batchDims.getInt(1)} don't match " +
+        s"index $indexTable dims=$dims (the dot kernel would silently truncate)")
+    props
   }
 
   /** Fold a NEW vector batch into a persisted [[buildIvfIndex]] table:
@@ -290,14 +325,18 @@ object Similarity {
     */
   def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                        indexTable: String): Unit = {
-    val spark = newVecs.sparkSession
-    val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    require(props.get("graft.ivf.idCol").contains(idCol),
-      s"index $indexTable: graft.ivf.idCol=${props.getOrElse("graft.ivf.idCol", "<missing>")}, caller=$idCol")
+    val props = validateIvfIndex(newVecs, idCol, vecCol, indexTable)
     val numBuckets = props.get("graft.ivf.buckets").map(_.toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"$indexTable lacks graft.ivf.buckets — not built by buildIvfIndex?"))
+    // the per-id groupBy below would SILENTLY collapse duplicate ids
+    // (keeping one arbitrary vector); a batch with duplicates is a
+    // caller bug — fail loudly instead of losing vectors
+    val idCounts = newVecs.agg(
+      count(lit(1)).as("n"), count_distinct(col(idCol)).as("nd")).head
+    require(idCounts.getLong(0) == idCounts.getLong(1),
+      s"batch has ${idCounts.getLong(0) - idCounts.getLong(1)} duplicate $idCol " +
+        s"rows — the index stores one row per id; dedup the batch first")
     val cents = broadcast(newVecs.sparkSession.table(s"${indexTable}_centroids"))
     val scored = withNorm2(newVecs, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("norm2"))
@@ -327,12 +366,7 @@ object Similarity {
   def ivfIndexTopK(queries: DataFrame, idCol: String, vecCol: String,
                    indexTable: String, k: Int, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
-    val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    // a MISSING property is a failure too: a table not built by
-    // buildIvfIndex must not silently serve wrong neighbors
-    require(props.get("graft.ivf.idCol").contains(idCol),
-      s"index $indexTable: graft.ivf.idCol=${props.getOrElse("graft.ivf.idCol", "<missing>")}, caller=$idCol")
+    validateIvfIndex(queries, idCol, vecCol, indexTable)
     val cents = broadcast(spark.table(s"${indexTable}_centroids"))
     val qscored = withNorm2(queries, vecCol)
       .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))

@@ -46,7 +46,10 @@ object Catalog {
     // DuckDB's hugeint-decimal→double conversion double-rounds where the
     // JVM single-rounds — a last-ulp divergence the ROUND collapses
     // (both engines round the same decimal once the inputs agree to
-    // 1e-16 relative).
+    // 1e-16 relative). Residual caveat: Spark rounds the shortest
+    // decimal repr where DuckDB rounds the binary value, so an input
+    // landing EXACTLY on a 4-decimal midpoint could still split —
+    // measure-zero for real variances, verified green at sf0.01/sf0.1.
     s"""WITH raw AS (
        |  SELECT $col AS xd,
        |         CAST($col AS DECIMAL(14,2)) AS d,

@@ -53,7 +53,7 @@ class IvfIndexSpec extends AnyFunSuite {
         case s: FileSourceScanExec => s.toString.contains("ivf_idx")
         case _ => false
       }
-    fromIndex.collect()
+    // plan already finalized by the collect above — no second run needed
     val all = BucketedStore.planNodes(fromIndex.queryExecution.executedPlan)
     val join = all.collect {
       case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
