@@ -50,6 +50,22 @@ object JsonlStore {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
+  /** Streaming ingest of a JSONL drop directory — the arrival mode of
+    * real corpus dumps (files land continuously; each is one shard).
+    * Same contract as [[read]]: declared schema, malformed lines routed
+    * whole into [[CorruptCol]] rather than killing the stream. The
+    * count-gate of [[readChecked]] has no streaming equivalent (no
+    * eager count over an unbounded source); route
+    * `where(col(CorruptCol).isNotNull)` to a quarantine sink and alert
+    * on its rate instead.
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
   /** Gated ingest: fail fast if malformed lines exceed `maxCorrupt`,
     * then return the clean rows. The gate is two STREAMING counts — all
     * lines (PERMISSIVE) minus clean lines (DROPMALFORMED) — never a

@@ -72,6 +72,24 @@ class JsonlStoreSpec extends AnyFunSuite {
     assert(ok.count() == 1L)
   }
 
+  test("streaming ingest binds clean lines and quarantines malformed ones") {
+    val dir = Files.createTempDirectory("graft_jsonl_stream_").toString
+    Files.write(java.nio.file.Paths.get(dir, "shard-0.json"),
+      ("""{"doc_id": 1, "text": "ok", "lang": "en"}""" + "\n" +
+       """garbage line""" + "\n" +
+       """{"doc_id": 2, "text": "fine", "lang": "de"}""" + "\n")
+        .getBytes("UTF-8"))
+    val stream = JsonlStore.readStream(spark, dir, docSchema)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("jsonl_in")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT * FROM jsonl_in").collect()
+    assert(rows.count(r => r.getAs[String](JsonlStore.CorruptCol) == null) == 2)
+    val bad = rows.filter(r => r.getAs[String](JsonlStore.CorruptCol) != null)
+    assert(bad.length == 1 && bad.head.getAs[String](JsonlStore.CorruptCol).contains("garbage"))
+  }
+
   test("compressed shards carry the codec extension") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_jsonl_gz_").toString
