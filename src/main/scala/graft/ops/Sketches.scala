@@ -107,6 +107,37 @@ object Sketches {
   def hllMergedEstimate(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
     sketches.agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("estimate"))
 
+  /** One-pass table profile — per column: row count, nulls, exact
+    * distinct count, and whether the HLL estimate lands within `rtol`
+    * of it. The whole profile is ONE wide aggregation (every per-column
+    * expression map-side combines in the same pass), then a row-per-
+    * column unpivot of the single result row — the curation-time
+    * "ANALYZE TABLE" over a corpus. At warehouse scale drop the exact
+    * `count_distinct` columns (they expand the aggregate) and keep the
+    * sketches: estimates come from the same pass and the sketches merge
+    * across shards ([[hllShardSketches]]).
+    *
+    * Values are sketched through a string cast so any column type
+    * profiles uniformly (the datasketches aggregate accepts
+    * int/long/string/binary natively, not double/decimal).
+    */
+  def profile(df: DataFrame, lgK: Int = 12, rtol: Double = 0.05): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggExprs = (count(lit(1)).cast("long").as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).cast("long").as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"), lgK)).as(s"__est_$c"))
+    }).toList
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"), col("__n").as("n_total"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        (abs(col(s"__est_$c") - col(s"__nd_$c")) <= col(s"__nd_$c") * rtol).as("hll_ok"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   /** Count-min sketch over every row of `valueCol` (string terms): one
     * pass, one bounded binary whose width/depth follow from `eps`
     * (over-count ≤ eps·N) and `confidence`. Deterministic for a fixed

@@ -335,6 +335,12 @@ object OpsCatalog {
       }.toSeq
       rows.toDF("term", "cnt", "cms_ok").orderBy(desc("cnt"), asc("term"))
     },
+    // one-pass per-column table profile with an HLL estimate band per
+    // column — the oracle pins the exact counts and `true` per band
+    "q71_profile" -> { (s, dir) =>
+      Sketches.profile(Tables.load(s, dir, "documents"))
+        .orderBy("column_name")
+    },
     // ingestion boundary: export the corpus as JSONL shards, re-ingest
     // through the declared-schema + corrupt-line gate, emit the rows.
     // The oracle reads the ORIGINAL parquet, so a lossy escape, schema
@@ -1162,6 +1168,16 @@ object OpsCatalog {
          |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS cms_ok
          |FROM w GROUP BY term
          |ORDER BY cnt DESC, term LIMIT $CmsTopK""".stripMargin,
+
+    "q71_profile" -> {
+      val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      docCols.sorted.map { c =>
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_total,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, TRUE AS hll_ok
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+    },
 
     // the unmodified source table: the JSONL export/ingest must be
     // value-invisible

@@ -114,6 +114,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == merged2)
   }
 
+  test("profile reports exact counts per column with the HLL band satisfied") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 1.5), (2L, Some("b"), 1.5),
+      (3L, None, 2.5), (4L, Some("a"), 3.5)
+    ).toDF("id", "s", "d").repartition(3)
+    val got = Sketches.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got("id") == ((4L, 0L, 4L, true)))
+    assert(got("s") == ((4L, 1L, 2L, true)))   // nulls excluded from distinct
+    assert(got("d") == ((4L, 0L, 3L, true)))   // double profiled via string cast
+  }
+
   test("cms point estimates never undercount and respect the eps bound") {
     import spark.implicits._
     // zipf-ish: term t_k appears 1000/k times
