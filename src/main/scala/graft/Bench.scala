@@ -23,7 +23,8 @@ object Bench {
     "q54_sessionize", "q55_asof_join", "q56_shuffle_shards", "q57_vocab",
     "q58_top_terms", "q59_clean_text",
     "q41_window_events", "q50_stats_model", "q65_partition_prune",
-    "q66_bloom_contamination", "q67_hll_cardinality", "q68_cms_heavy_hitters")
+    "q66_bloom_contamination", "q67_hll_cardinality", "q68_cms_heavy_hitters",
+    "q71_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
