@@ -106,6 +106,22 @@ object Estimator {
       workload.map { case (sql, rt) => (featurizeWith(db, sql, family), rt) },
       maxIter, seed)
 
+  /** Persist a trained estimator (MLlib writer: tree ensemble +
+    * metadata as parquet/JSON under `path`) — the engine-side
+    * counterpart of the reference's checkpoint files
+    * (estimator/gerelt/v20/model.py save/load of .pt state): a model
+    * trained on one measured campaign serves later sessions without
+    * retraining.
+    */
+  def save(t: Trained, path: String): Unit =
+    t.model.write.overwrite().save(path)
+
+  /** Load a [[save]]d estimator; predictions are bit-identical to the
+    * pre-save model (asserted in EstimatorSpec).
+    */
+  def load(path: String): Trained =
+    Trained(GBTRegressionModel.load(path))
+
   /** [[train]] on pre-computed feature vectors — for callers that
     * already featurized the workload (encoding is the expensive step;
     * q63 computes the vectors for its golden CRC anyway).

@@ -53,4 +53,16 @@ class EstimatorSpec extends AnyFunSuite {
       assert(!p.isNaN)
     }
   }
+
+  test("saved and reloaded models predict bit-identically") {
+    val workload = sqls.zipWithIndex.map { case (s, i) => (s, 1.0 + i) }
+    val t = Estimator.train(spark, db, workload, maxIter = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_gbt_").toString + "/m"
+    Estimator.save(t, path)
+    val back = Estimator.load(path)
+    sqls.foreach { s =>
+      val f = Estimator.featurize(db, s)
+      assert(back.predictLog2(f) == t.predictLog2(f))
+    }
+  }
 }
