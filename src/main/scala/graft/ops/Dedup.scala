@@ -523,7 +523,21 @@ object Dedup {
     * map-side-combined groupBy on the eval id.
     */
   def ngramContamination(df: DataFrame, idCol: String, textCol: String,
-                         evalPred: Column, shingleN: Int): DataFrame = {
+                         evalPred: Column, shingleN: Int): DataFrame =
+    contamination(df, idCol, textCol, evalPred, shingleN)((trainSh, _) => trainSh)
+
+  /** Shared contamination core — the one place the semantics live, so
+    * the plain path and the bloom-prefiltered path
+    * ([[graft.ops.Sketches.bloomContamination]]) cannot drift apart
+    * (both are oracle-checked against the SAME SQL). `trainFilter` may
+    * drop train-shingle occurrences that provably cannot match
+    * (receives the raw train occurrences and the distinct eval shingle
+    * set); the result is exact as long as the filter keeps every true
+    * overlap.
+    */
+  private[ops] def contamination(df: DataFrame, idCol: String, textCol: String,
+                                 evalPred: Column, shingleN: Int)
+                                (trainFilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     // persisted: three consumers (train set, eval explode, eval sizes)
     // branch off this base, and without the persist each branch re-runs
     // the tokenize+shingle+distinct subtree — the re-inlining trap
@@ -535,10 +549,12 @@ object Dedup {
       .select(col(idCol), col("is_eval"),
         array_distinct(shinglesOf(col("toks"), shingleN)).as("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val trainSh = base.where(!col("is_eval"))
-      .select(explode(col("shs")).as("sh")).distinct()
     val evalSh = base.where(col("is_eval"))
       .select(col(idCol), explode(col("shs")).as("sh"))
+    val trainSh = trainFilter(
+        base.where(!col("is_eval")).select(explode(col("shs")).as("sh")),
+        evalSh.select("sh").distinct())
+      .distinct()
     val hits = evalSh.join(trainSh, "sh")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
     base.where(col("is_eval"))

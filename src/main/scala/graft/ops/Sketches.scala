@@ -4,7 +4,6 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch.CountMinSketch
 
 import graft.plans.BloomSketch
@@ -48,44 +47,32 @@ object Sketches {
                          fpp: Double = 0.03): DataFrame = {
     val spark = df.sparkSession
     BloomSketch.register(spark)
-    // persisted: the eval branch is consumed three times (filter build,
-    // join probe, per-doc sizes) and the train branch once — without the
-    // persist each consumer re-runs tokenize+shingle+distinct (the
-    // re-inline trap ngramJaccardPairs documents, measured 20× there)
-    val base = df
-      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), evalPred.as("is_eval"), Dedup.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), col("is_eval"),
-        array_distinct(Dedup.shinglesOf(col("toks"), shingleN)).as("shs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val evalSh = base.where(col("is_eval"))
-      .select(col(idCol), explode(col("shs")).as("sh"))
-    val evalDistinct = evalSh.select("sh").distinct()
-    // the filter build is one eager job over the (persisted, small) eval
-    // branch; its result is a bounded binary on the driver — the same
-    // driver-side footprint Spark's own runtime-filter rule accepts
-    val nEval = evalDistinct.count()
-    val trainSh = base.where(!col("is_eval")).select(explode(col("shs")).as("sh"))
-    val trainCand =
-      if (nEval == 0) trainSh.limit(0)
-      else {
-        val bits = BloomSketch.bloomBits(spark, nEval, fpp)
-        val items = BloomSketch.bloomItems(spark, nEval)
-        val bf = evalDistinct
-          .agg(BloomSketch.bloomAgg(col("sh"), items, bits).as("bf"))
-          .head.getAs[Array[Byte]]("bf")
-        trainSh.where(BloomSketch.mightContain(bf, col("sh")))
-      }
-    val hits = evalSh.join(trainCand.distinct(), "sh")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
-    base.where(col("is_eval"))
-      .select(col(idCol), size(col("shs")).cast("long").as("n_sh"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
-      .withColumn("contam_frac",
-        when(col("n_sh") === 0, lit(0.0))
-          .otherwise(col("n_contam").cast("double") / col("n_sh")))
+    // the semantics live in Dedup.contamination (shared with the plain
+    // path, so the two cannot drift); this hook only decides which train
+    // occurrences TRAVEL. The filter build is one eager job over the
+    // (persisted, small) eval branch; its result is a bounded binary on
+    // the driver — the same footprint Spark's own runtime-filter rule
+    // accepts.
+    Dedup.contamination(df, idCol, textCol, evalPred, shingleN) {
+      (trainSh, evalDistinct) =>
+        val nEval = evalDistinct.count()
+        if (nEval == 0) trainSh.limit(0)
+        else {
+          val bits = BloomSketch.bloomBits(spark, nEval, fpp)
+          val items = BloomSketch.bloomItems(spark, nEval)
+          val bf = evalDistinct
+            .agg(BloomSketch.bloomAgg(col("sh"), items, bits).as("bf"))
+            .head.getAs[Array[Byte]]("bf")
+          trainSh.where(BloomSketch.mightContain(bf, col("sh")))
+        }
+    }
   }
+
+  /** Is the sketch estimate inside `rtol` of the exact value? Shared by
+    * the profile and the driver queries that pin `hll_ok = true`.
+    */
+  def withinBand(est: Column, exact: Column, rtol: Double): Column =
+    abs(est - exact) <= exact * rtol
 
   /** Per-shard HLL sketches of `valueCol`'s distinct count: one row per
     * shard with the reusable binary sketch and its point estimate. The
@@ -133,7 +120,7 @@ object Sketches {
       struct(lit(c).as("column_name"), col("__n").as("n_total"),
         (col("__n") - col(s"__nn_$c")).as("n_nulls"),
         col(s"__nd_$c").as("n_distinct"),
-        (abs(col(s"__est_$c") - col(s"__nd_$c")) <= col(s"__nd_$c") * rtol).as("hll_ok"))
+        withinBand(col(s"__est_$c"), col(s"__nd_$c"), rtol).as("hll_ok"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }

@@ -307,11 +307,11 @@ object OpsCatalog {
       val exact = c.groupBy("c_nationkey").agg(countDistinct("c_custkey").as("n_exact"))
       val per = exact.join(sk.select(col("c_nationkey"), col("estimate")), Seq("c_nationkey"))
         .select(col("c_nationkey").cast("long").as("shard"), col("n_exact"),
-          (abs(col("estimate") - col("n_exact")) <= col("n_exact") * HllRtol).as("hll_ok"))
+          Sketches.withinBand(col("estimate"), col("n_exact"), HllRtol).as("hll_ok"))
       val global = c.agg(countDistinct("c_custkey").as("n_exact"))
         .crossJoin(Sketches.hllMergedEstimate(sk))
         .select(lit(-1L).as("shard"), col("n_exact"),
-          (abs(col("estimate") - col("n_exact")) <= col("n_exact") * HllRtol).as("hll_ok"))
+          Sketches.withinBand(col("estimate"), col("n_exact"), HllRtol).as("hll_ok"))
       per.unionAll(global).orderBy("shard")
     },
     // count-min heavy hitters: the exact top-CmsTopK terms (one
