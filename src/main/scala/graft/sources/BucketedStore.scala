@@ -89,4 +89,44 @@ object BucketedStore {
     */
   def isShuffleFree(df: DataFrame): Boolean =
     !subtreeHasShuffle(df.queryExecution.executedPlan)
+
+  /** Bytes of data files under `path` (Hadoop FS, recursive, dotfiles
+    * and _SUCCESS markers excluded) — sizes the compaction target.
+    */
+  def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    total
+  }
+
+  /** Compact a small-file parquet directory into ~`targetBytes` files.
+    * Incremental ingestion (per-batch appends, streaming sinks, one
+    * file per task) accretes thousands of tiny files, and at corpus
+    * scale that is an operational failure mode of its own: scan tasks
+    * collapse to one-file granularity, footer reads dominate, and the
+    * driver's file index bloats. The rewrite `coalesce`s to
+    * ceil(bytes/targetBytes) output files — coalesce, not repartition:
+    * compaction only ever REDUCES file count, and coalesce merges
+    * partitions without a shuffle (the data is read once and written
+    * once). Pass `shuffle = true` only when the inputs are skewed
+    * enough that evenly-sized outputs are worth one full shuffle.
+    * Returns the output file count.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 512L << 20, shuffle: Boolean = false): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val bytes = dataBytes(spark, inPath)
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val in = spark.read.parquet(inPath)
+    val out = if (shuffle) in.repartition(parts) else in.coalesce(parts)
+    out.write.mode("overwrite").parquet(outPath)
+    parts
+  }
 }

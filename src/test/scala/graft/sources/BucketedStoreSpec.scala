@@ -50,6 +50,27 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(!BucketedStore.isShuffleFree(plain))
   }
 
+  test("compact merges a small-file explosion without a shuffle and preserves the data") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("bs_compact_in_").toString
+    val out = java.nio.file.Files.createTempDirectory("bs_compact_out_").toString + "/c"
+    // 64 tiny files — the per-batch-append accretion shape
+    (1L to 2000L).toDF("v").repartition(64).write.mode("overwrite").parquet(in)
+    def dataFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(dataFiles(in) == 64)
+    val totalBytes = BucketedStore.dataBytes(spark, in)
+    assert(totalBytes > 0)
+    // target sized so everything fits in ONE output file
+    val parts = BucketedStore.compact(spark, in, out, targetBytes = totalBytes + 1)
+    assert(parts == 1 && dataFiles(out) == 1)
+    val back = spark.read.parquet(out).as[Long].collect().sorted
+    assert(back.toSeq == (1L to 2000L))
+    // coalesce path: the rewrite plan must not shuffle
+    assert(BucketedStore.isShuffleFree(spark.read.parquet(in).coalesce(1)))
+  }
+
   test("partitionBy write prunes directories under a partition predicate") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val dir = s"$warehouse/events_p"
