@@ -69,10 +69,45 @@ object Sketches {
   }
 
   /** Is the sketch estimate inside `rtol` of the exact value? Shared by
-    * the profile and the driver queries that pin `hll_ok = true`.
+    * the profile and the driver queries that pin `hll_ok` = true.
     */
   def withinBand(est: Column, exact: Column, rtol: Double): Column =
     abs(est - exact) <= exact * rtol
+
+  /** Exact inner equi-join with a bloom prefilter on the big side: fold
+    * `small`'s join keys into one bounded filter, drop `big` rows whose
+    * key provably has no partner INSIDE big's scan stage, then run the
+    * normal join. The result is exactly `big.join(small, ...)` — no
+    * false negatives, and a false positive just means a row travels to
+    * the join and matches nothing.
+    *
+    * This is Spark's own runtime-filter idea under EXPLICIT control:
+    * Catalyst's InjectRuntimeFilter only fires when its creation-cost
+    * heuristics align within one query, while a pipeline can reuse one
+    * filter across many queries or build it where the optimizer can't
+    * see the selectivity. The shape pays when `small` is selective but
+    * too large to broadcast-join: its KEY SET still fits kilobytes of
+    * bloom, and the big side's shuffle shrinks toward the true match
+    * volume ([[bloomContamination]] is this pattern specialized to
+    * shingles; measured in SCALE.md).
+    */
+  def bloomJoin(big: DataFrame, small: DataFrame,
+                bigKey: String, smallKey: String,
+                fpp: Double = 0.01): DataFrame = {
+    val spark = big.sparkSession
+    BloomSketch.register(spark)
+    val keys = small.select(col(smallKey)).distinct()
+    val n = keys.count()
+    if (n == 0) big.limit(0).join(small, big(bigKey) === small(smallKey))
+    else {
+      val bits = BloomSketch.bloomBits(spark, n, fpp)
+      val bf = keys
+        .agg(BloomSketch.bloomAgg(col(smallKey), BloomSketch.bloomItems(spark, n), bits).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      big.where(BloomSketch.mightContain(bf, col(bigKey)))
+        .join(small, big(bigKey) === small(smallKey))
+    }
+  }
 
   /** Per-shard HLL sketches of `valueCol`'s distinct count: one row per
     * shard with the reusable binary sketch and its point estimate. The

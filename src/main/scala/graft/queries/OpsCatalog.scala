@@ -335,6 +335,19 @@ object OpsCatalog {
       }.toSeq
       rows.toDF("term", "cnt", "cms_ok").orderBy(desc("cnt"), asc("term"))
     },
+    // bloom-prefiltered exact join: lineitem rows drop inside the scan
+    // unless their order key can match the selective orders side; the
+    // oracle is the PLAIN join, so the filter must be value-invisible
+    "q72_bloom_join" -> { (s, dir) =>
+      val big = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val hi = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Sketches.bloomJoin(big, hi, "l_orderkey", "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     // one-pass per-column table profile with an HLL estimate band per
     // column — the oracle pins the exact counts and `true` per band
     "q71_profile" -> { (s, dir) =>
@@ -1168,6 +1181,12 @@ object OpsCatalog {
          |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS cms_ok
          |FROM w GROUP BY term
          |ORDER BY cnt DESC, term LIMIT $CmsTopK""".stripMargin,
+
+    "q72_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q71_profile" -> {
       val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")

@@ -114,6 +114,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == merged2)
   }
 
+  test("bloomJoin equals the plain join, even with a saturated filter") {
+    import spark.implicits._
+    val big = (1L to 5000L).map(i => (i % 500, i)).toDF("k", "v")
+    val small = Seq((7L, "a"), (13L, "b"), (490L, "c"), (9999L, "d")).toDF("sk", "tag")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "sk", "tag").collect().map(_.toSeq).toSet
+    val plain = norm(big.join(small, big("k") === small("sk")))
+    assert(plain.nonEmpty)
+    assert(norm(Sketches.bloomJoin(big, small, "k", "sk")) == plain)
+    // worst-case fpp: the floor-sized filter passes most keys; the join
+    // still discards every false positive
+    assert(norm(Sketches.bloomJoin(big, small, "k", "sk", fpp = 0.49)) == plain)
+    // empty small side -> empty result, same schema
+    val empty = Sketches.bloomJoin(big, small.where(lit(false)), "k", "sk")
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "v", "sk", "tag"))
+  }
+
   test("profile reports exact counts per column with the HLL band satisfied") {
     import spark.implicits._
     val df = Seq(
