@@ -109,6 +109,38 @@ object Sketches {
     }
   }
 
+  /** Exact anti-join (subtract a blocklist) with a bloom shortcut: a
+    * bloom-NEGATIVE key is provably absent from `small`, so those rows
+    * are kept outright and never shuffle — only the maybe-matches go
+    * through the exact `left_anti` join, which removes the false
+    * positives' doubt. This is the decontamination-by-removal shape:
+    * most of the corpus is clean, so most rows take the shuffle-free
+    * branch and the join sees only (true matches + fpp) of the corpus.
+    * Note the asymmetry with [[bloomJoin]]: an anti-join could NOT
+    * simply drop bloom-positive rows (a false positive would wrongly
+    * delete a clean row); splitting on the filter and exact-checking
+    * only the positive side keeps it exact.
+    */
+  def bloomAntiJoin(big: DataFrame, small: DataFrame,
+                    bigKey: String, smallKey: String,
+                    fpp: Double = 0.01): DataFrame = {
+    val spark = big.sparkSession
+    BloomSketch.register(spark)
+    val keys = small.select(col(smallKey)).distinct()
+    val n = keys.count()
+    if (n == 0) big
+    else {
+      val bits = BloomSketch.bloomBits(spark, n, fpp)
+      val bf = keys
+        .agg(BloomSketch.bloomAgg(col(smallKey), BloomSketch.bloomItems(spark, n), bits).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val maybe = BloomSketch.mightContain(bf, col(bigKey))
+      big.where(!maybe)
+        .unionAll(big.where(maybe)
+          .join(small, big(bigKey) === small(smallKey), "left_anti"))
+    }
+  }
+
   /** Per-shard HLL sketches of `valueCol`'s distinct count: one row per
     * shard with the reusable binary sketch and its point estimate. The
     * aggregation is map-side combined (each task folds its rows into a

@@ -348,6 +348,18 @@ object OpsCatalog {
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice")
         .orderBy("l_orderkey", "l_linenumber")
     },
+    // bloom-shortcut anti-join (subtract a blocklist): bloom-negative
+    // rows keep without shuffling; maybe-matches go through the exact
+    // left_anti. Oracle = plain NOT EXISTS.
+    "q73_bloom_anti_join" -> { (s, dir) =>
+      val big = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val block = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      Sketches.bloomAntiJoin(big, block, "l_orderkey", "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     // one-pass per-column table profile with an HLL estimate band per
     // column — the oracle pins the exact counts and `true` per band
     "q71_profile" -> { (s, dir) =>
@@ -1186,6 +1198,13 @@ object OpsCatalog {
       """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q73_bloom_anti_join" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_orderkey = l_orderkey
+        |                    AND o_totalprice > 400000.0)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q71_profile" -> {

@@ -131,6 +131,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "v", "sk", "tag"))
   }
 
+  test("bloomAntiJoin equals the plain anti-join, even with a saturated filter") {
+    import spark.implicits._
+    val big = (1L to 5000L).map(i => (i % 500, i)).toDF("k", "v")
+    val small = Seq(7L, 13L, 490L, 9999L).toDF("sk")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").collect().map(_.toSeq).toSet
+    val plain = norm(big.join(small, big("k") === small("sk"), "left_anti"))
+    assert(plain.nonEmpty && plain.size < 5000)
+    assert(norm(Sketches.bloomAntiJoin(big, small, "k", "sk")) == plain)
+    // saturated filter: every row routes through the exact anti branch,
+    // but no clean row may be lost and no blocked row may survive
+    assert(norm(Sketches.bloomAntiJoin(big, small, "k", "sk", fpp = 0.49)) == plain)
+    // empty blocklist removes nothing
+    assert(norm(Sketches.bloomAntiJoin(big, small.where(lit(false)), "k", "sk")) == norm(big))
+  }
+
   test("profile reports exact counts per column with the HLL band satisfied") {
     import spark.implicits._
     val df = Seq(
