@@ -45,8 +45,6 @@ object Sketches {
   def bloomContamination(df: DataFrame, idCol: String, textCol: String,
                          evalPred: Column, shingleN: Int,
                          fpp: Double = 0.03): DataFrame = {
-    val spark = df.sparkSession
-    BloomSketch.register(spark)
     // the semantics live in Dedup.contamination (shared with the plain
     // path, so the two cannot drift); this hook only decides which train
     // occurrences TRAVEL. The filter build is one eager job over the
@@ -55,15 +53,9 @@ object Sketches {
     // accepts.
     Dedup.contamination(df, idCol, textCol, evalPred, shingleN) {
       (trainSh, evalDistinct) =>
-        val nEval = evalDistinct.count()
-        if (nEval == 0) trainSh.limit(0)
-        else {
-          val bits = BloomSketch.bloomBits(spark, nEval, fpp)
-          val items = BloomSketch.bloomItems(spark, nEval)
-          val bf = evalDistinct
-            .agg(BloomSketch.bloomAgg(col("sh"), items, bits).as("bf"))
-            .head.getAs[Array[Byte]]("bf")
-          trainSh.where(BloomSketch.mightContain(bf, col("sh")))
+        BloomSketch.build(evalDistinct, "sh", fpp) match {
+          case None => trainSh.limit(0)
+          case Some(bf) => trainSh.where(BloomSketch.mightContain(bf, col("sh")))
         }
     }
   }
@@ -93,21 +85,13 @@ object Sketches {
     */
   def bloomJoin(big: DataFrame, small: DataFrame,
                 bigKey: String, smallKey: String,
-                fpp: Double = 0.01): DataFrame = {
-    val spark = big.sparkSession
-    BloomSketch.register(spark)
-    val keys = small.select(col(smallKey)).distinct()
-    val n = keys.count()
-    if (n == 0) big.limit(0).join(small, big(bigKey) === small(smallKey))
-    else {
-      val bits = BloomSketch.bloomBits(spark, n, fpp)
-      val bf = keys
-        .agg(BloomSketch.bloomAgg(col(smallKey), BloomSketch.bloomItems(spark, n), bits).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
-      big.where(BloomSketch.mightContain(bf, col(bigKey)))
-        .join(small, big(bigKey) === small(smallKey))
+                fpp: Double = 0.01): DataFrame =
+    BloomSketch.build(small, smallKey, fpp) match {
+      case None => big.limit(0).join(small, big(bigKey) === small(smallKey))
+      case Some(bf) =>
+        big.where(BloomSketch.mightContain(bf, col(bigKey)))
+          .join(small, big(bigKey) === small(smallKey))
     }
-  }
 
   /** Exact anti-join (subtract a blocklist) with a bloom shortcut: a
     * bloom-NEGATIVE key is provably absent from `small`, so those rows
@@ -123,23 +107,15 @@ object Sketches {
     */
   def bloomAntiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
-                    fpp: Double = 0.01): DataFrame = {
-    val spark = big.sparkSession
-    BloomSketch.register(spark)
-    val keys = small.select(col(smallKey)).distinct()
-    val n = keys.count()
-    if (n == 0) big
-    else {
-      val bits = BloomSketch.bloomBits(spark, n, fpp)
-      val bf = keys
-        .agg(BloomSketch.bloomAgg(col(smallKey), BloomSketch.bloomItems(spark, n), bits).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
-      val maybe = BloomSketch.mightContain(bf, col(bigKey))
-      big.where(!maybe)
-        .unionAll(big.where(maybe)
-          .join(small, big(bigKey) === small(smallKey), "left_anti"))
+                    fpp: Double = 0.01): DataFrame =
+    BloomSketch.build(small, smallKey, fpp) match {
+      case None => big
+      case Some(bf) =>
+        val maybe = BloomSketch.mightContain(bf, col(bigKey))
+        big.where(!maybe)
+          .unionAll(big.where(maybe)
+            .join(small, big(bigKey) === small(smallKey), "left_anti"))
     }
-  }
 
   /** Per-shard HLL sketches of `valueCol`'s distinct count: one row per
     * shard with the reusable binary sketch and its point estimate. The
@@ -171,23 +147,34 @@ object Sketches {
     * sketches: estimates come from the same pass and the sketches merge
     * across shards ([[hllShardSketches]]).
     *
-    * Values are sketched through a string cast so any column type
-    * profiles uniformly (the datasketches aggregate accepts
-    * int/long/string/binary natively, not double/decimal).
+    * Types the datasketches aggregate takes natively (int/long/string/
+    * binary) sketch as-is; everything else goes through a string cast —
+    * never binary-through-string, whose invalid-UTF-8 collapse would
+    * merge distinct values.
     */
   def profile(df: DataFrame, lgK: Int = 12, rtol: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
     val cols = df.columns.toSeq
+    require(cols.distinct.size == cols.size,
+      s"profile needs unique column names; duplicates: ${cols.diff(cols.distinct).distinct.mkString(",")}")
+    // generated aliases embed user column names — reference them
+    // backtick-quoted so a dotted name isn't parsed as a struct access
+    def cq(name: String) = col("`" + name.replace("`", "``") + "`")
+    def sketchable(c: String) = df.schema(c).dataType match {
+      case IntegerType | LongType | StringType | BinaryType => cq(c)
+      case _ => cq(c).cast("string")
+    }
     val aggExprs = (count(lit(1)).cast("long").as("__n") +: cols.flatMap { c =>
-      Seq(count(col(c)).cast("long").as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
-        hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"), lgK)).as(s"__est_$c"))
+      Seq(count(cq(c)).cast("long").as(s"__nn_$c"),
+        count_distinct(cq(c)).as(s"__nd_$c"),
+        hll_sketch_estimate(hll_sketch_agg(sketchable(c), lgK)).as(s"__est_$c"))
     }).toList
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
     val rows = cols.map { c =>
       struct(lit(c).as("column_name"), col("__n").as("n_total"),
-        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"),
-        withinBand(col(s"__est_$c"), col(s"__nd_$c"), rtol).as("hll_ok"))
+        (col("__n") - cq(s"__nn_$c")).as("n_nulls"),
+        cq(s"__nd_$c").as("n_distinct"),
+        withinBand(cq(s"__est_$c"), cq(s"__nd_$c"), rtol).as("hll_ok"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }

@@ -163,6 +163,28 @@ object BloomSketch {
     */
   def mightContain(filter: Array[Byte], c: Column): Column =
     call_function("graft_bloom_contains", lit(filter), xxhash64(c))
+
+  /** Build a filter over the DISTINCT values of `keys(keyCol)`: the one
+    * shared build path for every bloom operator (join, anti-join,
+    * contamination). Persists the distinct set so the sizing count and
+    * the aggregate don't run the upstream plan twice, and returns None
+    * for an empty key set (each caller has a cheaper empty answer than
+    * an empty filter).
+    */
+  def build(keys: org.apache.spark.sql.DataFrame, keyCol: String,
+            fpp: Double): Option[Array[Byte]] = {
+    val spark = keys.sparkSession
+    register(spark)
+    val distinct = keys.select(keys(keyCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = distinct.count()
+      if (n == 0) None
+      else Some(distinct
+        .agg(bloomAgg(distinct(keyCol), bloomItems(spark, n), bloomBits(spark, n, fpp)).as("bf"))
+        .head.getAs[Array[Byte]]("bf"))
+    } finally { distinct.unpersist(); () }
+  }
 }
 
 /** Sound interval predicate-merge on Catalyst Filters: collapses

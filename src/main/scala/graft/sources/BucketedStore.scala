@@ -90,20 +90,54 @@ object BucketedStore {
   def isShuffleFree(df: DataFrame): Boolean =
     !subtreeHasShuffle(df.queryExecution.executedPlan)
 
-  /** Bytes of data files under `path` (Hadoop FS, recursive, dotfiles
-    * and _SUCCESS markers excluded) — sizes the compaction target.
-    */
-  def dataBytes(spark: SparkSession, path: String): Long = {
+  private def listDataFiles(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(p).toString
     val it = fs.listFiles(p, true)
-    var total = 0L
+    val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+      // exclude markers/staging at EVERY path level below the base —
+      // a stale _temporary/.../part-*.parquet subtree from a killed
+      // writer has a clean leaf name but must not count as data
+      val rel = f.getPath.toString.stripPrefix(base).stripPrefix("/")
+      if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        out += f
     }
-    total
+    out.result()
+  }
+
+  /** Bytes of data files under `path` (Hadoop FS, recursive; markers
+    * and _/.-prefixed staging subtrees excluded at every level) — sizes
+    * the compaction target.
+    */
+  def dataBytes(spark: SparkSession, path: String): Long =
+    listDataFiles(spark, path).map(_.getLen).sum
+
+  /** The read+coalesce plan [[compact]] executes, exposed so tests (and
+    * callers wanting a dry look) assert the REAL code path, plus the
+    * file-count target.
+    */
+  def compactPlan(spark: SparkSession, inPath: String,
+                  targetBytes: Long, shuffle: Boolean): (DataFrame, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val in = spark.read.parquet(inPath)
+    // refuse layouts the flat rewrite would silently destroy: a
+    // partitioned directory read flattens its partition columns into
+    // data and every downstream pruning query degrades to a full scan
+    val partCols = in.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fsRel: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        fsRel.partitionSchema.fieldNames.toSeq
+    }.getOrElse(Nil)
+    require(partCols.isEmpty,
+      s"$inPath is partitioned on ${partCols.mkString(",")} — a flat compact would " +
+        "destroy directory pruning; compact per partition directory or rewrite " +
+        "via writePartitioned")
+    val bytes = dataBytes(spark, inPath)
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    (if (shuffle) in.repartition(parts) else in.coalesce(parts), parts)
   }
 
   /** Compact a small-file parquet directory into ~`targetBytes` files.
@@ -117,16 +151,14 @@ object BucketedStore {
     * partitions without a shuffle (the data is read once and written
     * once). Pass `shuffle = true` only when the inputs are skewed
     * enough that evenly-sized outputs are worth one full shuffle.
-    * Returns the output file count.
+    * Partitioned inputs are refused (see [[compactPlan]]). Returns the
+    * ACTUAL output file count (coalesce cannot exceed the input's
+    * partition count, so it may fall short of the byte target).
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long = 512L << 20, shuffle: Boolean = false): Int = {
-    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val bytes = dataBytes(spark, inPath)
-    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val in = spark.read.parquet(inPath)
-    val out = if (shuffle) in.repartition(parts) else in.coalesce(parts)
-    out.write.mode("overwrite").parquet(outPath)
-    parts
+    val (plan, _) = compactPlan(spark, inPath, targetBytes, shuffle)
+    plan.write.mode("overwrite").parquet(outPath)
+    listDataFiles(spark, outPath).size
   }
 }

@@ -159,6 +159,16 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("id") == ((4L, 0L, 4L, true)))
     assert(got("s") == ((4L, 1L, 2L, true)))   // nulls excluded from distinct
     assert(got("d") == ((4L, 0L, 3L, true)))   // double profiled via string cast
+    // dotted column names must profile (generated aliases are
+    // backtick-quoted, not parsed as struct accesses), and binary
+    // columns sketch natively (invalid-UTF-8 values stay distinct)
+    val dotted = df.withColumnRenamed("s", "a.b")
+      .withColumn("bin", when($"id" % 2 === 0, lit(Array[Byte](-1)))
+        .otherwise(lit(Array[Byte](-2))))
+    val got2 = Sketches.profile(dotted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got2("a.b") == ((2L, true)))
+    assert(got2("bin") == ((2L, true)))
   }
 
   test("cms point estimates never undercount and respect the eps bound") {

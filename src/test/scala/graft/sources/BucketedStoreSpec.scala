@@ -63,12 +63,21 @@ class BucketedStoreSpec extends AnyFunSuite {
     val totalBytes = BucketedStore.dataBytes(spark, in)
     assert(totalBytes > 0)
     // target sized so everything fits in ONE output file
-    val parts = BucketedStore.compact(spark, in, out, targetBytes = totalBytes + 1)
-    assert(parts == 1 && dataFiles(out) == 1)
+    val written = BucketedStore.compact(spark, in, out, targetBytes = totalBytes + 1)
+    assert(written == 1 && dataFiles(out) == 1)
     val back = spark.read.parquet(out).as[Long].collect().sorted
     assert(back.toSeq == (1L to 2000L))
-    // coalesce path: the rewrite plan must not shuffle
-    assert(BucketedStore.isShuffleFree(spark.read.parquet(in).coalesce(1)))
+    // the REAL rewrite plan (not a hand-rebuilt equivalent) must not shuffle
+    val (plan, parts) = BucketedStore.compactPlan(spark, in, totalBytes + 1, shuffle = false)
+    assert(parts == 1 && BucketedStore.isShuffleFree(plan))
+    // a partitioned input is refused — flat compaction would destroy pruning
+    val pdir = java.nio.file.Files.createTempDirectory("bs_compact_part_").toString + "/p"
+    (1L to 100L).map(i => (i, i % 3)).toDF("v", "pc")
+      .write.partitionBy("pc").mode("overwrite").parquet(pdir)
+    val e = intercept[IllegalArgumentException] {
+      BucketedStore.compact(spark, pdir, out + "_x", targetBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("partitioned"))
   }
 
   test("partitionBy write prunes directories under a partition predicate") {
