@@ -23,8 +23,9 @@ object Estimator {
     * selection/join), node count + elementwise mean of that type's node
     * vectors (E1-style summary over the tree).
     */
-  def featurize(db: DbModel, sql: String): Array[Double] = {
-    val tree = Encoder.encodeQuery(db, sql)
+  def featurize(db: DbModel, sql: String,
+                plan: Option[graft.lab.ExecOp] = None): Array[Double] = {
+    val tree = Encoder.encodeQuery(db, sql, plan)
     val byType = tree.preorder.groupBy(_.nodeType)
     val dims = Seq("relation" -> 63, "projection" -> 69, "selection" -> 112, "join" -> 203)
     dims.flatMap { case (t, d) =>
@@ -46,11 +47,23 @@ object Estimator {
     * pairs that matrix summary with the parent-pointer structure the
     * TreeLSTM recurses over (node count, tree depth, branch count).
     */
-  val families: Seq[String] = Seq("gerelt", "mscn", "greq", "neo", "relcnn", "treelstm")
+  val families: Seq[String] =
+    Seq("gerelt", "gerelt_v20", "mscn", "greq", "neo", "relcnn", "treelstm")
 
-  def featurizeWith(db: DbModel, sql: String, family: String): Array[Double] =
+  /** `plan` feeds ONLY the "gerelt_v20" family — the reference's
+    * plan-merged variant (v20 vs v15 comparison axis): same tree-summary
+    * shape as "gerelt", but computed over the E10 hybrid tree whose join
+    * structure follows the MEASURED plan (PlanMerge.mergeWithExecPlan).
+    * v20 refuses to featurize without a plan rather than silently
+    * degrading to the parse-order tree.
+    */
+  def featurizeWith(db: DbModel, sql: String, family: String,
+                    plan: Option[graft.lab.ExecOp] = None): Array[Double] =
     family match {
       case "gerelt" => featurize(db, sql)
+      case "gerelt_v20" =>
+        require(plan.nonEmpty, "gerelt_v20 requires a captured executed plan")
+        featurize(db, sql, plan)
       case "neo" => graft.encode.SetEncoders.encodeNeo(db, sql)
       case "greq" =>
         val nodes = graft.encode.SetEncoders.encodeGreq(db, sql)

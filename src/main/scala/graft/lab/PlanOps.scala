@@ -45,6 +45,16 @@ object PlanOps {
   def fromDataFrame(df: DataFrame): ExecOp =
     fromSparkPlan(df.queryExecution.executedPlan)
 
+  /** Execute the plan WITHOUT collecting rows to the driver (the result
+    * set of an arbitrary generated query can be large), then return the
+    * finalized op tree. `executedPlan.execute()` triggers full adaptive
+    * execution; `foreach` drains it executor-side.
+    */
+  def executedOpTree(df: DataFrame): ExecOp = {
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
+    fromDataFrame(df)
+  }
+
   def fromSparkPlan(plan: SparkPlan): ExecOp = {
     val ops = walk(plan)
     if (ops.size == 1) ops.head else ExecOp("Result", "", ops, None)

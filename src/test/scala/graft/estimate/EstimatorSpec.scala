@@ -45,6 +45,17 @@ class EstimatorSpec extends AnyFunSuite {
       Estimator.featurizeWith(db, sqls.head, "nope"))
   }
 
+  test("gerelt_v20 featurizes over the plan-merged tree and refuses to run plan-less") {
+    import graft.lab.ExecOp
+    def scan(t: String) = ExecOp("Scan", t, Nil, None)
+    val plan = ExecOp("Join", "SortMerge Inner", Seq(scan("ta"), scan("tb")), None)
+    val v20 = Estimator.featurizeWith(db, sqls(1), "gerelt_v20", Some(plan))
+    val plain = Estimator.featurizeWith(db, sqls(1), "gerelt")
+    assert(v20.length == plain.length, "v20 keeps the gerelt feature width")
+    intercept[IllegalArgumentException](
+      Estimator.featurizeWith(db, sqls(1), "gerelt_v20"))
+  }
+
   test("GBT trains and predicts on each family") {
     val workload = sqls.zipWithIndex.map { case (s, i) => (s, 1.0 + i) }
     for (family <- Seq("gerelt", "neo", "greq")) {
