@@ -37,8 +37,12 @@ object Tables {
     registered.synchronized {
       // memoize the LAST dir, not a set: switching dirs must re-register
       // (the views are same-named), and switching back must re-register
-      // again or stale views would serve the other dir's data
-      if (registered.get(spark) != dir) {
+      // again or stale views would serve the other dir's data. The memo
+      // also assumes the views are still registered — a caller that
+      // dropped or replaced one would otherwise be silently skipped —
+      // so re-check the catalog (driver-side map lookups, no I/O)
+      if (registered.get(spark) != dir ||
+          !names.forall(spark.catalog.tableExists)) {
         names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
         registered.put(spark, dir)
         ()

@@ -273,6 +273,8 @@ object Similarity {
     val dims = corpus.agg(
         min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"))
       .head match {
+        case r if r.isNullAt(0) => throw new IllegalArgumentException(
+          s"empty corpus: nothing to index into $table")
         case r if r.getInt(0) == r.getInt(1) => r.getInt(0)
         case r => throw new IllegalArgumentException(
           s"mixed vector dims in corpus: ${r.getInt(0)}..${r.getInt(1)}")
@@ -309,6 +311,8 @@ object Similarity {
         s"$indexTable lacks graft.ivf.dims — not built by buildIvfIndex?"))
     val batchDims = batch.agg(
       min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx")).head
+    require(!batchDims.isNullAt(0),
+      s"empty batch: no vectors to validate against $indexTable")
     require(batchDims.getInt(0) == dims && batchDims.getInt(1) == dims,
       s"vector dims ${batchDims.getInt(0)}..${batchDims.getInt(1)} don't match " +
         s"index $indexTable dims=$dims (the dot kernel would silently truncate)")
@@ -337,6 +341,16 @@ object Similarity {
     require(idCounts.getLong(0) == idCounts.getLong(1),
       s"batch has ${idCounts.getLong(0) - idCounts.getLong(1)} duplicate $idCol " +
         s"rows — the index stores one row per id; dedup the batch first")
+    // ids already IN the index are the same bug across batches:
+    // re-appending would silently store two rows per id and ivfIndexTopK
+    // would serve both. Semi-join the (small) batch against the index —
+    // the index side streams through its scan, nothing shuffles in full
+    val preexisting = newVecs.select(col(idCol).as("id"))
+      .join(newVecs.sparkSession.table(indexTable).select(col("id")), Seq("id"), "left_semi")
+      .count()
+    require(preexisting == 0L,
+      s"$preexisting batch ids already present in $indexTable — the index " +
+        "stores one row per id; subtract them or rebuild the index")
     val cents = broadcast(newVecs.sparkSession.table(s"${indexTable}_centroids"))
     val scored = withNorm2(newVecs, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("norm2"))

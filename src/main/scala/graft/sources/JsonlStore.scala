@@ -74,10 +74,28 @@ object JsonlStore {
     * session (the returned frame gives callers no unpersist handle).
     * Two extra source scans are I/O-bounded and free of state; they also
     * sidestep Spark's corrupt-column-only query restriction.
+    *
+    * The shard list is snapshotted ONCE up front so all three scans (two
+    * counts + the returned lazily-re-read frame) see the same files — a
+    * drop directory is exactly the arrival mode where files land between
+    * scans, which would otherwise let `bad` go negative (gate always
+    * passes) and the returned rows differ from what was counted.
     */
   def readChecked(spark: SparkSession, path: String, schema: StructType,
                   maxCorrupt: Long = 0L): DataFrame = {
-    def mode(m: String) = spark.read.schema(schema).option("mode", m).json(path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st)
+      }
+      .map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .map(_.toString)
+    require(files.nonEmpty, s"$path: no JSONL shards to ingest")
+    def mode(m: String) =
+      spark.read.schema(schema).option("mode", m).json(files.toIndexedSeq: _*)
     val total = mode("PERMISSIVE").count()
     val clean = mode("DROPMALFORMED")
     val bad = total - clean.count()

@@ -80,6 +80,30 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(got.contains((q, q + 100000L)), s"appended copy of $q not served: $got")
   }
 
+  test("append refuses ids already present in the index") {
+    // ids 3 and 7 are in the original corpus build — re-appending them
+    // would store two rows per id and probes would serve both
+    val dup = embeddings.where(col("vec_id").isin(3L, 7L))
+      .select(col("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(dup, "vec_id", "embedding", "ivf_idx")
+    }
+    assert(e.getMessage.contains("already present"))
+  }
+
+  test("empty batch fails with a clear message, not an NPE") {
+    val empty = embeddings.where(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexTopK(empty, "vec_id", "embedding", "ivf_idx", k = 3, nprobe = 2)
+    }
+    assert(e.getMessage.contains("empty batch"))
+    val b = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(empty, "vec_id", "embedding", lit(true),
+        "ivf_empty", s"$warehouse/ivf_empty", numBuckets = 2)
+    }
+    assert(b.getMessage.contains("empty corpus"))
+  }
+
   test("probe refuses an index built with a different id column") {
     val e = intercept[IllegalArgumentException] {
       Similarity.ivfIndexTopK(embeddings, "other_id", "embedding", "ivf_idx",
