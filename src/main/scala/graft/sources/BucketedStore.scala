@@ -135,6 +135,18 @@ object BucketedStore {
       s"$inPath is partitioned on ${partCols.mkString(",")} — a flat compact would " +
         "destroy directory pruning; compact per partition directory or rewrite " +
         "via writePartitioned")
+    // refuse bucketed layouts the same way: bucket membership lives in
+    // the FILE NAME (part-...-_NNNNN.c000...), so a flat rewrite would
+    // silently destroy the bucket-file mapping every shuffle-free probe
+    // depends on. A path read can't see the catalog's bucket spec —
+    // detect by Spark's bucket-file naming instead, and route to
+    // compactBucketed (which preserves the layout via the catalog).
+    val bucketNamed = listDataFiles(spark, inPath)
+      .filter(f => BucketFileName.findFirstIn(f.getPath.getName).isDefined)
+    require(bucketNamed.isEmpty,
+      s"$inPath holds bucketed data files (e.g. ${bucketNamed.head.getPath.getName}) — " +
+        "a flat compact would destroy the bucket-file mapping; use " +
+        "compactBucketed(spark, table) on the catalog table instead")
     val bytes = dataBytes(spark, inPath)
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     (if (shuffle) in.repartition(parts) else in.coalesce(parts), parts)
@@ -160,5 +172,86 @@ object BucketedStore {
     val (plan, _) = compactPlan(spark, inPath, targetBytes, shuffle)
     plan.write.mode("overwrite").parquet(outPath)
     listDataFiles(spark, outPath).size
+  }
+
+  /** Spark's bucketed-output file naming: `..._NNNNN.c000.snappy.parquet`
+    * (bucketIdToString pads the bucket id to 5 digits before the writer
+    * extension). Used to refuse flat-compacting a bucketed directory.
+    */
+  private val BucketFileName = """_\d{5}\.c\d{3}""".r
+
+  /** Bucket-PRESERVING compaction for incremental-index tables.
+    * [[graft.ops.Dedup.appendToLshIndex]] / appendToIvfIndex add
+    * `numBuckets` files per batch, so a long-lived index accretes
+    * thousands of small files per bucket — but the flat [[compact]]
+    * would destroy the bucket-file mapping the shuffle-free probes
+    * depend on. This rewrite goes through the catalog instead:
+    * `repartition(numBuckets, key)` pre-shapes the data to EXACTLY the
+    * bucket hash (repartition and bucketBy share Murmur3 pmod
+    * semantics, so each task holds exactly one bucket → exactly one
+    * file per bucket), written as a staging table + catalog rename so a
+    * failure mid-rewrite never leaves the index name dangling. Table
+    * properties (the graft.lsh.* / graft.ivf.* probe contracts) are
+    * re-applied to the staging table before the swap. The table's
+    * LOCATION alternates between `<path>` and `<path>_swap` across
+    * compactions (a table cannot be overwritten from itself in one
+    * pass); callers must address the index by table name, not path.
+    * Returns the output file count (== numBuckets).
+    */
+  def compactBucketed(spark: SparkSession, table: String): Int = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.functions.col
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — use compact() on its directory instead"))
+    require(spec.bucketColumnNames.size == 1,
+      s"$table buckets on ${spec.bucketColumnNames.mkString(",")} — only " +
+        "single-column bucket specs are supported")
+    val key = spec.bucketColumnNames.head
+    val n = spec.numBuckets
+    val oldLoc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newLoc =
+      if (oldLoc.getName.endsWith("_swap"))
+        new org.apache.hadoop.fs.Path(oldLoc.getParent, oldLoc.getName.stripSuffix("_swap"))
+      else new org.apache.hadoop.fs.Path(oldLoc.getParent, oldLoc.getName + "_swap")
+    val staging = s"${table}_compact_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    if (fs.exists(newLoc)) fs.delete(newLoc, true)
+    // AQE's local shuffle read undoes the repartition-to-bucket
+    // alignment in a write-only topology (each write task then reads
+    // mapper-local blocks spanning ALL buckets → tasks × buckets output
+    // files, measured empirically); pin it off for just this write
+    val lsrKey = "spark.sql.adaptive.localShuffleReader.enabled"
+    val lsrWas = spark.conf.getOption(lsrKey)
+    spark.conf.set(lsrKey, "false")
+    try {
+      // read the FILES, not the catalog table: a bucketed-table source
+      // lets the planner treat the repartition as redundant (its
+      // declared partitioning already matches) even when the bucketed
+      // scan itself is disabled, and the write then emits the full
+      // tasks × buckets file cross product. A plain parquet read keeps
+      // the exchange in the plan (bucket ids live only in file names,
+      // so no data is lost)
+      spark.read.parquet(oldLoc.toString)
+        .repartition(n, col(key))
+        .write.format("parquet")
+        .bucketBy(n, key).sortBy(key)
+        .option("path", newLoc.toString)
+        .saveAsTable(staging)
+    } finally {
+      lsrWas match {
+        case Some(v) => spark.conf.set(lsrKey, v)
+        case None => spark.conf.unset(lsrKey)
+      }
+    }
+    val graftProps = meta.properties.filter(_._1.startsWith("graft."))
+    if (graftProps.nonEmpty)
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES(" +
+        graftProps.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    fs.delete(oldLoc, true)
+    listDataFiles(spark, newLoc.toString).size
   }
 }

@@ -80,6 +80,76 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("flat compact refuses a bucketed directory; compactBucketed preserves the layout") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val head = docs.where(col("doc_id") < 400)
+    val batch1 = docs.where(col("doc_id") >= 400 && col("doc_id") < 450)
+    val batch2 = docs.where(col("doc_id") >= 450 && col("doc_id") < 500)
+    val idxPath = s"$warehouse/lsh_cmp"
+    Dedup.buildLshIndex(head, "doc_id", "text", k = 16, shingleN = 3, bands = 4,
+      table = "lsh_cmp", path = idxPath, numBuckets = 4)
+    Dedup.appendToLshIndex(batch1, "doc_id", "text", 16, 3, 4, "lsh_cmp")
+    Dedup.appendToLshIndex(batch2, "doc_id", "text", 16, 3, 4, "lsh_cmp")
+
+    // the flat path-level compactor must refuse this directory — a flat
+    // rewrite would strip the bucket-file mapping out of the file names
+    val e = intercept[IllegalArgumentException] {
+      BucketedStore.compact(spark, idxPath, s"$warehouse/lsh_cmp_flat")
+    }
+    assert(e.getMessage.contains("bucketed"))
+
+    def fileCount(dir: String) =
+      new java.io.File(dir).listFiles().count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    // accretion is per-TASK per-bucket (not per-append per-bucket):
+    // every writing task emits its own file for every bucket it holds,
+    // so 1 build + 2 appends over 4-partition inputs left 48 files here
+    val accreted = fileCount(idxPath)
+    assert(accreted > 4, s"expected small-file accretion beyond numBuckets, got $accreted")
+
+    // probe with exact copies of indexed docs under shifted ids: the
+    // candidates are guaranteed non-empty, so AQE cannot collapse the
+    // probe plan to an EmptyRelation (which would make the shuffle-free
+    // assertion below vacuous)
+    def probe() = Dedup.incrementalLshCandidates(
+      docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")),
+      "doc_id", "text", 16, 3, 4, "lsh_cmp")
+    val before = probe().collect().map(_.toSeq).toSet
+    assert(before.nonEmpty, "probe batch must collide with the index")
+
+    val written = BucketedStore.compactBucketed(spark, "lsh_cmp")
+    assert(written == 4, s"compaction should leave one file per bucket, got $written")
+
+    // same candidates, probe contract (graft.lsh.* properties) intact,
+    // and the index side still reads its buckets in place — no shuffle
+    val dfAfter = probe()
+    val after = dfAfter.collect().map(_.toSeq).toSet
+    assert(after == before,
+      s"compaction changed probe results: ${(after -- before) ++ (before -- after)}")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def scansIndex(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      BucketedStore.planNodes(p).exists {
+        case s: FileSourceScanExec => s.toString.contains("lsh_cmp")
+        case _ => false
+      }
+    val join = BucketedStore.planNodes(dfAfter.queryExecution.executedPlan).collect {
+      case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      case j: ShuffledHashJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+    }.find(j => j.children.exists(scansIndex))
+      .getOrElse(fail("no shuffle join over the compacted index"))
+    val idxSide = join.children.find(scansIndex).get
+    assert(!BucketedStore.subtreeHasShuffle(idxSide),
+      s"compacted index side shuffled:\n$idxSide")
+
+    // a second compaction swaps the location back — still one file per
+    // bucket and the probe still answers
+    assert(BucketedStore.compactBucketed(spark, "lsh_cmp") == 4)
+    assert(probe().collect().map(_.toSeq).toSet == before)
+  }
+
   test("partitionBy write prunes directories under a partition predicate") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val dir = s"$warehouse/events_p"
