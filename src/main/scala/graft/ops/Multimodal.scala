@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct; decode / feature
   * extraction runs per-partition in batches.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` produces a deterministic fake feature vector
-  * from the bytes. Everything around it — schema, batching, partition-
-  * level iteration, feature-column shape — is the real Spark plumbing a
-  * production decoder would drop into (swap `decodeStub` for a JNI/
-  * library call; the `mapPartitions` boundary amortizes model/codec init
-  * per partition, the Spark equivalent of `mapInPandas` batch semantics).
+  * The IMAGE path runs a REAL codec: PNG encode/decode via
+  * `javax.imageio` (public JDK API, headless-safe), with pixel-stat
+  * features oracle-checked in q75. The text stand-in keeps the
+  * deterministic `decodeStub` so its SQL oracle stays expressible.
+  * Audio/video remain chunk-level plumbing ([[sampleFrames]]); a real
+  * media codec would drop into the same `mapPartitions` boundary, which
+  * amortizes codec/model init per partition (the Spark equivalent of
+  * `mapInPandas` batch semantics).
   */
 object Multimodal {
 
@@ -54,15 +55,118 @@ object Multimodal {
     acc.map(_.toDouble / 255.0)
   }
 
-  /** Batch feature extraction over the binary column. Partition-level
-    * iteration keeps per-partition init (real codecs, model weights)
-    * amortized, and the output stays a distributed Dataset.
+  /** Batch feature extraction over the binary column, dispatched on the
+    * modality tag: "image" payloads go through the REAL codec
+    * ([[decodeImage]] → width/height/pixel-stats, padded to
+    * [[FeatureDim]]); other modalities keep the deterministic byte
+    * summary. Partition-level iteration keeps per-partition init (codec
+    * instances, model weights) amortized, and the output stays a
+    * distributed Dataset.
     */
   def extractFeatures(assets: DataFrame)(implicit spark: SparkSession): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.as[Asset].mapPartitions { it =>
-      // real impl: initialize codec/model here, once per partition
-      it.map(a => AssetFeatures(a.asset_id, a.modality, a.n_bytes, decodeStub(a.payload)))
+      // codec/model init would happen here, once per partition
+      it.map { a =>
+        val feature = a.modality match {
+          case "image" => decodeImage(a.payload) match {
+            case Some(f) => Array[Double](f.width, f.height, f.pxMean, f.pxMin, f.pxMax)
+              .padTo(FeatureDim, 0.0)
+            case None => Array.fill(FeatureDim)(-1.0) // undecodable marker
+          }
+          case _ => decodeStub(a.payload)
+        }
+        AssetFeatures(a.asset_id, a.modality, a.n_bytes, feature)
+      }
+    }
+  }
+
+  // ---- real image codec (javax.imageio — public JDK, headless-safe) ----
+
+  /** Pixel-level facts a real decode yields (band 0 = gray/red). */
+  case class DecodedImage(width: Int, height: Int, pxMean: Double,
+                          pxMin: Int, pxMax: Int)
+
+  /** REAL image decode: bytes → BufferedImage via `javax.imageio`, then
+    * exact pixel statistics over band 0 (integer accumulation, one
+    * division — reproducible bit-for-bit by an integer SQL oracle).
+    * Returns None for undecodable payloads (ImageIO yields null for
+    * unrecognized formats) — callers route those to quarantine rather
+    * than killing a 100 TB decode pass over one corrupt file.
+    */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { bi =>
+      val raster = bi.getRaster
+      val (w, h) = (bi.getWidth, bi.getHeight)
+      var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(w, h, sum.toDouble / (w.toLong * h), mn, mx)
+    }
+  }
+
+  /** Deterministic synthetic grayscale PNGs, one per input row:
+    * pixel(i) = (id*31 + i) % 256 over a w×h raster, ENCODED through the
+    * real PNG writer. PNG is lossless, so decoding recovers exactly
+    * these values — which a SQL oracle can also compute analytically —
+    * and the encode/decode round-trip exercises the production codec
+    * path end-to-end. The per-row encoder runs inside mapPartitions like
+    * any other codec.
+    */
+  def synthPngAssets(df: DataFrame, idCol: String, width: Int, height: Int)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(width > 0 && height > 0)
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < width * height) {
+          raster.setSample(i % width, i / width, 0, ((id * 31 + i) % 256).toInt)
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, "image", out.size().toLong, out.toByteArray)
+      }
+    }.toDF("asset_id", "modality", "n_bytes", "payload")
+  }
+
+  /** Image features row for the pixel-stat oracle query. */
+  case class ImageFeatures(asset_id: Long, width: Int, height: Int,
+                           px_mean: Double, px_min: Int, px_max: Int)
+
+  /** Decode every image asset and emit oracle-comparable pixel stats.
+    * Undecodable payloads FAIL here — this entry point is the
+    * correctness gate; the quarantine-style path is
+    * [[extractFeatures]]'s -1 marker.
+    */
+  def imageFeatures(assets: DataFrame)(implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        val d = decodeImage(a.payload).getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.asset_id}: payload is not a decodable image"))
+        // no rounding: the mean is an exact integer sum over w*h pixels,
+        // and for the oracle query w*h is a power of two, so the division
+        // is exact in binary on both engines
+        ImageFeatures(a.asset_id, d.width, d.height, d.pxMean, d.pxMin, d.pxMax)
+      }
     }
   }
 

@@ -104,6 +104,17 @@ object OpsCatalog {
           (0 until Multimodal.FeatureDim).map(j => col("feature")(j).as(s"f$j")): _*)
         .orderBy("asset_id")
     },
+    // REAL codec path: synthesize per-doc grayscale PNGs through the
+    // actual PNG writer, decode through the actual PNG reader
+    // (javax.imageio), and oracle-check the recovered pixel stats —
+    // PNG is lossless and the synthetic raster is analytic, so DuckDB
+    // reproduces the exact values without any image library
+    "q75_image_decode" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      val assets = Multimodal.synthPngAssets(
+        Tables.load(s, dir, "documents"), "doc_id", width = 16, height = 16)
+      Multimodal.imageFeatures(assets).toDF().orderBy("asset_id")
+    },
     "q38_ann_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") % 100 === 0, TopK)
@@ -633,6 +644,21 @@ object OpsCatalog {
          |       $fCols
          |FROM vals GROUP BY doc_id, n ORDER BY asset_id""".stripMargin
     },
+
+    // the synthetic raster is pixel(i) = (doc_id*31 + i) % 256 over a
+    // 16×16 gray image; the PNG round-trip is lossless, so the decoded
+    // stats equal the analytic ones. The mean is exact: integer sum
+    // divided by 256 (a power of two) is exact in binary on both engines
+    "q75_image_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, unnest(range(0, 256)) AS i FROM documents d
+        |)
+        |SELECT doc_id AS asset_id,
+        |       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |       CAST(SUM((doc_id*31 + i) % 256) AS DOUBLE) / 256.0 AS px_mean,
+        |       CAST(MIN((doc_id*31 + i) % 256) AS INTEGER) AS px_min,
+        |       CAST(MAX((doc_id*31 + i) % 256) AS INTEGER) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin,
 
     "q38_ann_topk" ->
       s"""WITH norms AS (

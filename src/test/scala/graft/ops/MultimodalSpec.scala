@@ -36,6 +36,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(3L).head.n_bytes == 0L)
   }
 
+  test("real PNG codec round-trip: encode via ImageIO, decode recovers exact pixels") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 42L).toDF("id")
+    val png = Multimodal.synthPngAssets(ids, "id", width = 16, height = 16)
+    // payloads are REAL PNGs (magic bytes), not fakes
+    val payloads = png.collect().map(r =>
+      r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    payloads.values.foreach(p =>
+      assert(p.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val feats = Multimodal.imageFeatures(png).collect().map(f => f.asset_id -> f).toMap
+    for (id <- Seq(0L, 1L, 7L, 42L)) {
+      val pix = (0 until 256).map(i => ((id * 31 + i) % 256).toInt)
+      val f = feats(id)
+      assert(f.width == 16 && f.height == 16)
+      assert(f.px_min == pix.min && f.px_max == pix.max)
+      assert(f.px_mean == pix.sum.toDouble / 256, s"mean drifted for id=$id")
+    }
+  }
+
+  test("undecodable payloads: quarantine marker in extractFeatures, hard fail in imageFeatures") {
+    import spark.implicits._
+    val garbage = Seq(
+      Multimodal.Asset(9L, "image", 4L, Array[Byte](1, 2, 3, 4))).toDF()
+    val f = Multimodal.extractFeatures(garbage).collect().head
+    assert(f.feature.forall(_ == -1.0), "garbage image should carry the -1 marker")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageFeatures(garbage).collect()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
+  test("extractFeatures dispatches by modality: images decode, text keeps the byte summary") {
+    import spark.implicits._
+    val png = Multimodal.synthPngAssets(Seq(5L).toDF("id"), "id", 16, 16)
+    val imgFeat = Multimodal.extractFeatures(png).collect().head
+    assert(imgFeat.feature.take(2).toSeq == Seq(16.0, 16.0), "image features start w,h")
+    val txt = Seq(Multimodal.Asset(6L, "text", 3L, "abc".getBytes)).toDF()
+    val txtFeat = Multimodal.extractFeatures(txt).collect().head
+    assert(txtFeat.feature.length == Multimodal.FeatureDim &&
+      txtFeat.feature.exists(_ > 0), "text path keeps the deterministic byte summary")
+  }
+
   test("resize strides payloads down to at most targetBytes") {
     val out = Multimodal.resize(assets, targetBytes = 25).collect()
     val a1 = out.find(_.asset_id == 1L).get
