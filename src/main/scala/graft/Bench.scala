@@ -24,7 +24,9 @@ object Bench {
     "q58_top_terms", "q59_clean_text",
     "q41_window_events", "q50_stats_model", "q65_partition_prune",
     "q66_bloom_contamination", "q67_hll_cardinality", "q68_cms_heavy_hitters",
-    "q71_profile", "q72_bloom_join", "q73_bloom_anti_join")
+    "q71_profile", "q72_bloom_join", "q73_bloom_anti_join",
+    "q75_image_decode", "q76_mixture_sample", "q77_zorder_box",
+    "q78_pq_adc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

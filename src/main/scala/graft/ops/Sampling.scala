@@ -114,4 +114,51 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= m)
   }
+
+  /** Split a fractional mixture weight into its deterministic parts:
+    * `floor(w)` guaranteed copies plus a 60-bit hash threshold for one
+    * extra copy with probability `frac(w)`. Public so oracle builders
+    * can embed the SAME integer threshold the operator compares against
+    * (a re-derived double would risk a one-ulp disagreement).
+    */
+  def mixtureParts(w: Double): (Int, Long) = {
+    require(w >= 0 && w < 1000, s"unreasonable mixture weight $w")
+    val whole = math.floor(w).toInt
+    ((whole), math.rint((w - whole) * (1L << 60)).toLong)
+  }
+
+  /** Domain-mixture resampling: re-weight a corpus toward a target
+    * domain mixture (the Pile/DoReMi-style recipe — "books ×2.5, web
+    * ×0.3, drop src9") in one deterministic pass. A row in domain `d`
+    * with weight `w` is emitted `floor(w)` times, plus one more iff its
+    * 60-bit hash falls under `frac(w)·2^60` — so expected multiplicity
+    * is exactly `w`, the decision is a pure function of (salt, id), and
+    * re-runs/engines agree row-for-row. Each emitted copy carries a
+    * `copy` index (0-based) so downstream shuffles/packing treat
+    * upsampled copies as distinct rows.
+    *
+    * Scale design: zero shuffles and zero joins — the weight lookup is
+    * a literal CASE chain (domains are few), the copy fan-out is an
+    * in-row `explode(sequence(...))` bounded by `ceil(max weight)`, and
+    * everything stays inside WholeStageCodegen. At 100 TB this is the
+    * only sane shape: any join against a weights table would shuffle
+    * the corpus; hash-thresholding never moves a row.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+                    weights: Map[String, Double], defaultWeight: Double = 1.0,
+                    salt: String = "mix"): DataFrame = {
+    val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    def copiesFor(w: Double): Column = {
+      val (whole, thresh) = mixtureParts(w)
+      lit(whole) + when(h < thresh, 1).otherwise(0)
+    }
+    val copies = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("int")) { case (acc, (dom, w)) =>
+        when(col(domainCol) === dom, copiesFor(w)).otherwise(acc)
+      }
+    df.withColumn("__copies", coalesce(copies, copiesFor(defaultWeight)))
+      .where(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
 }

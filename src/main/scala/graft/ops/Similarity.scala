@@ -485,4 +485,84 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"), col("rank"))
   }
+
+  // ---- product quantization (PQ / ADC) ------------------------------
+
+  /** Explode a vector column into its `m` contiguous subvectors:
+    * (id, sub, svec) with sub ∈ [0, m). Subspace `sub` covers dims
+    * [sub·subDim, (sub+1)·subDim).
+    */
+  private def subspaced(df: DataFrame, idCol: String, vecCol: String,
+                        m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      posexplode(array((0 until m).map(i =>
+        slice(col(vecCol), i * subDim + 1, subDim)): _*)).as(Seq("sub", "svec")))
+
+  /** Product-quantize the corpus: per subspace, assign every vector the
+    * nearest codeword by squared L2 (argmin ‖x_m − c_m‖² ≡ argmax
+    * 2·x_m·c_m − ‖c_m‖², exact in decimal arithmetic; ties break to the
+    * smaller codeword id). `codePred` selects the codeword source rows —
+    * the same deterministic-codebook convention as [[ivfTopK]]'s
+    * `centroidPred`; one Lloyd refinement per subspace composes via
+    * [[kmeansStep]] exactly as for IVF. Returns (id, sub, code).
+    *
+    * Scale design: THIS is how 100 TB of embeddings become servable —
+    * m·log2(K) bits per vector (64-dim float32 → 8 bytes at m=8, K=256,
+    * a 32× compression) with distance arithmetic against a broadcast
+    * codebook. The encode pass broadcasts the (tiny) codebook, fans each
+    * row out ×m in-row, and the per-(id, sub) argmax is a map-side-
+    * combined aggregate — the corpus shuffles slim (id, sub, best)
+    * structs, never the vectors.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codePred: Column, m: Int, subDim: Int): DataFrame = {
+    val words = subspaced(df.where(codePred), idCol, vecCol, m, subDim)
+      .select(col("sub"), col("id").as("code"), col("svec").as("cvec"),
+        dotDecimal(col("svec"), col("svec")).as("cnorm2"))
+    subspaced(df, idCol, vecCol, m, subDim)
+      .join(broadcast(words), "sub")
+      .select(col("id"), col("sub"), struct(
+        (dotDecimal(col("svec"), col("cvec")) * 2 - col("cnorm2")).as("score"),
+        (-col("code")).as("neg_code")).as("cand"))
+      .groupBy("id", "sub").agg(max(col("cand")).as("best"))
+      .select(col("id"), col("sub"), (-col("best.neg_code")).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over the PQ codes: each query
+    * computes one exact distance table to every (sub, codeword) —
+    * d²(q_m, c) = ‖q_m‖² − 2·q_m·c + ‖c‖², decimal-exact — and a corpus
+    * vector's approximate distance is the sum of its m table lookups.
+    * Smallest sum wins; ties break to the smaller corpus id.
+    *
+    * Scale design: the distance tables are |queries|·m·K tiny rows —
+    * broadcast; the corpus side contributes only its code rows (no
+    * vectors move), and the per-pair sum is a map-side-combined
+    * aggregate of exactly m terms. The full-corpus scan per query is
+    * the PQ bargain: a LUT add per subspace instead of a float dot —
+    * compose with [[ivfTopK]] cells (IVF-PQ) to cut the scan to the
+    * probed cells.
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                codePred: Column, queryPred: Column,
+                m: Int, subDim: Int, k: Int): DataFrame = {
+    val words = subspaced(df.where(codePred), idCol, vecCol, m, subDim)
+      .select(col("sub"), col("id").as("code"), col("svec").as("cvec"),
+        dotDecimal(col("svec"), col("svec")).as("cnorm2"))
+    val codes = pqEncode(df, idCol, vecCol, codePred, m, subDim)
+      .select(col("id").as("id_b"), col("sub"), col("code"))
+    val lut = subspaced(df.where(queryPred), idCol, vecCol, m, subDim)
+      .withColumn("qnorm2", dotDecimal(col("svec"), col("svec")))
+      .join(broadcast(words), "sub")
+      .select(col("id").as("id_a"), col("sub"), col("code"),
+        (col("qnorm2") - dotDecimal(col("svec"), col("cvec")) * 2 + col("cnorm2")).as("d2"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("d2")).as("adc2"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_a")).orderBy(col("adc2").asc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("id_b"),
+        round(col("adc2").cast("double"), 6).as("adc_dist"), col("rank"))
+  }
 }

@@ -34,6 +34,15 @@ object OpsCatalog {
   private val HllRtol = 0.05     // accepted estimate band (≈3 sigma)
   private val CmsEps = 0.001     // CMS over-count bound: eps * total tokens
   private val CmsTopK = 20       // heavy hitters checked against the CMS
+  // target domain mixture for q76: upsample src0 2.5x, keep 1/4 of
+  // src1, drop src2 entirely, pass everything else through at 1.0
+  private val MixWeights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
+  private val ZBits = 8          // z-order bits per dimension (q77)
+  private val ZBoxLo = 32L       // 2-D box probed on the z-ordered table
+  private val ZBoxHi = 95L
+  private val PqM = 8            // PQ subspaces over the 64-dim embeddings
+  private val PqSubDim = 8       // dims per subspace
+  private val PqCodeMod = 48     // deterministic codebook: vec_id % 48 == 0
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -391,6 +400,39 @@ object OpsCatalog {
         .add("source", StringType).add("n_chars", LongType)
       graft.sources.JsonlStore.readChecked(s, out, schema)
         .orderBy("doc_id")
+    },
+    // domain-mixture resampling: copies ~ per-domain weight, hash-
+    // thresholded fractional part, explode fan-out — zero joins/shuffles
+    "q76_mixture_sample" -> { (s, dir) =>
+      Sampling.mixtureSample(Tables.load(s, dir, "documents"), "doc_id", "source",
+          MixWeights, defaultWeight = 1.0)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")
+    },
+    // z-order layout round-trip: write lineitem z-ordered on two derived
+    // dims, read a 2-D box back through the z-range + exact predicates.
+    // The oracle computes the same Morton interleave arithmetically, so
+    // a wrong bit position or an unsound z-interval (dropping in-box
+    // rows) is a value mismatch, not just a slow plan.
+    "q77_zorder_box" -> { (s, dir) =>
+      val out = tempOutput("q77", dir) { o =>
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey") % 256).as("da"), (col("l_suppkey") % 256).as("db"))
+        graft.sources.ZOrderStore.writeZOrdered(li, o, "da", "db", ZBits, numFiles = 32)
+      }
+      graft.sources.ZOrderStore.readBox(s, out, "da", "db", ZBits,
+          ZBoxLo, ZBoxHi, ZBoxLo, ZBoxHi)
+        .select("l_orderkey", "l_linenumber", "da", "db", "zval")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // product quantization + asymmetric-distance top-k: codes from a
+    // deterministic per-subspace codebook, query LUTs, summed lookups
+    "q78_pq_adc" -> { (s, dir) =>
+      Similarity.pqAdcTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % PqCodeMod === 0, col("vec_id") % 100 === 0,
+          PqM, PqSubDim, TopK)
+        .orderBy("id_a", "rank")
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -1248,6 +1290,99 @@ object OpsCatalog {
     "q69_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q76_mixture_sample" -> {
+      // CASE chain mirrors mixtureSample's when-chain; the integer
+      // thresholds come from the SAME mixtureParts computation the
+      // operator uses, so there is no float re-derivation to disagree
+      val arms = MixWeights.toSeq.sortBy(_._1).map { case (dom, w) =>
+        val (whole, thresh) = Sampling.mixtureParts(w)
+        s"WHEN '$dom' THEN $whole + CASE WHEN h < $thresh THEN 1 ELSE 0 END"
+      }.mkString("\n         ")
+      val (dWhole, dThresh) = Sampling.mixtureParts(1.0)
+      val maxCopies = MixWeights.values.map(math.ceil(_).toInt).max max 1
+      s"""WITH hashed AS (
+         |  SELECT doc_id, source,
+         |         ${dh("'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |), counted AS (
+         |  SELECT doc_id, source,
+         |         CASE source
+         |         $arms
+         |         ELSE $dWhole + CASE WHEN h < $dThresh THEN 1 ELSE 0 END END AS copies
+         |  FROM hashed)
+         |SELECT doc_id, source, CAST(c.copy AS INTEGER) AS copy
+         |FROM counted, (SELECT unnest(range(0, $maxCopies)) AS copy) c
+         |WHERE c.copy < copies
+         |ORDER BY doc_id, copy""".stripMargin
+    },
+
+    "q77_zorder_box" -> {
+      // the same Morton interleave, spelled in portable >>/& arithmetic
+      val zTerms = (0 until ZBits).map(i =>
+        s"((da >> $i) & 1) * ${1L << (2 * i + 1)} + ((db >> $i) & 1) * ${1L << (2 * i)}")
+        .mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, da, db, CAST($zTerms AS BIGINT) AS zval
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |             l_partkey % 256 AS da, l_suppkey % 256 AS db
+         |      FROM lineitem)
+         |WHERE da BETWEEN $ZBoxLo AND $ZBoxHi AND db BETWEEN $ZBoxLo AND $ZBoxHi
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "q78_pq_adc" -> {
+      // subspace slicing, per-subspace codeword dots, argmin encode,
+      // query distance tables, ADC sum — each stage decimal-exact in
+      // the q38 idiom so the approximate DISTANCES (not just the ranks)
+      // must match bit-for-bit
+      s"""WITH sv AS (
+         |  SELECT vec_id, CAST(i // $PqSubDim AS INTEGER) AS sub, i, x
+         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |               unnest(embedding) AS x FROM embeddings) t
+         |), cw AS (
+         |  SELECT * FROM sv WHERE vec_id % $PqCodeMod = 0
+         |), cnorm AS (
+         |  SELECT vec_id AS code, sub,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS cnorm2
+         |  FROM cw GROUP BY 1, 2
+         |), enc_dot AS (
+         |  SELECT s.vec_id AS id, c.vec_id AS code, s.sub,
+         |         SUM(CAST(CAST(s.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM sv s JOIN cw c ON c.i = s.i
+         |  GROUP BY 1, 2, 3
+         |), codes AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT e.id, e.sub, e.code,
+         |           ROW_NUMBER() OVER (PARTITION BY e.id, e.sub
+         |             ORDER BY (e.dot * 2 - n.cnorm2) DESC, e.code) AS rn
+         |    FROM enc_dot e JOIN cnorm n ON n.code = e.code AND n.sub = e.sub) t
+         |  WHERE rn = 1
+         |), qnorm AS (
+         |  SELECT vec_id AS id_a, sub,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS qnorm2
+         |  FROM sv WHERE vec_id % 100 = 0 GROUP BY 1, 2
+         |), lut AS (
+         |  SELECT q.vec_id AS id_a, q.sub, c.vec_id AS code,
+         |         SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(20,12))) AS qcdot
+         |  FROM sv q JOIN cw c ON c.i = q.i
+         |  WHERE q.vec_id % 100 = 0 GROUP BY 1, 2, 3
+         |), adc AS (
+         |  SELECT l.id_a, k.id AS id_b,
+         |         SUM(n.qnorm2 - l.qcdot * 2 + cn.cnorm2) AS adc2
+         |  FROM codes k
+         |  JOIN lut l ON l.sub = k.sub AND l.code = k.code
+         |  JOIN qnorm n ON n.id_a = l.id_a AND n.sub = k.sub
+         |  JOIN cnorm cn ON cn.code = k.code AND cn.sub = k.sub
+         |  WHERE l.id_a <> k.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, round(CAST(adc2 AS DOUBLE), 6) AS adc_dist,
+         |       CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT id_a, id_b, adc2,
+         |             ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY adc2, id_b) AS rn
+         |      FROM adc) t
+         |WHERE rn <= $TopK ORDER BY id_a, rank""".stripMargin
+    },
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,

@@ -58,4 +58,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(perStratum.values.forall(_ == 7), s"$perStratum")
     assert(perStratum.keySet.size == 5)
   }
+
+  test("mixtureSample hits target multiplicities and stays deterministic") {
+    val weights = Map("lang0" -> 2.5, "lang1" -> 0.25, "lang2" -> 0.0)
+    val out = Sampling.mixtureSample(corpus, "id", "lang", weights)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 400 source rows per lang; expected 1000 / 100 / 0 / 400 / 400
+    assert(counts.getOrElse("lang2", 0L) == 0L, "weight-0 domain not dropped")
+    assert(math.abs(counts("lang0") - 1000L) < 60, s"lang0=${counts("lang0")}")
+    assert(math.abs(counts("lang1") - 100L) < 40, s"lang1=${counts("lang1")}")
+    assert(counts("lang3") == 400L && counts("lang4") == 400L,
+      "default-weight domains must pass through exactly")
+    // whole-part copies are guaranteed: every kept lang0 row appears >= 2x
+    val lang0Copies = out.where(col("lang") === "lang0")
+      .groupBy("id").count().collect().map(_.getLong(1))
+    assert(lang0Copies.forall(c => c == 2L || c == 3L))
+    // deterministic and partition-independent
+    val again = Sampling.mixtureSample(corpus.repartition(17), "id", "lang", weights)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+  }
 }

@@ -136,4 +136,36 @@ class SimilaritySpec extends AnyFunSuite {
     val ids = salted.toSeq.map { case (a, b, _) => (a, b) }
     assert(ids.distinct.size == ids.size)
   }
+
+  test("pqEncode self-codes codewords; pqAdcTopK == driver-side LUT reference") {
+    import spark.implicits._
+    val rng = new Random(31)
+    val n = 120; val m = 4; val subDim = 4
+    val data = (0 until n).map(i => (i.toLong, Array.fill(m * subDim)(rng.nextFloat() * 2 - 1)))
+    val df = data.toDF("vec_id", "embedding")
+    val codePred = col("vec_id") % 10 === 0
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", codePred, m, subDim)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codes.size == n * m)
+    // every codeword-source vector's subvector is distance 0 from itself
+    for (i <- 0 until n by 10; s <- 0 until m)
+      assert(codes((i.toLong, s)) == i.toLong, s"codeword $i sub $s self-code")
+    // driver-side reference ADC, double arithmetic (ranking is ulp-robust
+    // here because the synthetic vectors are well separated)
+    val vecs = data.toMap
+    def sq(id: Long, s: Int) = vecs(id).slice(s * subDim, (s + 1) * subDim).map(_.toDouble)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = (0 until n by 30).map(_.toLong)
+    val expect = queries.flatMap { q =>
+      val scored = (0 until n).map(_.toLong).filter(_ != q).map { b =>
+        b -> (0 until m).map(s => d2(sq(q, s), sq(codes((b, s)), s))).sum
+      }.sortBy { case (b, d) => (d, b) }.take(3)
+      scored.zipWithIndex.map { case ((b, _), r) => (q, b, r + 1) }
+    }.toSet
+    val got = Similarity.pqAdcTopK(df, "vec_id", "embedding",
+        codePred, col("vec_id") % 30 === 0, m, subDim, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == expect, s"missing=${expect.diff(got).take(5)} extra=${got.diff(expect).take(5)}")
+  }
 }
