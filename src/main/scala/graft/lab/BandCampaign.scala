@@ -1,0 +1,109 @@
+package graft.lab
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.StatsCollector
+
+/** Estimator-parity campaign in the REFERENCE's runtime band. The
+  * reference trains on workloads whose measured runtimes span 1–256 s in
+  * log2 buckets (its Log2Partitioner range); at the driver's sf0.1 every
+  * generated query finishes sub-second, the label spread collapses to
+  * 2–3 buckets, and macro-F1 has nothing to separate — the reason the
+  * earlier sf0.1 campaign reported F1 0.583 against the 0.70–0.754 band.
+  *
+  * This main rebuilds the conditions the reference measured under:
+  * [[DataGenerator.scale]] (G11) synthesizes a `factor`× database from
+  * the sf0.1 stats model (row counts multiply, per-column distributions
+  * hold), persists it as parquet, re-collects EXACT stats over the
+  * scaled tables, and runs the balanced campaign against real Spark
+  * execution — so measured runtimes occupy the positive log2 buckets and
+  * the reported metrics are comparable to the published band.
+  *
+  * Usage: `sbt 'runMain graft.lab.BandCampaign [baseSfDir] [factor] [n] [workDir]'`
+  * The scaled parquet is cached under workDir and reused across runs.
+  */
+object BandCampaign {
+
+  val tables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  private def session(cores: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseSfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toDouble).getOrElse(40.0)
+    val n = args.lift(2).map(_.toInt).getOrElse(48)
+    val workDir = args.lift(3).getOrElse("/tmp/graft_band")
+    // the MEASUREMENT compute budget. Shrinking it is the second lever
+    // (after `factor`) for pushing runtimes into the reference's 1-256 s
+    // band: the reference measured a single Postgres backend, so a
+    // query's compute budget there was a couple of cores, not 32.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaledDir = s"$workDir/x${factor.toInt}"
+
+    // ---- phase 1 (full parallelism): synthesize + model ------------
+    // Data generation and stats collection are campaign PREP, not the
+    // thing being measured — run them on all cores and cache the model
+    // as JSON so reruns at any compute budget skip straight to phase 2.
+    if (!Files.exists(Paths.get(s"$scaledDir/stats.json"))) {
+      val prep = session("32")
+      graft.Tables.registerAll(prep, baseSfDir)
+      val baseDb = StatsCollector.collect(prep, baseSfDir, tables)
+      if (!Files.exists(Paths.get(s"$scaledDir/_done"))) {
+        println(s"[band] generating ${factor}x database under $scaledDir")
+        DataGenerator.scale(prep, baseDb, factor).foreach { case (name, df) =>
+          df.write.mode("overwrite").parquet(s"$scaledDir/$name.parquet")
+        }
+        Files.createDirectories(Paths.get(scaledDir))
+        Files.writeString(Paths.get(s"$scaledDir/_done"), "ok")
+      } else println(s"[band] reusing scaled database at $scaledDir")
+      tables.foreach(t =>
+        prep.read.parquet(s"$scaledDir/$t.parquet").createOrReplaceTempView(t))
+      println(s"[band] collecting stats over the scaled tables")
+      StatsCollector.collect(prep, scaledDir, tables,
+        cachePath = Some(s"$scaledDir/stats.json"))
+      prep.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    } else println(s"[band] reusing cached stats at $scaledDir/stats.json")
+
+    // ---- phase 2 (budgeted): measure + train -----------------------
+    println(s"[band] measurement session: local[$cpus]")
+    val spark = session(cpus)
+    tables.foreach(t =>
+      spark.read.parquet(s"$scaledDir/$t.parquet").createOrReplaceTempView(t))
+    val db = StatsCollector.collect(spark, scaledDir, tables,
+      cachePath = Some(s"$scaledDir/stats.json"))
+
+    // 4. balanced campaign against real execution in the scaled world.
+    // The checkpoint is keyed on the core count too: measured runtimes
+    // are only comparable within one compute budget, so a 2-core
+    // campaign must never resume from 32-core measurements.
+    val r = Campaign.runOnModel(spark, db, n,
+      checkpointPath = Some(s"$workDir/campaign_x${factor.toInt}_c$cpus.cp"),
+      timeoutSec = 300)
+
+    val positive = r.runtimes.count(_ >= 1.0)
+    val buckets = r.runtimes.map(rt =>
+      math.max(0, math.min(8, math.floor(math.log(math.max(rt, 1e-3)) / math.log(2)).toInt + 1)))
+    val spanned = buckets.filter(_ >= 1).distinct.sorted
+    println(f"[band] runtimes: n=${r.runtimes.size} >=1s: $positive " +
+      f"min=${r.runtimes.min}%.2fs max=${r.runtimes.max}%.2fs " +
+      s"positive-log2-buckets spanned=${spanned.mkString(",")}")
+    println(f"[band] n=${r.nMeasured} train(${r.nTrain}): acc=${r.trainAcc}%.3f " +
+      f"mae=${r.trainMae}%.3f f1=${r.trainF1}%.3f | heldout(${r.nTest}): " +
+      f"acc=${r.testAcc}%.3f mae=${r.testMae}%.3f f1=${r.testF1}%.3f")
+    spark.stop()
+  }
+}

@@ -25,7 +25,9 @@ object Campaign {
 
   final case class Result(nMeasured: Int, nTrain: Int, nTest: Int,
                           trainAcc: Double, trainMae: Double, trainF1: Double,
-                          testAcc: Double, testMae: Double, testF1: Double)
+                          testAcc: Double, testMae: Double, testF1: Double,
+                          bucketCounts: Seq[Long] = Nil,
+                          runtimes: Seq[Double] = Nil)
 
   /** Generate `n` measured queries at `sfDir`, train GBT on a
     * deterministic 3:1 split, evaluate both splits. The split hashes
@@ -40,11 +42,29 @@ object Campaign {
 
     println(s"[campaign] collecting stats model over $tables @ $sfDir")
     val db = StatsCollector.collect(spark, sfDir, tables)
+    runOnModel(spark, db, n, checkpointPath, timeoutSec)
+  }
 
+  /** Campaign core against an already-collected model whose tables are
+    * already registered as views — lets [[BandCampaign]] point it at a
+    * scaled-up synthetic database instead of a driver sf directory.
+    */
+  def runOnModel(spark: SparkSession, db: graft.model.DbModel, n: Int,
+                 checkpointPath: Option[String] = None,
+                 timeoutSec: Int = 60): Result = {
     println(s"[campaign] balanced generation of $n measured queries")
     val executor = new Executor(spark, timeoutSec = timeoutSec)
-    val runner: String => Double = sql => executor.time(sql)
     val cpPath = checkpointPath.map(Paths.get(_))
+    // checkpoint INCREMENTALLY (before each new measurement) so a long
+    // campaign killed mid-flight loses at most the in-flight query, not
+    // hours of measured runtimes; `genRef` is assigned right after the
+    // generator is built below
+    var genRef: BalancedQueryGen = null
+    val runner: String => Double = sql => {
+      cpPath.foreach(p => if (genRef != null)
+        Files.writeString(p, genRef.checkpoint.serialize))
+      executor.time(sql)
+    }
     val gen = cpPath.filter(Files.exists(_)) match {
       case Some(p) =>
         println(s"[campaign] resuming from checkpoint $p")
@@ -54,6 +74,7 @@ object Campaign {
       case None =>
         new BalancedQueryGen(db, runner, maxStepsPerGen = 15, seed = 42L)
     }
+    genRef = gen
     val measured = gen.generate(n)
     cpPath.foreach { p =>
       Files.writeString(p, gen.checkpoint.serialize)
@@ -77,7 +98,8 @@ object Campaign {
       })
     val (tAcc, tMae, tF1) = metrics(train)
     val (hAcc, hMae, hF1) = if (test.nonEmpty) metrics(test) else (0.0, 0.0, 0.0)
-    Result(usable.size, train.size, test.size, tAcc, tMae, tF1, hAcc, hMae, hF1)
+    Result(usable.size, train.size, test.size, tAcc, tMae, tF1, hAcc, hMae, hF1,
+      gen.counts.toSeq, usable.map(_._2))
   }
 
   def main(args: Array[String]): Unit = {
