@@ -565,4 +565,63 @@ object Dedup {
         when(col("n_sh") === 0, lit(0.0))
           .otherwise(col("n_contam").cast("double") / col("n_sh")))
   }
+
+  /** Chunk-level (sub-document) exact dedup with document reassembly —
+    * the C4 recipe of dropping repeated spans while keeping the rest of
+    * each document, adapted to span = `w` consecutive tokens (the corpus
+    * has no sentence boundaries). Every document is cut into
+    * non-overlapping `w`-token chunks; across the whole corpus only the
+    * FIRST occurrence of each distinct chunk text (smallest
+    * (id, chunk_idx)) survives; surviving chunks are stitched back into
+    * a cleaned document in original order.
+    *
+    * Returns one row per input document (documents whose every chunk was
+    * dropped keep their row with empty text): (id, clean_text, n_chunks,
+    * n_kept).
+    *
+    * Scale design (100 TB): chunking is pure per-row Column work on the
+    * token array — one explode, no join. First-occurrence selection is a
+    * `groupBy(chunk_text).agg(min(struct(id, idx)))`, which map-side
+    * combines, so a boilerplate chunk repeated 10^9 times (cookie-banner
+    * skew) collapses to one row per partition BEFORE the shuffle — the
+    * window-function formulation (`row_number() over (partition by
+    * chunk_text)`) would put all 10^9 copies in one task, which is why
+    * this is an aggregate and not a window. The aggregate's output IS the
+    * keeper set (no join-back): reassembly and the per-document totals
+    * are two aggregations on the id key, and Catalyst reuses one
+    * exchange for both sides of the final join.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"chunk width must be >= 1, got $w")
+    val spark = df.sparkSession
+    val chunks = df
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(
+        when(size(col("toks")) > 0,
+          transform(
+            sequence(lit(0), floor((size(col("toks")) + w - 1) / lit(w)).cast("int") - 1),
+            i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))
+        ).otherwise(array())))
+      .toDF(idCol, "chunk_idx", "chunk_text")
+    // keepers: exactly the first occurrence of each distinct chunk
+    val keepers = chunks
+      .groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("first"))
+      .select(col("first")(idCol).as(idCol),
+        col("first")("chunk_idx").as("chunk_idx"), col("chunk_text"))
+    val rebuilt = keepers
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s("chunk_text")), " ").as("clean_text"),
+        count(lit(1)).cast("long").as("n_kept"))
+    val totals = chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_chunks"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

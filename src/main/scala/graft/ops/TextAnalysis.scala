@@ -240,4 +240,60 @@ object TextAnalysis {
         wsTokenCount(col("toks")).as("n_ws_tokens"),
         regexTokenCount(col("text_")).as("n_re_tokens"),
         fingerprint(col("toks")).as("fingerprint"))
+
+  /** Corpus-trained bigram language-model likelihood per document — the
+    * CCNet-style "perplexity filter" signal, with the KenLM external
+    * model replaced by add-k-smoothed bigram counts trained on the corpus
+    * itself in one pass. Per document: the mean over its bigrams of
+    *   ln((c(w1 w2) + k) / (c(w1·) + k·V))
+    * where c(w1 w2) is the corpus bigram count, c(w1·) the count of w1 as
+    * a bigram prefix, and V the corpus vocabulary size. Low scores mark
+    * documents whose word transitions are rare in the corpus — the same
+    * ranking perplexity gives (perplexity = exp(-score)). The mean is
+    * rounded to 4 decimals: double-sum order across partitions is
+    * nondeterministic at the 1e-13 level.
+    *
+    * Returns (id, n_bigrams, avg_logp) for every document with at least
+    * one bigram; shorter documents have no transitions to score and are
+    * omitted. Scoring is self-trained, so every document bigram exists in
+    * the count table (inner joins are exact); scoring a FOREIGN corpus
+    * against these counts would need left joins with the unseen-bigram
+    * fallback ln(k / (c(w1·) + k·V)).
+    *
+    * Scale design (100 TB): bigram construction is per-row Column work
+    * (no window, no self-join); both count tables map-side combine before
+    * their shuffle; the prefix table derives from the bigram table
+    * without re-reading the corpus; V rides along as a broadcast scalar.
+    * The score join shuffles on (w1, w2) — both sides pre-aggregated, so
+    * the join input is bounded by corpus size + distinct-bigram count.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    k: Double = 1.0): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    val spark = df.sparkSession
+    val bigrams = df
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + 1).as("w1"),
+                        element_at(col("toks"), i + 2).as("w2")))
+        ).otherwise(array())).as("bg"))
+      .select(col(idCol), col("bg")("w1").as("w1"), col("bg")("w2").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = df
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((col("c2") + k) / (col("c1") + col("v") * k)).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(col("lp")), 4).as("avg_logp"))
+  }
 }

@@ -43,6 +43,8 @@ object OpsCatalog {
   private val PqM = 8            // PQ subspaces over the 64-dim embeddings
   private val PqSubDim = 8       // dims per subspace
   private val PqCodeMod = 48     // deterministic codebook: vec_id % 48 == 0
+  private val ChunkW = 4         // tokens per chunk for sub-document dedup (q79)
+  private val LmK = 1.0          // add-k smoothing for the bigram LM (q80)
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -433,6 +435,17 @@ object OpsCatalog {
           col("vec_id") % PqCodeMod === 0, col("vec_id") % 100 === 0,
           PqM, PqSubDim, TopK)
         .orderBy("id_a", "rank")
+    },
+    // C4-style sub-document dedup: drop repeated 4-token chunks
+    // corpus-wide, stitch the survivors back into cleaned documents
+    "q79_chunk_dedup" -> { (s, dir) =>
+      Dedup.chunkDedup(Tables.load(s, dir, "documents"), "doc_id", "text", ChunkW)
+        .orderBy("doc_id")
+    },
+    // CCNet-style corpus-trained bigram-LM likelihood per document
+    "q80_bigram_lm" -> { (s, dir) =>
+      TextAnalysis.bigramLmScore(Tables.load(s, dir, "documents"), "doc_id", "text", LmK)
+        .orderBy("doc_id")
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -1383,6 +1396,50 @@ object OpsCatalog {
          |      FROM adc) t
          |WHERE rn <= $TopK ORDER BY id_a, rank""".stripMargin
     },
+
+    "q79_chunk_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr FROM documents
+         |), idx AS (
+         |  SELECT doc_id, arr,
+         |         unnest(range(0, CAST(ceil(len(arr)::DOUBLE / $ChunkW) AS BIGINT))) AS ci
+         |  FROM toks
+         |), ct AS (
+         |  SELECT doc_id, ci,
+         |         array_to_string(arr[ci*$ChunkW+1 : ci*$ChunkW+$ChunkW], ' ') AS chunk_text
+         |  FROM idx
+         |), ranked AS (
+         |  SELECT doc_id, ci, chunk_text,
+         |         ROW_NUMBER() OVER (PARTITION BY chunk_text ORDER BY doc_id, ci) AS rn
+         |  FROM ct
+         |)
+         |SELECT doc_id,
+         |       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY ci), '') AS clean_text,
+         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q80_bigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr FROM documents
+         |), bi AS (
+         |  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+         |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM toks)
+         |), c2 AS (
+         |  SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1
+         |), v AS (
+         |  SELECT COUNT(DISTINCT w) AS v
+         |  FROM (SELECT unnest(arr) AS w FROM toks)
+         |)
+         |SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       ROUND(AVG(ln((c2.c2 + $LmK) / (c1.c1 + $LmK * v.v))), 4) AS avg_logp
+         |FROM bi
+         |JOIN c2 USING (w1, w2)
+         |JOIN c1 USING (w1)
+         |CROSS JOIN v
+         |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,
