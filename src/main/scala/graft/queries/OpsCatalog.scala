@@ -45,6 +45,8 @@ object OpsCatalog {
   private val PqCodeMod = 48     // deterministic codebook: vec_id % 48 == 0
   private val ChunkW = 4         // tokens per chunk for sub-document dedup (q79)
   private val LmK = 1.0          // add-k smoothing for the bigram LM (q80)
+  private val OrcKeyLo = 1000L   // pushed key range probed on the ORC copy (q81)
+  private val OrcKeyHi = 3000L
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -446,6 +448,25 @@ object OpsCatalog {
     "q80_bigram_lm" -> { (s, dir) =>
       TextAnalysis.bigramLmScore(Tables.load(s, dir, "documents"), "doc_id", "text", LmK)
         .orderBy("doc_id")
+    },
+    // ORC round-trip: lineitem rewritten as key-sorted ORC, re-read
+    // through a PROVEN pushed range predicate (the read fails unless the
+    // filter reaches the ORC scan), aggregated — values must match the
+    // oracle computed from the original parquet
+    "q81_orc_roundtrip" -> { (s, dir) =>
+      import graft.sources.OrcStore
+      val out = tempOutput("q81", dir) { o =>
+        OrcStore.writeSorted(
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+          o, "l_orderkey", 8)
+      }
+      OrcStore.readWhereProven(s, out,
+          col("l_orderkey") >= OrcKeyLo && col("l_orderkey") < OrcKeyHi)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -1440,6 +1461,13 @@ object OpsCatalog {
          |JOIN c1 USING (w1)
          |CROSS JOIN v
          |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+
+    "q81_orc_roundtrip" ->
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey >= $OrcKeyLo AND l_orderkey < $OrcKeyHi
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,
