@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, EventOps, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TopFraction}
+import graft.ops.{Dedup, EventOps, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, TopFraction}
 import graft.ops.PortableHash.{duckHash60 => dh}
 
 /** Query + oracle entries for the training-data-pipeline operators
@@ -47,6 +47,7 @@ object OpsCatalog {
   private val LmK = 1.0          // add-k smoothing for the bigram LM (q80)
   private val OrcKeyLo = 1000L   // pushed key range probed on the ORC copy (q81)
   private val OrcKeyHi = 3000L
+  private val QuantProbs = Seq(0.5, 0.9, 0.99)  // exact quantiles (q82)
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -467,6 +468,14 @@ object OpsCatalog {
         .agg(count(lit(1)).cast("long").as("n_rows"),
           sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
+    },
+    // exact whole-table quantiles by iterative range refinement — no
+    // global sort, no single-reducer percentile; small cutoff forced low
+    // so the gate actually exercises multi-round refinement
+    "q82_exact_quantiles" -> { (s, dir) =>
+      Quantiles.exactQuantiles(Tables.load(s, dir, "lineitem"),
+          "l_extendedprice", QuantProbs, smallCutoff = 512)
+        .orderBy("prob")
     },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -1468,6 +1477,13 @@ object OpsCatalog {
          |FROM lineitem
          |WHERE l_orderkey >= $OrcKeyLo AND l_orderkey < $OrcKeyHi
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q82_exact_quantiles" -> {
+      val rows = QuantProbs.map(p =>
+        s"SELECT $p AS prob, ROUND(quantile_cont(l_extendedprice, $p), 4) AS quantile FROM lineitem")
+        .mkString("\nUNION ALL\n")
+      s"$rows\nORDER BY prob"
+    },
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,

@@ -79,6 +79,18 @@ class ChunkLmSpec extends AnyFunSuite {
     assert(got === Seq(2L))
   }
 
+  test("chunkDedup plans as aggregates, never a corpus-wide window") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"a b c d w$i x$i")).toDF("doc_id", "text")
+    val plan = Dedup.chunkDedup(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    // the C4 skew story: first-occurrence must be a map-side-combinable
+    // aggregate; a Window over chunk_text would serialize hot chunks
+    assert(!plan.contains("Window"), s"window operator in plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"no partial aggregation in plan:\n$plan")
+  }
+
   test("bigramLmScore ranks an out-of-distribution doc below in-distribution ones") {
     import spark.implicits._
     // 20 docs share a tight phrase distribution; doc 99 wires rare

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.rng.Seed
+
+class QuantilesSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** quantile_cont reference on a driver-side array. */
+  private def ref(sorted: Array[Double], p: Double): Double = {
+    val h = p * (sorted.length - 1)
+    val lo = math.floor(h).toInt
+    val frac = h - lo
+    val q = if (frac == 0.0) sorted(lo)
+            else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+    BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("exactQuantiles matches the continuous-quantile reference, multi-round") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(20000)(math.floor(rnd.nextDouble() * 100000) / 100.0)
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    // smallCutoff far below n forces several refinement rounds
+    val got = Quantiles.exactQuantiles(xs.toSeq.toDF("x").repartition(8), "x",
+        probs, buckets = 16, smallCutoff = 64)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = xs.sorted
+    probs.foreach { p => assert(got(p) === ref(sorted, p), s"p=$p") }
+  }
+
+  test("exactQuantiles agrees with Spark's built-in percentile aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(Seed(11).long._1)
+    val xs = Array.fill(5000)(rnd.nextInt(500) / 7.0)  // heavy ties
+    val df = xs.toSeq.toDF("x")
+    val got = Quantiles.exactQuantiles(df, "x", Seq(0.5, 0.95),
+        buckets = 8, smallCutoff = 32)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val Array(m, p95) = df.agg(
+      expr("percentile(x, 0.5)"), expr("percentile(x, 0.95)"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(got(0.5) === BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(0.95) === BigDecimal(p95).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("exactQuantiles handles constant columns, nulls, and bad input") {
+    import spark.implicits._
+    val const = Seq.fill(100)(3.25).toDF("x")
+    val gotC = Quantiles.exactQuantiles(const, "x", Seq(0.5), smallCutoff = 8)
+      .head().getDouble(1)
+    assert(gotC === 3.25)
+    val withNulls = Seq[Option[Double]](Some(1.0), None, Some(2.0), Some(3.0), None)
+      .toDF("x")
+    val gotN = Quantiles.exactQuantiles(withNulls, "x", Seq(0.5)).head().getDouble(1)
+    assert(gotN === 2.0)
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(const, "x", Seq(1.5))
+    }.getMessage.contains("probs"))
+  }
+}
