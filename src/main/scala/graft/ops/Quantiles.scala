@@ -52,14 +52,19 @@ object Quantiles {
       val n = vals.count()
       require(n > 0, s"no non-null values in $valueCol")
 
-      // exact 0-based k-th smallest by iterative range refinement
-      def kth(rank: Long): Double = {
+      // exact 0-based k-th (and, when `needNext`, (k+1)-th) smallest by
+      // iterative range refinement. Interpolation needs the ADJACENT
+      // rank too, so both are resolved in ONE descent: whenever rank is
+      // its band's last row, rank+1's value is the next non-empty band's
+      // min — already sitting in the same histogram, zero extra passes.
+      def kthPair(rank: Long, needNext: Boolean): (Double, Double) = {
         var (lo, hi) = {
           val r = vals.agg(min($"v"), max($"v")).head()
           (r.getDouble(0), r.getDouble(1))
         }
         var below = 0L
         var inRange = n
+        var nextVal: Option[Double] = None
         while (inRange > smallCutoff && hi > lo) {
           val width = hi - lo
           // the equi-width floor only STEERS; the bounds carried to the
@@ -80,19 +85,27 @@ object Quantiles {
           for (band @ (_, c, _, _) <- bands if chosen.isEmpty) {
             if (acc + c > rank) chosen = Some(band) else acc += c
           }
-          val (_, c, mn, mx) = chosen.getOrElse(
+          val (bi, c, mn, mx) = chosen.getOrElse(
             sys.error(s"rank $rank fell out of [$lo,$hi] (below=$below)"))
+          if (needNext && nextVal.isEmpty && rank - acc == c - 1) {
+            // rank+1 lives in the next non-empty band; its min IS the value
+            nextVal = bands.collectFirst { case (b2, c2, mn2, _) if b2 > bi && c2 > 0 => mn2 }
+          }
           below = acc
           lo = mn; hi = mx; inRange = c
         }
-        if (hi == lo) lo
+        if (hi == lo) (lo, nextVal.getOrElse(lo))
         else {
           val local = (rank - below).toInt
-          // max of the (local+1) smallest in-range values = rank-th value;
-          // bounded by smallCutoff rows, TakeOrdered — no global sort
-          vals.where($"v" >= lo && $"v" <= hi)
-            .orderBy($"v").limit(local + 1)
-            .agg(max($"v")).head().getDouble(0)
+          // the (local+1)..(local+2) smallest in-range values: bounded by
+          // smallCutoff rows, TakeOrdered — never a global sort. The
+          // driver materializes at most smallCutoff+2 doubles.
+          val take = if (needNext && nextVal.isEmpty) local + 2 else local + 1
+          val sortedTail = vals.where($"v" >= lo && $"v" <= hi)
+            .orderBy($"v").limit(take).collect().map(_.getDouble(0))
+          val vLow = sortedTail(local)
+          (vLow, nextVal.getOrElse(
+            if (needNext) sortedTail(local + 1) else vLow))
         }
       }
 
@@ -100,11 +113,8 @@ object Quantiles {
         val h = p * (n - 1)
         val lowRank = math.floor(h).toLong
         val frac = h - lowRank
-        val vLow = kth(lowRank)
-        val q = if (frac == 0.0) vLow else {
-          val vHigh = kth(lowRank + 1)
-          vLow + frac * (vHigh - vLow)
-        }
+        val (vLow, vHigh) = kthPair(lowRank, needNext = frac != 0.0)
+        val q = if (frac == 0.0) vLow else vLow + frac * (vHigh - vLow)
         // HALF_UP on the exact binary value — the rounding DuckDB's
         // ROUND and Spark's round() both apply (rint's half-even differs
         // at exact .5 boundaries)
