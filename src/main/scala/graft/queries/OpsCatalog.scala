@@ -477,6 +477,25 @@ object OpsCatalog {
           "l_extendedprice", QuantProbs, smallCutoff = 512)
         .orderBy("prob")
     },
+    // keyed upsert (MERGE) into a hash-sharded layout: replaced keys,
+    // inserted keys, untouched shards never rewritten — final state
+    // must equal the oracle's anti-join + union
+    "q83_upsert" -> { (s, dir) =>
+      import graft.sources.UpsertStore
+      val out = tempOutput("q83", dir) { o =>
+        val docs = Tables.load(s, dir, "documents")
+        UpsertStore.writeKeyed(
+          docs.where(col("doc_id") % 7 =!= 0)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          o, "doc_id", 8)
+        UpsertStore.upsert(s, o,
+          docs.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + 100000L).as("n_chars")),
+          "doc_id", 8)
+      }
+      graft.sources.UpsertStore.read(s, out).orderBy("doc_id")
+    },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("""SELECT CAST(floor((ts DIV 1000000000) / 3600.0) AS BIGINT) AS hour_bucket,
@@ -1484,6 +1503,19 @@ object OpsCatalog {
         .mkString("\nUNION ALL\n")
       s"$rows\nORDER BY prob"
     },
+
+    "q83_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+        |), u AS (
+        |  SELECT doc_id, lang, n_chars + 100000 AS n_chars
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT doc_id, lang, n_chars FROM u
+        |UNION ALL
+        |SELECT b.doc_id, b.lang, b.n_chars FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.doc_id = b.doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,
