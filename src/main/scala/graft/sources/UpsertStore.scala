@@ -69,6 +69,15 @@ object UpsertStore {
       // literal, so it prunes directories at planning time (q65 pattern)
       val existing = spark.read.parquet(path)
         .where(col(ShardCol).isin(hit.map(Integer.valueOf).toSeq: _*))
+      // prove the pruning before writing anything: a regression that
+      // turned this into a full-table read would still merge correctly
+      // while silently rewriting cost O(table) instead of O(batch)
+      val scan = BucketedStore.planNodes(existing.queryExecution.executedPlan)
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(sys.error(s"no file scan in the shard read of $path"))
+      require(scan.partitionFilters.nonEmpty,
+        s"shard predicate not pushed as a partition filter on $path:\n" +
+          existing.queryExecution.executedPlan)
       val merged = existing.join(
           batch.select(col(keyCol).as("__k")), col(keyCol) === col("__k"), "left_anti")
         .unionByName(batch)
