@@ -104,6 +104,9 @@ object BandCampaign {
     println(f"[band] n=${r.nMeasured} train(${r.nTrain}): acc=${r.trainAcc}%.3f " +
       f"mae=${r.trainMae}%.3f f1=${r.trainF1}%.3f | heldout(${r.nTest}): " +
       f"acc=${r.testAcc}%.3f mae=${r.testMae}%.3f f1=${r.testF1}%.3f")
+    println(f"[band] heldout in the reference's bucket space (<=1s -> bucket 0): " +
+      f"acc=${r.testRefAcc}%.3f mae=${r.testRefMae}%.3f f1=${r.testRefF1}%.3f " +
+      "(capacity sweep + learning curve: graft.tools.BandRetrain)")
     spark.stop()
   }
 }

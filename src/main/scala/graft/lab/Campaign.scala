@@ -27,7 +27,13 @@ object Campaign {
                           trainAcc: Double, trainMae: Double, trainF1: Double,
                           testAcc: Double, testMae: Double, testF1: Double,
                           bucketCounts: Seq[Long] = Nil,
-                          runtimes: Seq[Double] = Nil)
+                          runtimes: Seq[Double] = Nil,
+                          // held-out metrics in the REFERENCE's bucket
+                          // space (Log2Partitioner clamps <=1s to bucket
+                          // 0, partitioner.py:40-46) — the space its
+                          // published band is scored in
+                          testRefAcc: Double = 0.0, testRefMae: Double = 0.0,
+                          testRefF1: Double = 0.0)
 
   /** Generate `n` measured queries at `sfDir`, train GBT on a
     * deterministic 3:1 split, evaluate both splits. The split hashes
@@ -92,14 +98,17 @@ object Campaign {
     println(s"[campaign] training GBT on ${train.size} measured runtimes " +
       s"(holding out ${test.size})")
     val model = Estimator.train(spark, db, train, maxIter = 15)
-    def metrics(split: Seq[(String, Double)]) = Estimator.evaluate(
-      split.map { case (sql, rt) =>
-        (model.predictLog2(Estimator.featurize(db, sql)), math.log(rt) / math.log(2))
-      })
-    val (tAcc, tMae, tF1) = metrics(train)
-    val (hAcc, hMae, hF1) = if (test.nonEmpty) metrics(test) else (0.0, 0.0, 0.0)
+    def preds(split: Seq[(String, Double)]) = split.map { case (sql, rt) =>
+      (model.predictLog2(Estimator.featurize(db, sql)), math.log(rt) / math.log(2))
+    }
+    val (tAcc, tMae, tF1) = Estimator.evaluate(preds(train))
+    val (hAcc, hMae, hF1) =
+      if (test.nonEmpty) Estimator.evaluate(preds(test)) else (0.0, 0.0, 0.0)
+    val (rAcc, rMae, rF1) =
+      if (test.nonEmpty) Estimator.evaluate(preds(test), minBucket = 0)
+      else (0.0, 0.0, 0.0)
     Result(usable.size, train.size, test.size, tAcc, tMae, tF1, hAcc, hMae, hF1,
-      gen.counts.toSeq, usable.map(_._2))
+      gen.counts.toSeq, usable.map(_._2), rAcc, rMae, rF1)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1498,8 +1498,10 @@ object OpsCatalog {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q82_exact_quantiles" -> {
+      // CAST the prob label: a bare 0.99 literal is DECIMAL(3,2) to
+      // DuckDB but DOUBLE to Spark, and the driver compares schemas
       val rows = QuantProbs.map(p =>
-        s"SELECT $p AS prob, ROUND(quantile_cont(l_extendedprice, $p), 4) AS quantile FROM lineitem")
+        s"SELECT CAST($p AS DOUBLE) AS prob, ROUND(quantile_cont(l_extendedprice, $p), 4) AS quantile FROM lineitem")
         .mkString("\nUNION ALL\n")
       s"$rows\nORDER BY prob"
     },
