@@ -72,7 +72,7 @@ object StatsCollector {
     * m4/m2²-3, NaN on degenerate inputs) — pure double arithmetic over
     * exact sums, so the result is identical at any partition count.
     */
-  private def combineMoments(n: Long, width: Double,
+  private[model] def combineMoments(n: Long, width: Double,
                              s1: Double, s2: Double, s3: Double, s4: Double)
       : (Double, Double, Double) = {
     if (n == 0) return (Double.NaN, Double.NaN, Double.NaN)

@@ -496,6 +496,53 @@ object OpsCatalog {
       }
       graft.sources.UpsertStore.read(s, out).orderBy("doc_id")
     },
+    // mergeable incremental statistics (the 100 TB stats-refresh path):
+    // three disjoint shard synopses merged by aggregation must equal the
+    // whole-table synopsis — counts/min/max/exact-distinct checked by
+    // the oracle; bit-exactness of the decimal moment sums, agreement
+    // with the two-scan collector, and the HLL band are Spark-side
+    // booleans the oracle pins TRUE (q67/q68 pattern)
+    "q84_incremental_stats" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{IncrementalStats, StatsCollector}
+      val li = Tables.load(s, dir, "lineitem")
+      val model = StatsCollector.collect(s, dir, Seq("lineitem"))
+        .tables.find(_.name == "lineitem").get
+      val keys = Seq("l_discount", "l_extendedprice", "l_quantity")
+      val anchors = IncrementalStats.anchorsFor(model)
+        .view.filterKeys(keys.contains).toMap
+      val whole = IncrementalStats.synopsize(li, anchors)
+      val parts = (0 until 3).map(i =>
+        IncrementalStats.synopsize(li.where(pmod(col("l_orderkey"), lit(3)) === i), anchors))
+      val merged = IncrementalStats.merge(parts.reduce(_ unionAll _))
+      val stats = IncrementalStats.finalize(merged)
+      val wRows = whole.collect().map(r => r.getAs[String]("measure") -> r).toMap
+      val mRows = merged.collect().map(r => r.getAs[String]("measure") -> r).toMap
+      val exactNd = li.agg(
+        countDistinct(col(keys(0))).as(keys(0)),
+        countDistinct(col(keys(1))).as(keys(1)),
+        countDistinct(col(keys(2))).as(keys(2))).head()
+      val out = keys.map { k =>
+        val st = stats(k)
+        val (wr, mr) = (wRows(k), mRows(k))
+        val mergeExact = Seq("s1", "s2", "s3", "s4").forall(f =>
+          wr.getDecimal(wr.fieldIndex(f)).compareTo(mr.getDecimal(mr.fieldIndex(f))) == 0) &&
+          wr.getSeq[Long](wr.fieldIndex("hist")) == mr.getSeq[Long](mr.fieldIndex("hist"))
+        val num = model.columnsByName(k).stats.get.numeric.get
+        def close(a: Double, b: Double, tol: Double) =
+          math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+        val momentsOk = close(st.mean, num.mean, 1e-9) &&
+          close(st.varSamp, num.variance, 1e-9) &&
+          close(st.skew, num.skewness, 1e-6) && close(st.kurt, num.kurtosis, 1e-6)
+        val nd = exactNd.getAs[Long](k)
+        (k, st.n, st.nulls, st.min, st.max, nd,
+          math.abs(st.distinctEst - nd) <= HllRtol * nd,
+          mergeExact, momentsOk, st.hist.sum)
+      }
+      out.toDF("measure", "n", "nulls", "vmin", "vmax", "n_distinct",
+          "hll_ok", "merge_exact", "moments_ok", "hist_total")
+        .orderBy("measure")
+    },
     "q41_window_events" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("""SELECT CAST(floor((ts DIV 1000000000) / 3600.0) AS BIGINT) AS hour_bucket,
@@ -1518,6 +1565,24 @@ object OpsCatalog {
         |SELECT b.doc_id, b.lang, b.n_chars FROM base b
         |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.doc_id = b.doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // portable fields exactly (counts, min/max, exact distinct); the
+    // float-internal assertions (decimal-sum merge exactness, collector
+    // agreement, HLL band) are Spark-side booleans pinned TRUE here
+    "q84_incremental_stats" -> {
+      val measures = Seq("l_discount", "l_extendedprice", "l_quantity")
+      measures.map { m =>
+        s"""SELECT '$m' AS measure,
+           |       CAST(COUNT($m) AS BIGINT) AS n,
+           |       CAST(COUNT(*) - COUNT($m) AS BIGINT) AS nulls,
+           |       CAST(MIN($m) AS DOUBLE) AS vmin,
+           |       CAST(MAX($m) AS DOUBLE) AS vmax,
+           |       CAST(COUNT(DISTINCT $m) AS BIGINT) AS n_distinct,
+           |       TRUE AS hll_ok, TRUE AS merge_exact, TRUE AS moments_ok,
+           |       CAST(COUNT($m) AS BIGINT) AS hist_total
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY measure"
+    },
 
     "q41_window_events" ->
       """SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS hour_bucket,
