@@ -505,23 +505,21 @@ object OpsCatalog {
     "q84_incremental_stats" -> { (s, dir) =>
       import s.implicits._
       import graft.model.{IncrementalStats, StatsCollector}
-      val li = Tables.load(s, dir, "lineitem")
-      val model = StatsCollector.collect(s, dir, Seq("lineitem"))
-        .tables.find(_.name == "lineitem").get
-      val keys = Seq("l_discount", "l_extendedprice", "l_quantity")
+      val li = Tables.load(s, dir, "orders")
+      val model = StatsCollector.collect(s, dir, Seq("orders"))
+        .tables.find(_.name == "orders").get
+      val keys = Seq("o_custkey", "o_orderdate", "o_totalprice")
       val anchors = IncrementalStats.anchorsFor(model)
         .view.filterKeys(keys.contains).toMap
       val whole = IncrementalStats.synopsize(li, anchors)
-      val parts = (0 until 3).map(i =>
-        IncrementalStats.synopsize(li.where(pmod(col("l_orderkey"), lit(3)) === i), anchors))
-      val merged = IncrementalStats.merge(parts.reduce(_ unionAll _))
+      // all 3 shards in ONE grouped pass (the backfill shape), then
+      // merged exactly as separately-arriving shard synopses would be
+      val parts = IncrementalStats.synopsizeGrouped(li,
+        pmod(col("o_orderkey"), lit(3)), anchors)
+      val merged = IncrementalStats.merge(parts.drop("shard"))
       val stats = IncrementalStats.finalize(merged)
       val wRows = whole.collect().map(r => r.getAs[String]("measure") -> r).toMap
       val mRows = merged.collect().map(r => r.getAs[String]("measure") -> r).toMap
-      val exactNd = li.agg(
-        countDistinct(col(keys(0))).as(keys(0)),
-        countDistinct(col(keys(1))).as(keys(1)),
-        countDistinct(col(keys(2))).as(keys(2))).head()
       val out = keys.map { k =>
         val st = stats(k)
         val (wr, mr) = (wRows(k), mRows(k))
@@ -534,7 +532,9 @@ object OpsCatalog {
         val momentsOk = close(st.mean, num.mean, 1e-9) &&
           close(st.varSamp, num.variance, 1e-9) &&
           close(st.skew, num.skewness, 1e-6) && close(st.kurt, num.kurtosis, 1e-6)
-        val nd = exactNd.getAs[Long](k)
+        // the memoized model was collected exact=true: its per-column
+        // distinct IS the exact count (no second count_distinct scan)
+        val nd = model.columnsByName(k).stats.get.distinct
         (k, st.n, st.nulls, st.min, st.max, nd,
           math.abs(st.distinctEst - nd) <= HllRtol * nd,
           mergeExact, momentsOk, st.hist.sum)
@@ -1568,19 +1568,24 @@ object OpsCatalog {
 
     // portable fields exactly (counts, min/max, exact distinct); the
     // float-internal assertions (decimal-sum merge exactness, collector
-    // agreement, HLL band) are Spark-side booleans pinned TRUE here
+    // agreement, HLL band) are Spark-side booleans pinned TRUE here.
+    // o_orderdate's measure image is epoch seconds on both engines
+    // (whole-second timestamps, so epoch() vs unix_seconds agree).
     "q84_incremental_stats" -> {
-      val measures = Seq("l_discount", "l_extendedprice", "l_quantity")
-      measures.map { m =>
-        s"""SELECT '$m' AS measure,
-           |       CAST(COUNT($m) AS BIGINT) AS n,
-           |       CAST(COUNT(*) - COUNT($m) AS BIGINT) AS nulls,
-           |       CAST(MIN($m) AS DOUBLE) AS vmin,
-           |       CAST(MAX($m) AS DOUBLE) AS vmax,
-           |       CAST(COUNT(DISTINCT $m) AS BIGINT) AS n_distinct,
+      val measures = Seq(
+        ("o_custkey", "o_custkey"),
+        ("o_orderdate", "epoch(o_orderdate)"),
+        ("o_totalprice", "o_totalprice"))
+      measures.map { case (name, img) =>
+        s"""SELECT '$name' AS measure,
+           |       CAST(COUNT($name) AS BIGINT) AS n,
+           |       CAST(COUNT(*) - COUNT($name) AS BIGINT) AS nulls,
+           |       CAST(MIN($img) AS DOUBLE) AS vmin,
+           |       CAST(MAX($img) AS DOUBLE) AS vmax,
+           |       CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
            |       TRUE AS hll_ok, TRUE AS merge_exact, TRUE AS moments_ok,
-           |       CAST(COUNT($m) AS BIGINT) AS hist_total
-           |FROM lineitem""".stripMargin
+           |       CAST(COUNT($name) AS BIGINT) AS hist_total
+           |FROM orders""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY measure"
     },
 

@@ -93,6 +93,28 @@ class IncrementalStatsSpec extends AnyFunSuite {
     assert(m.getSeq[Long](m.fieldIndex("hist")).sum == m.getAs[Long]("n"))
   }
 
+  test("grouped one-pass synopsis equals the per-shard scans") {
+    val perShard = (0 until 3).map(i =>
+      IncrementalStats.synopsize(li.where(pmod(col("l_orderkey"), lit(3)) === i), anchors)
+        .withColumn("shard", lit(i.toString)))
+      .reduce(_ unionAll _).collect()
+      .map(r => (r.getAs[String]("shard"), r.getAs[String]("measure")) -> r).toMap
+    val grouped = IncrementalStats.synopsizeGrouped(li,
+        pmod(col("l_orderkey"), lit(3)), anchors).collect()
+      .map(r => (r.getAs[String]("shard"), r.getAs[String]("measure")) -> r).toMap
+    assert(grouped.keySet == perShard.keySet && grouped.size == 3 * anchors.size)
+    for ((key, gr) <- grouped) {
+      val pr = perShard(key)
+      for (f <- Seq("n", "nulls"))
+        assert(gr.getAs[Long](f) == pr.getAs[Long](f), s"$key.$f")
+      for (f <- Seq("s1", "s2", "s3", "s4"))
+        assert(gr.getDecimal(gr.fieldIndex(f)).compareTo(
+          pr.getDecimal(pr.fieldIndex(f))) == 0, s"$key.$f")
+      assert(gr.getSeq[Long](gr.fieldIndex("hist")) ==
+        pr.getSeq[Long](pr.fieldIndex("hist")), s"$key.hist")
+    }
+  }
+
   test("mixed anchor generations are refused at finalize") {
     val a1 = Map("l_quantity" -> (1.0, 49.0))
     val a2 = Map("l_quantity" -> (0.0, 60.0))
