@@ -61,7 +61,8 @@ object BandRetrain {
     // SAME full holdout — if metrics climb monotonically with n, the
     // band gap is sample count (the reference measured 100k queries,
     // guided.py:268), not the GBT substitution
-    for (k <- Seq(64, 128, 192, 254)) {
+    for (k <- Seq(train.size / 8, train.size / 4, train.size / 2,
+                  train.size * 3 / 4, train.size).distinct) {
       val prefix = train.take(k)
       val model = Estimator.trainOnFeatures(spark,
         prefix.map { case (sql, rt) => (fz(sql), rt) }, maxIter = 80)
