@@ -108,7 +108,12 @@ object Bench {
       scala.util.Try(graft.encode.Encoder.encodeQuery(db, sql)).toOption)
     val encodeQps = encoded.size / ((System.nanoTime() - te0) / 1e9)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","parse_qps":$parseQps,"encode_qps":$encodeQps}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","parse_qps":$parseQps,"encode_qps":$encodeQps}"""
+    println(json)
+    // the driver captures a TAIL of stdout, which has truncated this line
+    // mid-JSON before (round-6 advice) — also persist it to a file so the
+    // full medians map always survives the round
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
   }
 }

@@ -228,9 +228,14 @@ object Similarity {
     // predicates filter the cached corpus under its original names so
     // every branch is a cache hit
     val corpus0 = ivfCorpus(df, vecCol)
+    // persist the assignment too: the crossJoin scoring pass over every
+    // (vector, centroid) pair is the expensive stage, and without this
+    // it re-runs on every action over the result (bench round 6 measured
+    // q43 run-to-run spread 9.2× from exactly that recomputation)
     val assigned = assignCells(corpus0, idCol, vecCol, centroidPred)
       .select(col("cell"), col("id").as("id_b"),
         col("vec").as("vec_b"), col("norm2").as("norm2_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import org.apache.spark.sql.expressions.Window
     // rank centroids per query; keep the nprobe nearest as probe cells
     val qscored = corpus0.where(queryPred)

@@ -233,11 +233,14 @@ object OpsCatalog {
         .orderBy("doc_id")
     },
     // gap-based sessionization: one row per (user, session). ts is
-    // truncated to µs-resolution nanos at the QUERY layer only: DuckDB
-    // reads TIMESTAMP(NANOS) parquet as µs TIMESTAMP, so sub-µs digits
-    // are invisible to the oracle (the operator itself is nanos-native)
+    // normalized to µs-resolution epoch nanos at the QUERY layer only
+    // (`Tables.eventTimeNs` handles whichever type the canon ships;
+    // the DIV-1000 truncation keeps long-nanos canons oracle-visible —
+    // DuckDB reads TIMESTAMP(NANOS) parquet at µs resolution — and is
+    // a no-op for µs-typed canons). The operator itself is nanos-native.
     "q54_sessionize" -> { (s, dir) =>
-      val ev = Tables.load(s, dir, "events")
+      val ev0 = Tables.load(s, dir, "events")
+      val ev = ev0.withColumn("ts", Tables.eventTimeNs(ev0))
         .withColumn("ts", expr("(ts DIV 1000) * 1000"))
       EventOps.sessionize(ev, "user_id", "ts", "value", SessionGapNs)
         .orderBy("user_id", "session_id")
@@ -246,7 +249,8 @@ object OpsCatalog {
     // purchase at or before it (union + running-last, no range join);
     // same µs truncation rationale as q54
     "q55_asof_join" -> { (s, dir) =>
-      val ev = Tables.load(s, dir, "events")
+      val ev0 = Tables.load(s, dir, "events")
+      val ev = ev0.withColumn("ts", Tables.eventTimeNs(ev0))
         .withColumn("ts", expr("(ts DIV 1000) * 1000"))
       val clicks = ev.where(col("event_type") === "click")
         .select("event_id", "user_id", "ts", "value")
@@ -505,7 +509,11 @@ object OpsCatalog {
     "q84_incremental_stats" -> { (s, dir) =>
       import s.implicits._
       import graft.model.{IncrementalStats, StatsCollector}
+      // persist the shared scan + the (KB-sized) merged synopsis: the
+      // whole-vs-merged three-way replay otherwise rescans orders per
+      // collect (round-6 bench: q84 spread 4.1 from exactly that)
       val li = Tables.load(s, dir, "orders")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = StatsCollector.collect(s, dir, Seq("orders"))
         .tables.find(_.name == "orders").get
       val keys = Seq("o_custkey", "o_orderdate", "o_totalprice")
@@ -517,6 +525,7 @@ object OpsCatalog {
       val parts = IncrementalStats.synopsizeGrouped(li,
         pmod(col("o_orderkey"), lit(3)), anchors)
       val merged = IncrementalStats.merge(parts.drop("shard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = IncrementalStats.finalize(merged)
       val wRows = whole.collect().map(r => r.getAs[String]("measure") -> r).toMap
       val mRows = merged.collect().map(r => r.getAs[String]("measure") -> r).toMap
@@ -544,13 +553,17 @@ object OpsCatalog {
         .orderBy("measure")
     },
     "q41_window_events" -> { (s, dir) =>
-      Tables.registerAll(s, dir)
-      s.sql("""SELECT CAST(floor((ts DIV 1000000000) / 3600.0) AS BIGINT) AS hour_bucket,
+      // hour bucket from the canonical ns clock (type-agnostic): the
+      // normalized view keeps the rest of the query plain SQL
+      val ev0 = Tables.load(s, dir, "events")
+      ev0.withColumn("ts_ns", Tables.eventTimeNs(ev0))
+        .createOrReplaceTempView("events_ns")
+      s.sql("""SELECT CAST(floor((ts_ns DIV 1000000000) / 3600.0) AS BIGINT) AS hour_bucket,
               |       event_type,
               |       CAST(COUNT(*) AS BIGINT) AS n_events,
               |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
               |       MIN(value) AS min_value, MAX(value) AS max_value
-              |FROM events
+              |FROM events_ns
               |GROUP BY 1, 2
               |ORDER BY 1, 2""".stripMargin)
     }

@@ -45,15 +45,41 @@ object PipelineCatalog {
   private def goldenApplies(dir: String): Boolean =
     dir.replaceAll("/+$", "").endsWith("sf0.01")
 
+  /** See [[graft.Tables.canonFingerprint]]: stamped into golden-mismatch
+    * reports so "the code drifted" and "the testdata canon drifted" are
+    * distinguishable at a glance (compare against [[pinnedCanonFp]]).
+    */
+  private def canonFingerprint(dir: String): Long =
+    graft.Tables.canonFingerprint(dir)
+
+  /** The sf0.01 canon the goldens below were pinned against — public so
+    * `TestdataCanonSpec` and the Verify preamble can tripwire drift. */
+  def pinnedCanonFp: Long = Golden.canonFp
+
+  /** NON-THROWING golden check: a mismatch degrades to a loud stderr
+    * report + `matches_golden=false` in the result rows (schema already
+    * carries the column), never an absent query. Round 6 lost six green
+    * CORRECTNESS entries because a testdata regeneration turned this
+    * check's former `require(...)` into six invisible holes — drift
+    * must surface as red rows the driver can still count.
+    */
   private def checkGolden(name: String, dir: String, crc: Long, golden: Long): Boolean = {
     if (sys.env.get("GRAFT_GOLDEN_RECORD").contains("true")) {
-      println(s"[golden] $name crc=$crc")
+      println(s"[golden] $name crc=$crc canonFp=${canonFingerprint(dir)}")
       return true
     }
     val ok = crc == golden
-    if (goldenApplies(dir))
-      require(ok, s"$name golden mismatch: computed crc=$crc expected=$golden — " +
-        "generator/encoder output drifted from the pinned sf0.01 canon")
+    if (!ok && goldenApplies(dir)) {
+      val fp = canonFingerprint(dir)
+      val cause =
+        if (fp != pinnedCanonFp)
+          s"testdata canon DRIFTED (fingerprint $fp != pinned ${Golden.canonFp}) — " +
+            "re-pin via GRAFT_GOLDEN_RECORD=true against the new canon"
+        else
+          "canon fingerprint unchanged — the generator/encoder CODE drifted"
+      System.err.println(
+        s"[golden] $name MISMATCH: computed crc=$crc pinned=$golden; $cause")
+    }
     ok
   }
 
@@ -253,20 +279,26 @@ object PipelineCatalog {
     * `GRAFT_GOLDEN_RECORD=true` and copy the printed values.
     */
   private object Golden {
+    /** sf0.01 canon fingerprint the CRCs below were pinned against
+      * (see `canonFingerprint`) — regenerated testdata 2026-08-13. */
+    val canonFp: Long = 1884720810L
     // pinned after making StatsCollector moments partition-count
     // independent; verified identical at SPARK_GRAFT_CPUS=4 and =32
+    // re-pinned round 7 against the 2026-08-13 regenerated canon
+    // (stats-derived families shifted with the new data; q60/q61/mscn/
+    // greq/neo were content-stable); verified identical at
+    // SPARK_GRAFT_CPUS=4 and =32
     val q60: Long = 3930762357L
     val q61: Long = 443654505L
-    val q62: Long = 3306985350L
-    val q64: Long = 2310795803L
-    // q74 + gerelt_v20 pinned round 6 (plan-merged path); verified
-    // identical at SPARK_GRAFT_CPUS=4 and =32 — the merged STRUCTURE
-    // comes from logical join order (ReorderJoin), not runtime stats,
-    // so partition count cannot shift it
-    val q74: Long = 2483892662L
+    val q62: Long = 1810319154L
+    val q64: Long = 2034248305L
+    // q74 + gerelt_v20: the merged STRUCTURE comes from logical join
+    // order (ReorderJoin), not runtime stats, so partition count
+    // cannot shift it
+    val q74: Long = 3411777248L
     val q63: Map[String, Long] = Map(
-      "gerelt" -> 2574475482L, "gerelt_v20" -> 1179765831L, "mscn" -> 1062057986L,
-      "greq" -> 208779266L, "neo" -> 3911205913L, "relcnn" -> 3781842940L,
-      "treelstm" -> 1998997615L)
+      "gerelt" -> 2658404775L, "gerelt_v20" -> 836036881L, "mscn" -> 1062057986L,
+      "greq" -> 208779266L, "neo" -> 3911205913L, "relcnn" -> 2687616046L,
+      "treelstm" -> 1884330627L)
   }
 }

@@ -18,8 +18,10 @@ import org.apache.spark.sql.Row
   */
 object EventStream {
 
-  /** Schema of the events stream (ts arrives as epoch-nanos LONG under
-    * nanosAsLong, converted to a real timestamp here).
+  /** Schema of the events stream. `ts` has shipped as both epoch-nanos
+    * LONG (under nanosAsLong) and TIMESTAMP(MICROS) across testdata
+    * regenerations — `Tables.eventTime` normalizes either to a real
+    * timestamp, so the streaming surface is canon-type-agnostic.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -31,7 +33,7 @@ object EventStream {
   }
 
   private def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+    events.withColumn("event_time", graft.Tables.eventTime(events))
 
   /** Tumbling-window per-type aggregate with a 10-minute watermark. */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
@@ -88,7 +90,7 @@ object EventStream {
   def userSessions(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("value").cast("double"),
-        col("ts").cast("long"))
+        graft.Tables.eventTimeNs(events))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {

@@ -23,8 +23,10 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT * FROM win").collect()
     assert(rows.nonEmpty)
     // batch ground truth: same window bucketing over the static table
-    val expect = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .selectExpr("CAST(ts DIV 1000000000 AS BIGINT) DIV 3600 AS hb").distinct().count()
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val expect = ev.select((graft.Tables.eventTimeNs(ev)
+        .divide(1000000000L).cast("long").divide(3600).cast("long")).as("hb"))
+      .distinct().count()
     assert(rows.length == rows.map(r => (r.getAs[Any]("window_start"), r.getAs[String]("event_type"))).distinct.length)
     assert(rows.map(_.getAs[Any]("window_start")).distinct.length.toLong == expect)
     val n = rows.map(_.getAs[Long]("n_events")).sum
@@ -43,8 +45,9 @@ class StreamingSpec extends AnyFunSuite {
     // merging makes the estimate independent of micro-batching, so this is
     // EQUALITY, not a tolerance band
     import org.apache.spark.sql.functions._
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+    val evb = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = evb
+      .withColumn("event_time", graft.Tables.eventTime(evb))
       .groupBy(window(col("event_time"), "1 hour"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select(col("window.start").as("window_start"), col("approx_users"))
@@ -52,8 +55,8 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[Any]("window_start").toString -> r.getAs[Long]("approx_users")).toMap
     assert(got == batch)
     // and the estimates are real: within rsd-ish of exact per window
-    val exact = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+    val exact = evb
+      .withColumn("event_time", graft.Tables.eventTime(evb))
       .groupBy(window(col("event_time"), "1 hour"))
       .agg(countDistinct(col("user_id")).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
@@ -67,10 +70,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming exact dedup matches the batch content-hash dedup") {
     import org.apache.spark.sql.functions._
-    val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
+    val stream0 = EventStream.readEvents(spark, "/root/testdata/sf0.001")
       // synthesize duplicate content: value bucket as the "text"
       .withColumn("txt", (col("value") % 50).cast("int").cast("string"))
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+    val stream = stream0.withColumn("event_time", graft.Tables.eventTime(stream0))
     val dedup = EventStream.dedupStream(stream, "txt", "event_time")
     EventStream.runToMemory(dedup, "dd", org.apache.spark.sql.streaming.OutputMode.Append())
     val got = spark.sql("SELECT content_hash FROM dd").collect().map(_.getString(0))
@@ -87,9 +90,10 @@ class StreamingSpec extends AnyFunSuite {
     EventStream.runToMemory(sessions, "sw", org.apache.spark.sql.streaming.OutputMode.Append())
     val got = spark.sql("SELECT user_id, n_events FROM sw").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val static = spark.read
+    val static0 = spark.read
       .option("pathGlobFilter", "events.parquet")
       .parquet("/root/testdata/sf0.001")
+    val static = static0.withColumn("ts", graft.Tables.eventTimeNs(static0))
     // batch counterpart: same gap, strict semantics differ only when a
     // delta is EXACTLY the gap (measure-zero for ns data; absent here).
     // Append mode only emits sessions CLOSED before the final watermark,
@@ -116,9 +120,9 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // batch equivalent on the same static data
     import org.apache.spark.sql.functions._
-    val ev = spark.read.option("pathGlobFilter", "events.parquet")
+    val ev0 = spark.read.option("pathGlobFilter", "events.parquet")
       .parquet("/root/testdata/sf0.001")
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000L)))
+    val ev = ev0.withColumn("event_time", graft.Tables.eventTime(ev0))
     val c = ev.where(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("event_time").as("ct"))
     val p = ev.where(col("event_type") === "purchase")
