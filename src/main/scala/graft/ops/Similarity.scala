@@ -570,4 +570,71 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(col("adc2").cast("double"), 6).as("adc_dist"), col("rank"))
   }
+
+  /** IVF-PQ: the coarse quantizer ([[ivfTopK]]'s cosine cells) restricts
+    * the scan to each query's `nprobe` nearest cells, and PQ/ADC
+    * ([[pqAdcTopK]]) scores the surviving candidates from code lookups —
+    * the composition both Scaladocs point at, and the standard serving
+    * shape for billion-vector corpora: the full-corpus ADC scan of plain
+    * PQ becomes a probed-cells scan, and the probed cells are served
+    * from m·log2(K)-bit codes, not vectors.
+    *
+    * Scale design: the corpus contributes (id, cell) and (id, sub, code)
+    * rows only — vectors never shuffle; probe lists and query LUTs are
+    * broadcast (|queries|·nprobe and |queries|·m·K rows); the ADC sum is
+    * a map-side-combined aggregate of exactly m terms per surviving
+    * pair. Distances are decimal-exact, identical to [[pqAdcTopK]] for
+    * any pair both would score — IVF changes WHICH pairs are scored
+    * (recall), never their distance.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                centroidPred: Column, codePred: Column, queryPred: Column,
+                m: Int, subDim: Int, k: Int, nprobe: Int): DataFrame = {
+    val corpus0 = ivfCorpus(df, vecCol)
+    // coarse cells for the corpus (persisted: reused by the pair join
+    // and — via the shared plan — by nothing else; cheap to keep)
+    val assigned = assignCells(corpus0, idCol, vecCol, centroidPred)
+      .select(col("id").as("id_b"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-query probe cells: rank the broadcast codebook, keep nprobe
+    import org.apache.spark.sql.expressions.Window
+    val qscored = corpus0.where(queryPred)
+      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm2").as("norm2_a"))
+      .crossJoin(broadcast(
+        corpus0.where(centroidPred)
+          .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"), col("norm2").as("cnorm2"))))
+      .withColumn("qcos", cosine(col("vec_a"), col("cvec"), col("norm2_a"), col("cnorm2")))
+    val wq = Window.partitionBy(col("id_a")).orderBy(col("qcos").desc, col("cent_id"))
+    val probes = qscored.withColumn("prank", row_number().over(wq))
+      .where(col("prank") <= nprobe)
+      .select(col("cent_id").as("cell"), col("id_a"))
+    // PQ codes for the whole corpus + per-query distance LUTs, exactly
+    // as in pqAdcTopK (same codebook rule, same decimal arithmetic)
+    val words = subspaced(df.where(codePred), idCol, vecCol, m, subDim)
+      .select(col("sub"), col("id").as("code"), col("svec").as("cvec"),
+        dotDecimal(col("svec"), col("svec")).as("cnorm2"))
+    val codes = pqEncode(df, idCol, vecCol, codePred, m, subDim)
+      .select(col("id").as("id_b"), col("sub"), col("code"))
+    val lut = subspaced(df.where(queryPred), idCol, vecCol, m, subDim)
+      .withColumn("qnorm2", dotDecimal(col("svec"), col("svec")))
+      .join(broadcast(words), "sub")
+      .select(col("id").as("id_a"), col("sub"), col("code"),
+        (col("qnorm2") - dotDecimal(col("svec"), col("cvec")) * 2 + col("cnorm2")).as("d2"))
+    // candidate pairs = corpus members of probed cells (never all pairs)
+    val pairs = assigned.join(broadcast(probes), "cell")
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    // ADC: m LUT lookups per pair, map-side-combined sum. The join on
+    // (id_a, sub, code) is total for every pair by construction (the
+    // LUT covers all (query, sub, codeword) triples), so no subspace
+    // term can silently drop out of a sum.
+    val scored = pairs.join(codes, "id_b")
+      .join(broadcast(lut), Seq("id_a", "sub", "code"))
+      .groupBy("id_a", "id_b").agg(sum(col("d2")).as("adc2"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("adc2").asc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("id_b"),
+        round(col("adc2").cast("double"), 6).as("adc_dist"), col("rank"))
+  }
 }

@@ -443,6 +443,15 @@ object OpsCatalog {
           PqM, PqSubDim, TopK)
         .orderBy("id_a", "rank")
     },
+    // IVF-PQ: coarse cells restrict the scan to nprobe cells per query,
+    // PQ/ADC scores the candidates from code lookups — the composed
+    // billion-vector serving shape (q43's quantizer × q78's codes)
+    "q85_ivf_pq" -> { (s, dir) =>
+      Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % IvfCentMod === 0, col("vec_id") % PqCodeMod === 0,
+          col("vec_id") % 100 === 0, PqM, PqSubDim, TopK, IvfNprobe)
+        .orderBy("id_a", "rank")
+    },
     // C4-style sub-document dedup: drop repeated 4-token chunks
     // corpus-wide, stitch the survivors back into cleaned documents
     "q79_chunk_dedup" -> { (s, dir) =>
@@ -1496,6 +1505,90 @@ object OpsCatalog {
          |  JOIN qnorm n ON n.id_a = l.id_a AND n.sub = k.sub
          |  JOIN cnorm cn ON cn.code = k.code AND cn.sub = k.sub
          |  WHERE l.id_a <> k.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, round(CAST(adc2 AS DOUBLE), 6) AS adc_dist,
+         |       CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT id_a, id_b, adc2,
+         |             ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY adc2, id_b) AS rn
+         |      FROM adc) t
+         |WHERE rn <= $TopK ORDER BY id_a, rank""".stripMargin
+    },
+
+    "q85_ivf_pq" -> {
+      // q43's coarse-cell CTEs (cosine assignment + nprobe probes)
+      // gate WHICH pairs are scored; q78's PQ CTEs score them — the
+      // ADC distances must still match bit-for-bit
+      s"""WITH norms AS (
+         |  SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS n2
+         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % $IvfCentMod = 0
+         |), adots AS (
+         |  SELECT vec_id, cent_id,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT e.vec_id, c.cent_id, unnest(e.embedding) AS x, unnest(c.cvec) AS y
+         |        FROM embeddings e, cents c) t
+         |  GROUP BY vec_id, cent_id
+         |), acos AS (
+         |  SELECT a.vec_id, a.cent_id,
+         |         CAST(a.dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+         |  FROM adots a
+         |  JOIN norms nv ON nv.vec_id = a.vec_id
+         |  JOIN norms nc ON nc.vec_id = a.cent_id
+         |), cells AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM acos) WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id AS id_a, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM acos WHERE vec_id % 100 = 0) WHERE rn <= $IvfNprobe
+         |), sv AS (
+         |  SELECT vec_id, CAST(i // $PqSubDim AS INTEGER) AS sub, i, x
+         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |               unnest(embedding) AS x FROM embeddings) t
+         |), cw AS (
+         |  SELECT * FROM sv WHERE vec_id % $PqCodeMod = 0
+         |), cnorm AS (
+         |  SELECT vec_id AS code, sub,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS cnorm2
+         |  FROM cw GROUP BY 1, 2
+         |), enc_dot AS (
+         |  SELECT s.vec_id AS id, c.vec_id AS code, s.sub,
+         |         SUM(CAST(CAST(s.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM sv s JOIN cw c ON c.i = s.i
+         |  GROUP BY 1, 2, 3
+         |), codes AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT e.id, e.sub, e.code,
+         |           ROW_NUMBER() OVER (PARTITION BY e.id, e.sub
+         |             ORDER BY (e.dot * 2 - n.cnorm2) DESC, e.code) AS rn
+         |    FROM enc_dot e JOIN cnorm n ON n.code = e.code AND n.sub = e.sub) t
+         |  WHERE rn = 1
+         |), qnorm AS (
+         |  SELECT vec_id AS id_a, sub,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS qnorm2
+         |  FROM sv WHERE vec_id % 100 = 0 GROUP BY 1, 2
+         |), lut AS (
+         |  SELECT q.vec_id AS id_a, q.sub, c.vec_id AS code,
+         |         SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(20,12))) AS qcdot
+         |  FROM sv q JOIN cw c ON c.i = q.i
+         |  WHERE q.vec_id % 100 = 0 GROUP BY 1, 2, 3
+         |), cand AS (
+         |  SELECT p.id_a, s.vec_id AS id_b
+         |  FROM probes p JOIN cells s ON s.cell = p.cell
+         |  WHERE p.id_a <> s.vec_id
+         |), adc AS (
+         |  SELECT ca.id_a, ca.id_b,
+         |         SUM(n.qnorm2 - l.qcdot * 2 + cn.cnorm2) AS adc2
+         |  FROM cand ca
+         |  JOIN codes k ON k.id = ca.id_b
+         |  JOIN lut l ON l.id_a = ca.id_a AND l.sub = k.sub AND l.code = k.code
+         |  JOIN qnorm n ON n.id_a = ca.id_a AND n.sub = k.sub
+         |  JOIN cnorm cn ON cn.code = k.code AND cn.sub = k.sub
          |  GROUP BY 1, 2
          |)
          |SELECT id_a, id_b, round(CAST(adc2 AS DOUBLE), 6) AS adc_dist,
