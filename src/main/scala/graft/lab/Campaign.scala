@@ -107,6 +107,28 @@ object Campaign {
     val (rAcc, rMae, rF1) =
       if (test.nonEmpty) Estimator.evaluate(preds(test), minBucket = 0)
       else (0.0, 0.0, 0.0)
+    // bucket-balanced variant (training set only; see BandRetrain's
+    // experiment — +0.2 held-out macro-F1 at n=247): cyclic
+    // oversampling of each ref-space bucket to the majority count
+    // reweights the squared loss the reference's bucket-balanced
+    // campaign had by construction
+    if (test.nonEmpty) {
+      def refBucket(rt: Double): Int =
+        if (rt <= 1.0) 0
+        else math.min(8, math.floor(math.log(rt) / math.log(2)).toInt)
+      val byBucket = train.groupBy { case (_, rt) => refBucket(rt) }
+      val cap = byBucket.values.map(_.size).max
+      val balanced = byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
+        Iterator.continually(xs).flatten.take(cap).toSeq
+      }
+      val bModel = Estimator.train(spark, db, balanced, maxIter = 40)
+      val bPreds = test.map { case (sql, rt) =>
+        (bModel.predictLog2(Estimator.featurize(db, sql)), math.log(rt) / math.log(2))
+      }
+      val (bAcc, bMae, bF1) = Estimator.evaluate(bPreds, minBucket = 0)
+      println(f"[campaign] bucket-BALANCED heldout REF-SPACE: acc=$bAcc%.3f " +
+        f"mae=$bMae%.3f f1=$bF1%.3f (train ${train.size}->${balanced.size})")
+    }
     Result(usable.size, train.size, test.size, tAcc, tMae, tF1, hAcc, hMae, hF1,
       gen.counts.toSeq, usable.map(_._2), rAcc, rMae, rF1)
   }
