@@ -1,5 +1,6 @@
 package graft.estimate
 
+import org.apache.spark.ml.classification.{MultilayerPerceptronClassificationModel, MultilayerPerceptronClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
@@ -148,6 +149,101 @@ object Estimator {
     }.toDF("features", "label")
     val gbt = new GBTRegressor().setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
     Trained(gbt.fit(rows))
+  }
+
+  /** A NEURAL estimator over the same encoder features: MLlib's
+    * multilayer perceptron classifying log2-runtime buckets directly.
+    * The reference's flagship models are neural nets over these
+    * encodings (GRU v20/model.py:94-122, TreeLSTM, CNN), and its
+    * published band is BUCKET-space quality (Log2Partitioner,
+    * partitioner.py:40-46) — so a bucket classifier attacks exactly the
+    * metric the reference reports, with gradient-trained dense layers
+    * standing in for the recurrent cells MLlib does not ship. Features
+    * are standardized (per-dimension z-score from the TRAINING set —
+    * stored in the model so serving applies the same affine map);
+    * raw encoder slots span row counts to bit flags, and saturating
+    * sigmoids would otherwise never train.
+    */
+  final case class TrainedMlp(model: MultilayerPerceptronClassificationModel,
+                              mean: Array[Double], scale: Array[Double],
+                              minBucket: Int) {
+    private def standardize(f: Array[Double]): Array[Double] = {
+      val z = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { z(i) = (f(i) - mean(i)) / scale(i); i += 1 }
+      z
+    }
+    def predictBucket(features: Array[Double]): Int =
+      model.predict(Vectors.dense(standardize(features))).toInt + minBucket
+    /** Bucket as a log2 value — drop-in for [[Trained.predictLog2]] in
+      * [[evaluate]] (rounding an integer-valued double is identity). */
+    def predictLog2(features: Array[Double]): Double =
+      predictBucket(features).toDouble
+  }
+
+  /** Bucketing used for MLP class labels — identical to [[evaluate]]'s
+    * so train and test live in one space. */
+  def runtimeBucket(rt: Double, minBucket: Int): Int = {
+    val log2 = math.log(math.max(rt, 1e-3)) / math.log(2)
+    math.max(minBucket, math.min(8, math.floor(log2 + 0.5).toInt))
+  }
+
+  /** Train the MLP bucket classifier on (features, runtimeSeconds).
+    * `hidden` are the hidden-layer widths; input width comes from the
+    * features, output width is the bucket-class count
+    * (`8 - minBucket + 1`). Deterministic under a fixed seed (L-BFGS
+    * on a fixed batch).
+    */
+  def trainMlpOnFeatures(spark: SparkSession, featured: Seq[(Array[Double], Double)],
+                         hidden: Seq[Int] = Seq(64, 32), seed: Long = 42L,
+                         minBucket: Int = 0, maxIter: Int = 300): TrainedMlp = {
+    import spark.implicits._
+    require(featured.nonEmpty, "empty training set")
+    val width = featured.head._1.length
+    val nClasses = 8 - minBucket + 1
+    val mean = new Array[Double](width)
+    featured.foreach { case (f, _) => f.indices.foreach(i => mean(i) += f(i)) }
+    mean.indices.foreach(i => mean(i) /= featured.size)
+    val varsum = new Array[Double](width)
+    featured.foreach { case (f, _) =>
+      f.indices.foreach(i => varsum(i) += (f(i) - mean(i)) * (f(i) - mean(i)))
+    }
+    val scale = varsum.map(v => math.max(math.sqrt(v / featured.size), 1e-9))
+    val rows = featured.map { case (f, rt) =>
+      val z = f.indices.map(i => (f(i) - mean(i)) / scale(i)).toArray
+      (Vectors.dense(z), (runtimeBucket(rt, minBucket) - minBucket).toDouble)
+    }.toDF("features", "label")
+    val mlp = new MultilayerPerceptronClassifier()
+      .setLayers((width +: hidden :+ nClasses).toArray)
+      .setMaxIter(maxIter).setSeed(seed)
+    TrainedMlp(mlp.fit(rows), mean, scale, minBucket)
+  }
+
+  /** Persist a [[TrainedMlp]]: MLlib writer for the net, a sidecar JSON
+    * for the standardization affine map + bucket floor. */
+  def saveMlp(t: TrainedMlp, path: String): Unit = {
+    t.model.write.overwrite().save(s"$path/net")
+    val j = s"""{"minBucket":${t.minBucket},""" +
+      s""""mean":[${t.mean.mkString(",")}],"scale":[${t.scale.mkString(",")}]}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/scaler.json"), j)
+  }
+
+  /** Load a [[saveMlp]]d estimator; predictions are bit-identical to
+    * the pre-save model (asserted in MlpEstimatorSpec). */
+  def loadMlp(path: String): TrainedMlp = {
+    val j = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/scaler.json"))
+    def arr(key: String): Array[Double] = {
+      val m = java.util.regex.Pattern.compile(s""""$key":\\[([^\\]]*)\\]""").matcher(j)
+      require(m.find(), s"scaler.json lacks $key")
+      m.group(1).split(",").map(_.toDouble)
+    }
+    val mb = {
+      val m = java.util.regex.Pattern.compile(""""minBucket":(-?\d+)""").matcher(j)
+      require(m.find(), "scaler.json lacks minBucket"); m.group(1).toInt
+    }
+    TrainedMlp(MultilayerPerceptronClassificationModel.load(s"$path/net"),
+      arr("mean"), arr("scale"), mb)
   }
 
   /** log2-bucket metrics (metrics.py:9-27): accuracy on rounded buckets,

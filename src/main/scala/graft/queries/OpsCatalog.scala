@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, EventOps, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, TopFraction}
+import graft.ops.{Dedup, EventOps, Multimodal, Quantiles, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis, TopFraction}
 import graft.ops.PortableHash.{duckHash60 => dh}
 
 /** Query + oracle entries for the training-data-pipeline operators
@@ -451,6 +451,42 @@ object OpsCatalog {
           col("vec_id") % IvfCentMod === 0, col("vec_id") % PqCodeMod === 0,
           col("vec_id") % 100 === 0, PqM, PqSubDim, TopK, IvfNprobe)
         .orderBy("id_a", "rank")
+    },
+    // bin-bucketed range join: lineitem quantities against overlapping
+    // nation-derived [lo, hi] intervals — an equi-join on the bin id,
+    // never a nested loop (RangeJoinSpec asserts the plan)
+    "q86_range_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val facts = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("double").as("qty"))
+      val ranges = s.table("nation").select(
+        col("n_nationkey").cast("long").as("rid"),
+        (col("n_nationkey") * lit(2.0)).as("lo"),
+        (col("n_nationkey") * lit(2.0) + lit(3.0)).as("hi"))
+      RangeJoin.rangeJoin(facts, "qty", ranges, "lo", "hi", binWidth = 2.0)
+        .groupBy("rid")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("qty").cast("decimal(14,2)")).cast("double").as("sum_qty"))
+        .orderBy("rid")
+    },
+    // interval-overlap join: supplier × part synthetic intervals meet
+    // on bin ids, each overlapping pair counted exactly once via the
+    // first-shared-bin rule — no distinct, no nested loop
+    "q87_interval_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val sup = s.table("supplier")
+        .select(col("s_suppkey").cast("long").as("sid"),
+          ((col("s_suppkey") % 100).cast("double") * 3.0).as("lo"))
+        .withColumn("hi", col("lo") + 10.0)
+      val prt = s.table("part")
+        .select(col("p_partkey").cast("long").as("pid"),
+          ((col("p_partkey") % 200).cast("double") * 1.5).as("lo"))
+        .withColumn("hi", col("lo") + 2.0)
+      RangeJoin.intervalOverlapJoin(sup, "lo", "hi", prt, "lo", "hi", binWidth = 8.0)
+        .groupBy("sid")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("r_pid")).cast("long").as("sum_pid"))
+        .orderBy("sid")
     },
     // C4-style sub-document dedup: drop repeated 4-token chunks
     // corpus-wide, stitch the survivors back into cleaned documents
@@ -1598,6 +1634,24 @@ object OpsCatalog {
          |      FROM adc) t
          |WHERE rn <= $TopK ORDER BY id_a, rank""".stripMargin
     },
+
+    "q86_range_join" ->
+      """SELECT CAST(n.n_nationkey AS BIGINT) AS rid,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN nation n
+        |  ON CAST(l.l_quantity AS DOUBLE) >= n.n_nationkey * 2.0
+        | AND CAST(l.l_quantity AS DOUBLE) <= n.n_nationkey * 2.0 + 3.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q87_interval_join" ->
+      """SELECT CAST(s.s_suppkey AS BIGINT) AS sid,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(p.p_partkey) AS BIGINT) AS sum_pid
+        |FROM supplier s JOIN part p
+        |  ON (s.s_suppkey % 100) * 3.0 <= (p.p_partkey % 200) * 1.5 + 2.0
+        | AND (p.p_partkey % 200) * 1.5 <= (s.s_suppkey % 100) * 3.0 + 10.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q79_chunk_dedup" ->
       s"""WITH toks AS (

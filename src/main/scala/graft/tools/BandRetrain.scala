@@ -100,6 +100,30 @@ object BandRetrain {
       }
     }
 
+    // the NEURAL family (Estimator.trainMlpOnFeatures): an MLP
+    // classifying ref-space buckets directly over the same gerelt
+    // features — the public-MLlib stand-in for the reference's GRU.
+    // Bucket-balanced oversampling doubles as class reweighting here
+    // (cross-entropy instead of squared loss).
+    {
+      val byBucket = train.groupBy { case (_, rt) => refBucket(rt) }
+      val cap = byBucket.values.map(_.size).max
+      val balanced = byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
+        Iterator.continually(xs).flatten.take(cap).toSeq
+      }
+      for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced);
+           hidden <- Seq(Seq(32), Seq(64, 32))) {
+        val m = Estimator.trainMlpOnFeatures(spark,
+          set.map { case (sql, rt) => (fz(sql), rt) }, hidden = hidden)
+        val preds = test.map { case (sql, rt) =>
+          (m.predictLog2(fz(sql)), math.log(rt) / math.log(2))
+        }
+        val (acc, mae, f1) = Estimator.evaluate(preds, minBucket = 0)
+        println(f"[mlp] $label%-8s hidden=${hidden.mkString("x")}%-5s " +
+          f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+      }
+    }
+
     for (maxIter <- Seq(15, 40, 80); maxDepth <- Seq(4, 5, 6)) {
       val model = Estimator.trainOnFeatures(spark,
         train.map { case (sql, rt) => (fz(sql), rt) }, maxIter = maxIter,
