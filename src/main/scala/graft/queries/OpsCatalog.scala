@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, EventOps, Multimodal, Quantiles, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis, TopFraction}
+import graft.ops.{Dedup, EventOps, Multimodal, Quantiles, RangeJoin, Sampling, SemiStructured, Similarity, Sketches, TextAnalysis, TopFraction}
 import graft.ops.PortableHash.{duckHash60 => dh}
 
 /** Query + oracle entries for the training-data-pipeline operators
@@ -487,6 +487,21 @@ object OpsCatalog {
         .agg(count(lit(1)).cast("long").as("n_pairs"),
           sum(col("r_pid")).cast("long").as("sum_pid"))
         .orderBy("sid")
+    },
+    // schema-on-read over the events JSON payload: ONE from_json parse
+    // per row (never per-field re-parses), quarantine-aware, then an
+    // ordinary typed rollup on the extracted field
+    "q88_json_extract" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      SemiStructured.parseJsonColumn(ev, "props", "k INT")
+        .where(col("json_ok"))
+        .withColumn("k_decade", floor(col("parsed.k") / 10).cast("long"))
+        .groupBy("k_decade")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"),
+          min(col("parsed.k")).cast("long").as("min_k"),
+          max(col("parsed.k")).cast("long").as("max_k"))
+        .orderBy("k_decade")
     },
     // C4-style sub-document dedup: drop repeated 4-token chunks
     // corpus-wide, stitch the survivors back into cleaned documents
@@ -1651,6 +1666,15 @@ object OpsCatalog {
         |FROM supplier s JOIN part p
         |  ON (s.s_suppkey % 100) * 3.0 <= (p.p_partkey % 200) * 1.5 + 2.0
         | AND (p.p_partkey % 200) * 1.5 <= (s.s_suppkey % 100) * 3.0 + 10.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q88_json_extract" ->
+      """SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_decade,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+        |       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+        |       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+        |FROM events WHERE props IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q79_chunk_dedup" ->
