@@ -37,10 +37,25 @@ object RangeJoin {
     */
   def rangeJoin(facts: DataFrame, valueCol: String,
                 ranges: DataFrame, loCol: String, hiCol: String,
-                binWidth: Double): DataFrame = {
+                binWidth: Double): DataFrame =
+    keyedRangeJoin(facts, valueCol, ranges, loCol, hiCol, binWidth, Nil)
+
+  /** [[rangeJoin]] with equi-keys: a fact only matches ranges of the
+    * SAME `keyCols` values (events against that user's windows, reads
+    * against that shard's intervals). The keys join alongside the bin
+    * id — sharper partitioning for free, and per-key skew splits the
+    * same way plain equi-join skew does. `keyCols` must exist on both
+    * sides; key columns survive once.
+    */
+  def keyedRangeJoin(facts: DataFrame, valueCol: String,
+                     ranges: DataFrame, loCol: String, hiCol: String,
+                     binWidth: Double, keyCols: Seq[String]): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val clash = (facts.columns ++ ranges.columns).intersect(Seq("__bin"))
     require(clash.isEmpty, "input columns collide with rangeJoin internals: __bin")
+    val missing = keyCols.filterNot(facts.columns.contains) ++
+      keyCols.filterNot(ranges.columns.contains)
+    require(missing.isEmpty, s"key columns missing from an input: ${missing.distinct.mkString(", ")}")
     val w = lit(binWidth)
     val f = facts.withColumn("__bin", floor(col(valueCol) / w).cast("long"))
     val r = ranges
@@ -48,7 +63,7 @@ object RangeJoin {
       .withColumn("__bin",
         explode(sequence(floor(col(loCol) / w).cast("long"),
                          floor(col(hiCol) / w).cast("long"))))
-    f.join(r, Seq("__bin"))
+    f.join(r, "__bin" +: keyCols)
       .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__bin")
   }

@@ -61,6 +61,20 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("keyedRangeJoin only matches ranges of the same key") {
+    import spark.implicits._
+    val facts = Seq((1L, "u1", 5.0), (2L, "u2", 5.0), (3L, "u1", 50.0))
+      .toDF("fid", "user", "v")
+    val ranges = Seq((10L, "u1", 0.0, 10.0), (11L, "u2", 4.0, 6.0),
+      (12L, "u3", 0.0, 100.0)).toDF("rid", "user", "lo", "hi")
+    val got = RangeJoin.keyedRangeJoin(facts, "v", ranges, "lo", "hi", 3.0, Seq("user"))
+      .select("fid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 11L))) // u3's catch-all range invisible
+    assertThrows[IllegalArgumentException] {
+      RangeJoin.keyedRangeJoin(facts, "v", ranges, "lo", "hi", 3.0, Seq("nope"))
+    }
+  }
+
   test("intervalOverlapJoin matches the cartesian overlap filter, pairs unique") {
     import spark.implicits._
     val left = Seq((1L, 0.0, 5.0), (2L, 4.9, 10.0), (3L, -7.0, -2.0),
