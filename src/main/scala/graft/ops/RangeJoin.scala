@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Value-range (theta BETWEEN) join without a cartesian product.
@@ -49,7 +49,8 @@ object RangeJoin {
     */
   def keyedRangeJoin(facts: DataFrame, valueCol: String,
                      ranges: DataFrame, loCol: String, hiCol: String,
-                     binWidth: Double, keyCols: Seq[String]): DataFrame = {
+                     binWidth: Double, keyCols: Seq[String],
+                     maxBinsPerRange: Long = 4096L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val clash = (facts.columns ++ ranges.columns).intersect(Seq("__bin"))
     require(clash.isEmpty, "input columns collide with rangeJoin internals: __bin")
@@ -60,6 +61,8 @@ object RangeJoin {
     val f = facts.withColumn("__bin", floor(col(valueCol) / w).cast("long"))
     val r = ranges
       .where(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
+      .where(binGuard(floor(col(hiCol) / w).cast("long") - floor(col(loCol) / w).cast("long") + 1,
+        maxBinsPerRange))
       .withColumn("__bin",
         explode(sequence(floor(col(loCol) / w).cast("long"),
                          floor(col(hiCol) / w).cast("long"))))
@@ -67,6 +70,19 @@ object RangeJoin {
       .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Explode-factor tripwire: a binWidth far below the widest range
+    * would fan one range row out into millions of bins — at cluster
+    * scale that is a job-killing, quiet mistake. Fails the job loudly
+    * instead of exploding. Evaluated per range row inside the scan
+    * (a codegen'd comparison, not a separate pass); `coalesce` keeps
+    * the assert un-prunable (assert_true yields NULL on success).
+    */
+  private def binGuard(nBins: Column, maxBins: Long): Column =
+    coalesce(assert_true(nBins <= lit(maxBins),
+      concat(lit(s"rangeJoin: a range spans "), nBins,
+        lit(s" bins (> $maxBins) — raise binWidth or maxBinsPerRange"))),
+      lit(true))
 
   /** Interval-overlap join: every pair (l, r) whose closed intervals
     * `[l.lo, l.hi]` and `[r.lo, r.hi]` intersect — sessions × outage
@@ -85,7 +101,8 @@ object RangeJoin {
     */
   def intervalOverlapJoin(left: DataFrame, leftLo: String, leftHi: String,
                           right: DataFrame, rightLo: String, rightHi: String,
-                          binWidth: Double, rightPrefix: String = "r_"): DataFrame = {
+                          binWidth: Double, rightPrefix: String = "r_",
+                          maxBinsPerRange: Long = 4096L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val clash = left.columns.intersect(Seq("__bin", "__lbin"))
     require(clash.isEmpty, s"left columns collide with internals: ${clash.mkString(", ")}")
@@ -93,6 +110,7 @@ object RangeJoin {
     def exploded(df: DataFrame, lo: String, hi: String) = df
       .where(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
       .withColumn("__lbin", floor(col(lo) / w).cast("long"))
+      .where(binGuard(floor(col(hi) / w).cast("long") - col("__lbin") + 1, maxBinsPerRange))
       .withColumn("__bin",
         explode(sequence(col("__lbin"), floor(col(hi) / w).cast("long"))))
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"$rightPrefix$c"))

@@ -103,4 +103,17 @@ class RangeJoinSpec extends AnyFunSuite {
     val got = RangeJoin.rangeJoin(facts, "v", ranges, "lo", "hi", 0.25)
     assert(got.count() == 1L)
   }
+
+  test("a range spanning more than maxBinsPerRange bins fails loudly") {
+    import spark.implicits._
+    val facts = Seq((1L, 5.0)).toDF("fid", "v")
+    val ranges = Seq((10L, 0.0, 1e7)).toDF("rid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.keyedRangeJoin(facts, "v", ranges, "lo", "hi", 1.0, Nil,
+        maxBinsPerRange = 1000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("raise binWidth")), e.toString)
+  }
 }
