@@ -32,6 +32,22 @@ class SemiStructuredSpec extends AnyFunSuite {
       (4L, false, None, None)))
   }
 
+  test("nested schemas parse in the same single pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"u": {"id": 3, "tags": ["a", "b"]}, "n": 1.5}"""),
+      (2L, """{"u": {"id": 4}, "n": "wrong-type"}""")).toDF("id", "props")
+    val got = SemiStructured.parseJsonColumn(df, "props",
+      "u STRUCT<id: BIGINT, tags: ARRAY<STRING>>, n DOUBLE")
+      .selectExpr("id", "json_ok", "parsed.u.id AS uid", "parsed.u.tags[0]", "parsed.n")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1).toSeq
+    assert(got.head == (1L, true, Some(3L), Some("a"), Some(1.5)))
+    // a mis-typed FIELD quarantines the row (PERMISSIVE nulls the field
+    // but fills the corrupt-record channel) — data-quality gates see it
+    assert(got(1)._1 == 2L && !got(1)._2)
+  }
+
   test("output name collisions fail fast") {
     import spark.implicits._
     val df = Seq((1L, "{}", true)).toDF("id", "props", "json_ok")
