@@ -219,31 +219,37 @@ object Estimator {
     TrainedMlp(mlp.fit(rows), mean, scale, minBucket)
   }
 
+  // same Jackson idiom as graft.model.ModelJson — a real JSON
+  // writer/reader, not string splicing (exact double round-trip, order
+  // and whitespace agnostic on read)
+  private lazy val scalerMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Persist a [[TrainedMlp]]: MLlib writer for the net, a sidecar JSON
     * for the standardization affine map + bucket floor. */
   def saveMlp(t: TrainedMlp, path: String): Unit = {
     t.model.write.overwrite().save(s"$path/net")
-    val j = s"""{"minBucket":${t.minBucket},""" +
-      s""""mean":[${t.mean.mkString(",")}],"scale":[${t.scale.mkString(",")}]}"""
+    val root = scalerMapper.createObjectNode()
+    root.put("minBucket", t.minBucket)
+    val meanA = root.putArray("mean"); t.mean.foreach(meanA.add)
+    val scaleA = root.putArray("scale"); t.scale.foreach(scaleA.add)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/scaler.json"), j)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/scaler.json"),
+      scalerMapper.writeValueAsString(root))
   }
 
   /** Load a [[saveMlp]]d estimator; predictions are bit-identical to
     * the pre-save model (asserted in MlpEstimatorSpec). */
   def loadMlp(path: String): TrainedMlp = {
-    val j = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/scaler.json"))
+    val root = scalerMapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/scaler.json")))
     def arr(key: String): Array[Double] = {
-      val m = java.util.regex.Pattern.compile(s""""$key":\\[([^\\]]*)\\]""").matcher(j)
-      require(m.find(), s"scaler.json lacks $key")
-      m.group(1).split(",").map(_.toDouble)
+      val node = root.get(key)
+      require(node != null && node.isArray, s"scaler.json lacks array $key")
+      (0 until node.size).map(node.get(_).asDouble).toArray
     }
-    val mb = {
-      val m = java.util.regex.Pattern.compile(""""minBucket":(-?\d+)""").matcher(j)
-      require(m.find(), "scaler.json lacks minBucket"); m.group(1).toInt
-    }
+    require(root.hasNonNull("minBucket"), "scaler.json lacks minBucket")
     TrainedMlp(MultilayerPerceptronClassificationModel.load(s"$path/net"),
-      arr("mean"), arr("scale"), mb)
+      arr("mean"), arr("scale"), root.get("minBucket").asInt)
   }
 
   /** log2-bucket metrics (metrics.py:9-27): accuracy on rounded buckets,

@@ -57,12 +57,17 @@ object RangeJoin {
     val missing = keyCols.filterNot(facts.columns.contains) ++
       keyCols.filterNot(ranges.columns.contains)
     require(missing.isEmpty, s"key columns missing from an input: ${missing.distinct.mkString(", ")}")
+    // fail fast on shared non-key names: the residual BETWEEN filter
+    // after the join would otherwise die with an opaque
+    // AMBIGUOUS_REFERENCE naming neither input
+    val shared = facts.columns.intersect(ranges.columns).diff(keyCols)
+    require(shared.isEmpty,
+      s"non-key columns shared by both inputs (rename one side): ${shared.mkString(", ")}")
     val w = lit(binWidth)
     val f = facts.withColumn("__bin", floor(col(valueCol) / w).cast("long"))
     val r = ranges
       .where(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
-      .where(binGuard(floor(col(hiCol) / w).cast("long") - floor(col(loCol) / w).cast("long") + 1,
-        maxBinsPerRange))
+      .where(binGuard(floor(col(hiCol) / w) - floor(col(loCol) / w) + 1, maxBinsPerRange))
       .withColumn("__bin",
         explode(sequence(floor(col(loCol) / w).cast("long"),
                          floor(col(hiCol) / w).cast("long"))))
@@ -77,9 +82,15 @@ object RangeJoin {
     * instead of exploding. Evaluated per range row inside the scan
     * (a codegen'd comparison, not a separate pass); `coalesce` keeps
     * the assert un-prunable (assert_true yields NULL on success).
+    *
+    * `nBins` stays in DOUBLE space: an open-ended interval encoded as
+    * hi = Infinity must hit THIS message, not a downstream long-cast
+    * overflow or a sequence() array-size error. assert_true also
+    * throws on a NULL condition, so NaN bounds cannot slip through the
+    * comparison.
     */
   private def binGuard(nBins: Column, maxBins: Long): Column =
-    coalesce(assert_true(nBins <= lit(maxBins),
+    coalesce(assert_true(nBins >= lit(1.0) && nBins <= lit(maxBins.toDouble),
       concat(lit(s"rangeJoin: a range spans "), nBins,
         lit(s" bins (> $maxBins) — raise binWidth or maxBinsPerRange"))),
       lit(true))
@@ -109,13 +120,19 @@ object RangeJoin {
     val w = lit(binWidth)
     def exploded(df: DataFrame, lo: String, hi: String) = df
       .where(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .where(binGuard(floor(col(hi) / w) - floor(col(lo) / w) + 1, maxBinsPerRange))
       .withColumn("__lbin", floor(col(lo) / w).cast("long"))
-      .where(binGuard(floor(col(hi) / w).cast("long") - col("__lbin") + 1, maxBinsPerRange))
       .withColumn("__bin",
         explode(sequence(col("__lbin"), floor(col(hi) / w).cast("long"))))
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"$rightPrefix$c"))
     val rclash = r.columns.intersect(Seq("__bin", "__lbin"))
     require(rclash.isEmpty, s"right columns collide with internals: ${rclash.mkString(", ")}")
+    // a left column spelled like a PREFIXED right column would survive
+    // twice (duplicate output names) or make the overlap filter
+    // ambiguous — reject up front with the actual clash
+    val shared = left.columns.intersect(r.columns)
+    require(shared.isEmpty,
+      s"left columns collide with prefixed right columns (rename or change rightPrefix): ${shared.mkString(", ")}")
     val le = exploded(left, leftLo, leftHi)
     val re = exploded(r, s"$rightPrefix$rightLo", s"$rightPrefix$rightHi")
       .withColumnRenamed("__lbin", "__rlbin")

@@ -39,9 +39,14 @@ object SemiStructured {
     val withCr = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
     val parsed = from_json(col(jsonCol), withCr,
       Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    // three shapes fail: null payload, corrupt payload (_corrupt side
+    // channel filled), and payloads from_json maps to a NULL struct
+    // with NO corrupt record — the empty string, whitespace, and the
+    // JSON literal `null` (verified in SemiStructuredSpec)
     df.withColumn("__p", parsed)
       .withColumn("json_ok",
-        col(jsonCol).isNotNull && col("__p._corrupt").isNull)
+        col(jsonCol).isNotNull && col("__p").isNotNull &&
+          col("__p._corrupt").isNull)
       .withColumn("parsed", struct(schema.fieldNames.map(f => col(s"__p.$f")): _*))
       .drop("__p")
   }

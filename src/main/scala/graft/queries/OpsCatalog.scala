@@ -493,8 +493,12 @@ object OpsCatalog {
     // ordinary typed rollup on the extracted field
     "q88_json_extract" -> { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
+      // json_ok drops corrupt/empty payloads; the k-not-null filter
+      // additionally drops valid payloads missing the field — the same
+      // row set the oracle's json_valid + TRY_CAST IS NOT NULL keeps,
+      // whatever the canon ships (mis-typed k quarantines BOTH sides)
       SemiStructured.parseJsonColumn(ev, "props", "k INT")
-        .where(col("json_ok"))
+        .where(col("json_ok") && col("parsed.k").isNotNull)
         .withColumn("k_decade", floor(col("parsed.k") / 10).cast("long"))
         .groupBy("k_decade")
         .agg(count(lit(1)).cast("long").as("n_events"),
@@ -1669,12 +1673,20 @@ object OpsCatalog {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q88_json_extract" ->
-      """SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_decade,
+      """WITH parsed AS (
+        |  -- json_extract_STRING + TRY_CAST keeps DuckDB as strict as
+        |  -- Spark's schema'd parser: a fractional k fails the INTEGER
+        |  -- cast on both sides instead of silently rounding here
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        |  FROM events
+        |  WHERE props IS NOT NULL AND json_valid(props)
+        |)
+        |SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decade,
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
-        |       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
-        |       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
-        |FROM events WHERE props IS NOT NULL
+        |       CAST(MIN(k) AS BIGINT) AS min_k,
+        |       CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM parsed WHERE k IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q79_chunk_dedup" ->

@@ -76,16 +76,22 @@ object BandRetrain {
     // bucket-balanced training: the balanced GENERATOR still yields a
     // bucket-0-heavy workload (sub-second queries are cheap to find), so
     // the squared loss on log2(runtime) is dominated by bucket-0 targets.
-    // Deterministic cyclic oversampling of each ref-bucket to the
-    // majority count reweights the loss the way the reference's
-    // bucket-balanced 100k campaign was weighted by construction
-    // (guided.py balance target); holdout stays untouched and honest.
-    {
-      val byBucket = train.groupBy { case (_, rt) => refBucket(rt) }
+    // Deterministic cyclic oversampling of each bucket to the majority
+    // count reweights the loss the way the reference's bucket-balanced
+    // 100k campaign was weighted by construction (guided.py balance
+    // target); holdout stays untouched and honest. Parameterized on the
+    // bucket map because the GBT (continuous log2 target) balances in
+    // ref space while the MLP must balance in its own LABEL space
+    // (rounded log2) — the two differ for the upper half of each octave.
+    def oversampleBy(bucketOf: Double => Int): Seq[(String, Double)] = {
+      val byBucket = train.groupBy { case (_, rt) => bucketOf(rt) }
       val cap = byBucket.values.map(_.size).max
-      val balanced = byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
+      byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
         Iterator.continually(xs).flatten.take(cap).toSeq
       }
+    }
+    {
+      val balanced = oversampleBy(refBucket)
       for (maxIter <- Seq(40, 80); maxDepth <- Seq(4, 5, 6)) {
         val model = Estimator.trainOnFeatures(spark,
           balanced.map { case (sql, rt) => (fz(sql), rt) }, maxIter = maxIter,
@@ -101,16 +107,12 @@ object BandRetrain {
     }
 
     // the NEURAL family (Estimator.trainMlpOnFeatures): an MLP
-    // classifying ref-space buckets directly over the same gerelt
-    // features — the public-MLlib stand-in for the reference's GRU.
-    // Bucket-balanced oversampling doubles as class reweighting here
-    // (cross-entropy instead of squared loss).
+    // classifying log2 buckets directly over the same gerelt features —
+    // the public-MLlib stand-in for the reference's GRU. Oversampling
+    // equalizes the MLP's OWN class labels (runtimeBucket), acting as
+    // cross-entropy class reweighting.
     {
-      val byBucket = train.groupBy { case (_, rt) => refBucket(rt) }
-      val cap = byBucket.values.map(_.size).max
-      val balanced = byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
-        Iterator.continually(xs).flatten.take(cap).toSeq
-      }
+      val balanced = oversampleBy(rt => Estimator.runtimeBucket(rt, 0))
       for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced);
            hidden <- Seq(Seq(32), Seq(64, 32))) {
         val m = Estimator.trainMlpOnFeatures(spark,

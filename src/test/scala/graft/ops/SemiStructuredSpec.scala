@@ -19,7 +19,10 @@ class SemiStructuredSpec extends AnyFunSuite {
       (1L, """{"k": 7, "tag": "a"}"""),
       (2L, """{"k": 8}"""),          // missing field -> null field, still ok
       (3L, """{not json"""),         // corrupt -> quarantined
-      (4L, null.asInstanceOf[String]) // absent payload -> quarantined
+      (4L, null.asInstanceOf[String]), // absent payload -> quarantined
+      (5L, ""),                      // empty string -> quarantined
+      (6L, "   "),                   // whitespace -> quarantined
+      (7L, "null")                   // JSON null literal -> quarantined
     ).toDF("id", "props")
     val got = SemiStructured.parseJsonColumn(df, "props", "k INT, tag STRING")
       .selectExpr("id", "json_ok", "parsed.k", "parsed.tag")
@@ -29,7 +32,10 @@ class SemiStructuredSpec extends AnyFunSuite {
       (1L, true, Some(7), Some("a")),
       (2L, true, Some(8), None),
       (3L, false, None, None),
-      (4L, false, None, None)))
+      (4L, false, None, None),
+      (5L, false, None, None),
+      (6L, false, None, None),
+      (7L, false, None, None)))
   }
 
   test("nested schemas parse in the same single pass") {
