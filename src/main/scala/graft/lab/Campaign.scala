@@ -128,6 +128,17 @@ object Campaign {
       val (bAcc, bMae, bF1) = Estimator.evaluate(bPreds, minBucket = 0)
       println(f"[campaign] bucket-BALANCED heldout REF-SPACE: acc=$bAcc%.3f " +
         f"mae=$bMae%.3f f1=$bF1%.3f (train ${train.size}->${balanced.size})")
+      // the neural family on the same measurements — an MLP classifying
+      // the ref-space buckets directly (see Estimator.trainMlpOnFeatures)
+      val mlp = Estimator.trainMlpOnFeatures(spark,
+        train.map { case (sql, rt) => (Estimator.featurize(db, sql), rt) },
+        hidden = Seq(32))
+      val mPreds = test.map { case (sql, rt) =>
+        (mlp.predictLog2(Estimator.featurize(db, sql)), math.log(rt) / math.log(2))
+      }
+      val (mAcc, mMae, mF1) = Estimator.evaluate(mPreds, minBucket = 0)
+      println(f"[campaign] MLP heldout REF-SPACE: acc=$mAcc%.3f " +
+        f"mae=$mMae%.3f f1=$mF1%.3f (bucket classifier; MAE is in bucket units)")
     }
     Result(usable.size, train.size, test.size, tAcc, tMae, tF1, hAcc, hMae, hF1,
       gen.counts.toSeq, usable.map(_._2), rAcc, rMae, rF1)
