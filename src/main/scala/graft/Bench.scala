@@ -28,7 +28,8 @@ object Bench {
     "q75_image_decode", "q76_mixture_sample", "q77_zorder_box",
     "q78_pq_adc", "q79_chunk_dedup", "q80_bigram_lm", "q81_orc_roundtrip",
     "q82_exact_quantiles", "q83_upsert", "q84_incremental_stats",
-    "q85_ivf_pq", "q86_range_join", "q87_interval_join", "q88_json_extract")
+    "q85_ivf_pq", "q86_range_join", "q87_interval_join", "q88_json_extract",
+    "q89_bm25_search", "q90_groupaware_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -161,4 +161,27 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(0), col("__copies") - 1)))
       .drop("__copies")
   }
+
+  /** Leakage-safe train/valid/test split: the hash die rolls on the
+    * GROUP id, not the row id, so every member of a group lands in the
+    * same split by construction. The group is typically a near-duplicate
+    * cluster ([[Dedup.connectedComponents]]): a per-row split would put
+    * one copy of a near-duplicated document in train and another in
+    * test, and the eval set silently scores memorization — the classic
+    * contamination-through-duplication bug this operator exists to
+    * prevent.
+    *
+    * Pure projection over the labeled frame — no shuffle, no state; the
+    * expensive part (clustering) is the caller's input, reused as-is.
+    */
+  def splitByGroup(labeled: DataFrame, groupCol: String,
+                   trainPct: Int, validPct: Int,
+                   salt: String = "gsplit"): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100)
+    val d = hash60(concat(lit(salt), lit(":"), col(groupCol).cast("string"))) % 100
+    labeled.withColumn("split",
+      when(d < trainPct, lit("train"))
+        .when(d < trainPct + validPct, lit("valid"))
+        .otherwise(lit("test")))
+  }
 }

@@ -296,4 +296,71 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(col("lp")), 4).as("avg_logp"))
   }
+
+  /** BM25 top-k document search for a constant query-term set — the
+    * relevance ranking a corpus-curation pipeline uses to pull topical
+    * slices ("find the k documents most about X") without an inverted
+    * index. Per document d and term t:
+    *   score(d,t) = idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    * with the RATIONAL idf (n − df + 0.5)/(df + 0.5): the classic log()
+    * of that ratio is a monotone transform (ranking-identical), and
+    * keeping the whole formula inside +,−,×,÷ makes every step an
+    * exactly-rounded IEEE op the DuckDB oracle reproduces bit-for-bit
+    * instead of trusting two libm ln() implementations to agree (the
+    * final ROUND(…, 6) is belt-and-braces on top). k1 = 1.2, b = 0.75
+    * are the standard Robertson defaults; they are baked as literals so
+    * the oracle can spell the identical doubles.
+    *
+    * Output: (id, tf0..tfN, dl, score) for the k best-scoring documents
+    * containing at least one query term, ties to the smallest id.
+    *
+    * Scale design (100 TB): term frequencies come from in-row
+    * `filter(toks, …)` — no explode, no token shuffle, the per-doc row
+    * stays a handful of longs. Corpus statistics (n, Σdl, per-term df)
+    * are ONE map-side-combined aggregate producing a 1-row frame that
+    * broadcasts to the scoring pass; the ranking is a TakeOrdered
+    * (per-partition top-k, k rows to the driver), never a global sort.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    require(k > 0, s"top-k size must be positive, got $k")
+    val spark = df.sparkSession
+    // bind the token array to its own projection (see shinglesOf): the
+    // per-term lambdas below would otherwise re-run the regex split
+    val base = df
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
+      .select(
+        col(idCol) +:
+          size(col("toks")).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("toks"), w => w === lit(t))).cast("long").as(s"tf$i")
+          }: _*)
+    val stats = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).cast("long").as("sdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long").as(s"df$i")): _*)
+    val nD = col("n").cast("double")
+    val avgdl = col("sdl").cast("double") / nD
+    def termScore(i: Int): Column = {
+      val dfd = col(s"df$i").cast("double")
+      val idf = ((nD - dfd) + lit(0.5)) / (dfd + lit(0.5))
+      val tfd = col(s"tf$i").cast("double")
+      // 1 − b = 0.25 and b = 0.75 are exact binary doubles; k1+1 is
+      // spelled (1.2 + 1.0) on BOTH sides because double(1.2)+1.0 need
+      // not equal the nearest double to the literal 2.2
+      val den = tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+      idf * ((tfd * (lit(1.2) + lit(1.0))) / den)
+    }
+    val score = terms.indices.map(termScore).reduce(_ + _) // left-assoc, fixed order
+    val anyHit = terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _)
+    base.crossJoin(broadcast(stats))
+      .where(anyHit)
+      .withColumn("score", round(score, 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol) +: terms.indices.map(i => col(s"tf$i")) :+ col("dl") :+ col("score"): _*)
+  }
 }

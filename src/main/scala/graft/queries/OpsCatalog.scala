@@ -48,6 +48,8 @@ object OpsCatalog {
   private val OrcKeyLo = 1000L   // pushed key range probed on the ORC copy (q81)
   private val OrcKeyHi = 3000L
   private val QuantProbs = Seq(0.5, 0.9, 0.99)  // exact quantiles (q82)
+  private val Bm25Terms = Seq("join", "vector", "spark") // q89 query terms
+  private val Bm25K = 20         // q89 result size
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -506,6 +508,23 @@ object OpsCatalog {
           min(col("parsed.k")).cast("long").as("min_k"),
           max(col("parsed.k")).cast("long").as("max_k"))
         .orderBy("k_decade")
+    },
+    // BM25 relevance search (rational idf — ranking-identical, oracle
+    // bit-exact): in-row term frequencies, ONE broadcast corpus-stats
+    // row, TakeOrdered top-20
+    "q89_bm25_search" -> { (s, dir) =>
+      TextAnalysis.bm25Search(Tables.load(s, dir, "documents"), "doc_id", "text",
+          Bm25Terms, Bm25K)
+        .orderBy("doc_id")
+    },
+    // leakage-safe split: near-dup clusters (as q49) roll the split die
+    // on the CLUSTER id, so no near-duplicate pair straddles train/test
+    "q90_groupaware_split" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text", ShingleN, MaxDf, JaccThresh)
+      val labels = Dedup.connectedComponents(edges, "id_a", "id_b", docs, "doc_id")
+      Sampling.splitByGroup(labels, "cluster_id", 80, 10)
+        .select("doc_id", "cluster_id", "split").orderBy("doc_id")
     },
     // C4-style sub-document dedup: drop repeated 4-token chunks
     // corpus-wide, stitch the survivors back into cleaned documents
@@ -1688,6 +1707,53 @@ object OpsCatalog {
         |       CAST(MAX(k) AS BIGINT) AS max_k
         |FROM parsed WHERE k IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q89_bm25_search" -> {
+      // per-term score replicated with EXPLICIT CAST(… AS DOUBLE) on every
+      // constant (a bare 1.2 is a DECIMAL in DuckDB — decimal 2.2 cast to
+      // double need not equal double(1.2)+1.0) and the same left-assoc
+      // op order as the Column expression, so every IEEE step matches
+      def ts(i: Int): String = {
+        val idf = s"(((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE)) + CAST(0.5 AS DOUBLE)) / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        val den = s"(CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+        s"($idf * ((CAST(tf$i AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / $den))"
+      }
+      val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, w -> w = '$t')) AS BIGINT) AS tf$i" }.mkString(",\n|         ")
+      val dfDefs = Bm25Terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n|         ")
+      val score = Bm25Terms.indices.map(ts).reduce((a, b) => s"($a + $b)")
+      val anyHit = Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      val tfCols = Bm25Terms.indices.map(i => s"tf$i").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
+         |), base AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |         $tfDefs
+         |  FROM tok
+         |), st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+         |         $dfDefs
+         |  FROM base
+         |)
+         |SELECT doc_id, $tfCols, dl, score FROM (
+         |  SELECT doc_id, $tfCols, dl, ROUND($score, 6) AS score
+         |  FROM base, st WHERE $anyHit
+         |  ORDER BY score DESC, doc_id LIMIT $Bm25K)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q90_groupaware_split" ->
+      s"""$clusterCte, labels AS (
+         |  SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY node
+         |)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN d < 80 THEN 'train' WHEN d < 90 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |             ${dh("'gsplit:' || CAST(cluster_id AS VARCHAR)")} % 100 AS d
+         |      FROM labels)
+         |ORDER BY doc_id""".stripMargin,
 
     "q79_chunk_dedup" ->
       s"""WITH toks AS (
