@@ -184,4 +184,115 @@ object Sampling {
         .when(d < trainPct + validPct, lit("valid"))
         .otherwise(lit("test")))
   }
+
+  /** Contiguous global training order: every row gets `train_pos` ∈
+    * [0, N), its rank in the corpus-wide permutation ordered by the
+    * portable hash (`idCol` breaks the ~2⁻⁶⁰ collisions). The order a
+    * data loader replays for epoch determinism — unlike
+    * [[shuffleShards]] (per-shard positions), positions here are
+    * globally contiguous.
+    *
+    * Scale design: NO global-window `row_number` (that is one reducer
+    * for the whole corpus). A range exchange on the hash key gives
+    * cross-partition order; a per-partition sort gives in-partition
+    * order; `monotonically_increasing_id` is then CONTIGUOUS inside
+    * each partition, so `train_pos = global offset of my partition +
+    * (mono − partition's min mono)`. The offsets frame is one row per
+    * partition — broadcast-joined, never a shuffle of the data. One
+    * persist so the offsets pass and the output pass see identical
+    * partitioning. Everything stays in whole-stage codegen.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, partitions: Int,
+                    salt: String = "order"): DataFrame = {
+    require(partitions > 0)
+    import org.apache.spark.sql.expressions.Window
+    val clash = df.columns.intersect(Seq("_ok", "_mono", "_pid", "train_pos"))
+    require(clash.isEmpty, s"input columns collide with trainingOrder internals: ${clash.mkString(", ")}")
+    val keyed = df
+      .withColumn("_ok", hash60(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .repartitionByRange(partitions, col("_ok"), col(idCol))
+      .sortWithinPartitions(col("_ok"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mono", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one tiny row per partition: how many rows precede partition p
+    // globally, and p's smallest mono id (its local zero point)
+    val parts = keyed.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n"), min(col("_mono")).as("_lo"))
+    val offsets = broadcast(parts
+      .withColumn("_off",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"), col("_lo")))
+    keyed.join(offsets, "_pid")
+      .withColumn("train_pos", col("_off") + (col("_mono") - col("_lo")))
+      .drop("_ok", "_mono", "_pid", "_off", "_lo")
+  }
+
+  /** Cap each group at its `k` deterministically-ranked rows (the
+    * common-crawl-style per-domain cap: no source may dominate the
+    * corpus). Rank = portable hash of (group, id), so the kept subset
+    * is a uniform, reproducible draw. Emits `rank_in_group` ∈ [1, k].
+    *
+    * Skew design: a single `row_number` window partitioned by the group
+    * would funnel a hot domain (at 100 TB: one host with 10⁹ pages)
+    * through one task. Phase 1 ranks within (group, hash%`salts`)
+    * sub-buckets and keeps k per sub-bucket — the global per-group
+    * top-k by hash order is necessarily a subset of the union of
+    * sub-bucket top-ks. Phase 2 re-ranks only those ≤ `salts`·k
+    * survivors per group, so the hot-key task is bounded by
+    * `salts`·k rows regardless of corpus skew.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                  salts: Int = 16, salt: String = "cap"): DataFrame = {
+    require(k > 0 && salts > 0)
+    val clash = df.columns.intersect(Seq("_rk", "_r1", "rank_in_group"))
+    require(clash.isEmpty, s"input columns collide with capPerGroup internals: ${clash.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col(groupCol), col("_rk") % salts)
+      .orderBy(col("_rk"), col(idCol))
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(col("_rk"), col(idCol))
+    df.withColumn("_rk", hash60(concat(lit(salt), lit(":"),
+        col(groupCol).cast("string"), lit(":"), col(idCol).cast("string"))))
+      .withColumn("_r1", row_number().over(w1)).where(col("_r1") <= k)
+      .withColumn("rank_in_group", row_number().over(w2))
+      .where(col("rank_in_group") <= k)
+      .drop("_rk", "_r1")
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of a global token
+    * `budget` across groups, proportional to each group's token mass:
+    * `alloc_g = floor(budget·tok_g/T) + 1` for the `budget − Σfloor`
+    * groups with the largest remainders (ties broken by group name).
+    * Exact integer arithmetic throughout — `budget·tok_g` is computed
+    * in decimal(38,0) so a 10¹² token corpus times a 10⁹ budget cannot
+    * overflow a BIGINT — which makes the allocation reproducible
+    * bit-for-bit in any engine. Σalloc == budget by construction.
+    *
+    * Scale: the only corpus-sized work is the map-side-combined
+    * `groupBy(group).sum(tokens)`; every window after it runs over one
+    * row per group (thousands, not billions — document if your group
+    * key is finer). The sort in the ranking window is over groups only.
+    */
+  def allocateTokenBudget(df: DataFrame, groupCol: String,
+                          nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val wRank = Window.partitionBy().orderBy(col("_rem").desc, col(groupCol))
+    df.groupBy(col(groupCol))
+      .agg(sum(col(nTokensCol)).cast("decimal(38,0)").as("group_tokens"))
+      .withColumn("_t", sum(col("group_tokens")).over(wAll))
+      .withColumn("_prod", col("group_tokens") * lit(budget).cast("decimal(38,0)"))
+      // decimal DIV/% : floor quotient and exact remainder of budget·tok/T
+      .withColumn("_base", expr("CAST(_prod DIV _t AS BIGINT)"))
+      .withColumn("_rem", expr("CAST(_prod % _t AS DECIMAL(38,0))"))
+      .withColumn("_extra", lit(budget) - sum(col("_base")).over(wAll))
+      .withColumn("_rk", row_number().over(wRank))
+      .withColumn("token_alloc",
+        col("_base") + when(col("_rk") <= col("_extra"), 1L).otherwise(0L))
+      .select(col(groupCol), col("group_tokens").cast("long").as("group_tokens"),
+        col("token_alloc"))
+  }
 }

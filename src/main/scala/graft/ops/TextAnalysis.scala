@@ -363,4 +363,34 @@ object TextAnalysis {
       .limit(k)
       .select(col(idCol) +: terms.indices.map(i => col(s"tf$i")) :+ col("dl") :+ col("score"): _*)
   }
+
+  /** PII patterns shared by [[redactPii]] and its oracle. Kept in the
+    * portable intersection of Java regex (Spark codegen) and RE2
+    * (DuckDB): no lookaround, no backreferences — the same pattern
+    * string must mean the same language in both engines.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\d{3}[-. ]\\d{3}[-. ]\\d{4}", "[PHONE]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** Redact personally-identifiable substrings (emails, NANP-style
+    * phone numbers, IPv4 literals) before a corpus ships to training,
+    * and count what was removed per document (`n_email`/`n_phone`/
+    * `n_ip` — the audit trail a compliance pass needs). Counts are
+    * taken on the ORIGINAL text, then replacements apply in fixed
+    * pattern order, so overlapping matches resolve identically in any
+    * engine. Pure `regexp_count`/`regexp_replace` Columns: per-row
+    * work inside whole-stage codegen, zero shuffles, scan-width
+    * bounded by the text column itself.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("clean_text"): _*)
+  }
 }

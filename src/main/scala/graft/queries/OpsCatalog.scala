@@ -50,6 +50,10 @@ object OpsCatalog {
   private val QuantProbs = Seq(0.5, 0.9, 0.99)  // exact quantiles (q82)
   private val Bm25Terms = Seq("join", "vector", "spark") // q89 query terms
   private val Bm25K = 20         // q89 result size
+  private val OrderParts = 8     // range partitions for the q91 global order
+  private val CapK = 25          // per-source document cap (q93)
+  private val CapSalts = 8       // q93 skew sub-buckets
+  private val BudgetTokens = 1000000L // q94 global token budget
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -525,6 +529,45 @@ object OpsCatalog {
       val labels = Dedup.connectedComponents(edges, "id_a", "id_b", docs, "doc_id")
       Sampling.splitByGroup(labels, "cluster_id", 80, 10)
         .select("doc_id", "cluster_id", "split").orderBy("doc_id")
+    },
+    // contiguous epoch-deterministic training order: range exchange on
+    // the portable hash + per-partition offsets — no global-window
+    // row_number single reducer anywhere
+    "q91_training_order" -> { (s, dir) =>
+      Sampling.trainingOrder(Tables.load(s, dir, "documents"), "doc_id", OrderParts)
+        .select("doc_id", "train_pos").orderBy("doc_id")
+    },
+    // compliance pass: count + redact emails/phones/IPv4 per document.
+    // Pseudo-PII is synthesized deterministically from doc_id (the
+    // corpus itself is clean) so the counts are non-trivial; docs with
+    // doc_id % 3 == 0 stay untouched as negative cases
+    "q92_pii_redact" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val seeded = docs.withColumn("text",
+        when(col("doc_id") % 3 =!= 0,
+          concat(col("text"), lit(" reach u"), col("doc_id").cast("string"),
+            lit("@mail.example.org or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.1."), (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(col("text")))
+      TextAnalysis.redactPii(seeded, "doc_id", "text").orderBy("doc_id")
+    },
+    // per-source corpus cap (no domain may dominate): salted two-phase
+    // top-k — the hot-source task is bounded by salts*k rows, never the
+    // whole source
+    "q93_domain_cap" -> { (s, dir) =>
+      Sampling.capPerGroup(Tables.load(s, dir, "documents"), "doc_id", "source",
+          CapK, CapSalts)
+        .select(col("doc_id"), col("source"), col("rank_in_group").cast("long"))
+        .orderBy("doc_id")
+    },
+    // largest-remainder apportionment of a global token budget across
+    // sources — exact integer arithmetic, Σalloc == budget
+    "q94_token_budget" -> { (s, dir) =>
+      Sampling.allocateTokenBudget(Tables.load(s, dir, "documents"), "source",
+          "n_chars", BudgetTokens)
+        .orderBy("source")
     },
     // C4-style sub-document dedup: drop repeated 4-token chunks
     // corpus-wide, stitch the survivors back into cleaned documents
@@ -1754,6 +1797,62 @@ object OpsCatalog {
          |             ${dh("'gsplit:' || CAST(cluster_id AS VARCHAR)")} % 100 AS d
          |      FROM labels)
          |ORDER BY doc_id""".stripMargin,
+
+    // the partition-offset mechanics are Spark-side plumbing; the
+    // CONTRACT is "rank in the hash-ordered global permutation", which
+    // one window states directly at oracle scale
+    "q91_training_order" ->
+      s"""SELECT doc_id,
+         |       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS train_pos
+         |FROM (SELECT doc_id, ${dh("'order:' || CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q92_pii_redact" -> {
+      val seeded = "CASE WHEN doc_id % 3 <> 0 THEN text || ' reach u' || CAST(doc_id AS VARCHAR)" +
+        " || '@mail.example.org or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')" +
+        " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')" +
+        " || ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE text END"
+      val pats = graft.ops.TextAnalysis.PiiPatterns
+      val counts = pats.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n|       ")
+      val redacted = pats.foldLeft("t") { case (c, (_, pat, repl)) =>
+        s"regexp_replace($c, '$pat', '$repl', 'g')"
+      }
+      s"""SELECT doc_id,
+         |       $counts,
+         |       $redacted AS clean_text
+         |FROM (SELECT doc_id, $seeded AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q93_domain_cap" ->
+      s"""SELECT doc_id, source, CAST(rk AS BIGINT) AS rank_in_group
+         |FROM (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+         |      FROM (SELECT doc_id, source,
+         |                   ${dh("'cap:' || source || ':' || CAST(doc_id AS VARCHAR)")} AS h
+         |            FROM documents))
+         |WHERE rk <= $CapK
+         |ORDER BY doc_id""".stripMargin,
+
+    "q94_token_budget" ->
+      s"""WITH g AS (
+         |  SELECT source, CAST(SUM(n_chars) AS HUGEINT) AS tok FROM documents GROUP BY source
+         |), t AS (SELECT SUM(tok) AS tt FROM g),
+         |b AS (
+         |  SELECT source, tok,
+         |         (tok * ${BudgetTokens}) // tt AS base,
+         |         (tok * ${BudgetTokens}) % tt AS rem
+         |  FROM g, t
+         |), e AS (SELECT SUM(base) AS sb FROM b)
+         |SELECT source, CAST(tok AS BIGINT) AS group_tokens,
+         |       CAST(base + CASE WHEN rk <= ${BudgetTokens} - sb THEN 1 ELSE 0 END AS BIGINT) AS token_alloc
+         |FROM (SELECT source, tok, base,
+         |             row_number() OVER (ORDER BY rem DESC, source) AS rk
+         |      FROM b), e
+         |ORDER BY source""".stripMargin,
 
     "q79_chunk_dedup" ->
       s"""WITH toks AS (
