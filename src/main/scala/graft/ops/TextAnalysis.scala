@@ -384,6 +384,59 @@ object TextAnalysis {
     * work inside whole-stage codegen, zero shuffles, scan-width
     * bounded by the text column itself.
     */
+  /** Weak-label quality filter, the CCNet/fasttext curation pattern
+    * with public pieces: distill a cheap heuristic label (the caller's
+    * `label` Column — a length gate, a repetition verdict, a bad-word
+    * list) into a Bernoulli Naive-Bayes classifier over fixed
+    * marker-word presence features, then score every document. The
+    * model IS two rows of counts, so training is ONE map-side-combined
+    * aggregate over the corpus and the fitted classifier broadcasts to
+    * the scoring pass — no iterations, no driver-side optimization, and
+    * the DuckDB oracle can re-fit it exactly.
+    *
+    * Numeric discipline (cf. [[bm25Search]]): counts are exact longs;
+    * each Laplace probability and ratio is a fixed sequence of
+    * exactly-rounded IEEE ops; only `ln` is libm-dependent, so the
+    * per-document sum is spelled in FIXED left-assoc term order and the
+    * result rounded to 4 dp. `predicted` compares the ROUNDED score,
+    * keeping the decision reproducible too.
+    *
+    * Output: (id, weak_label, score, predicted) — score > 0 reads
+    * "more like the positive class than the negative".
+    */
+  def nbQualityFilter(df: DataFrame, idCol: String, textCol: String,
+                      label: Column, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "nbQualityFilter needs at least one feature term")
+    val base = df.select(
+      col(idCol) +: label.as("weak_label") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          array_contains(Dedup.tokens(col(textCol)), t).as(s"f$i")
+        }: _*)
+    val stats = base.agg(
+      sum(when(col("weak_label"), 1L).otherwise(0L)).cast("long").as("np"),
+      sum(when(!col("weak_label"), 1L).otherwise(0L)).cast("long").as("nn") +:
+        terms.indices.flatMap(i => Seq(
+          sum(when(col("weak_label") && col(s"f$i"), 1L).otherwise(0L))
+            .cast("long").as(s"dp$i"),
+          sum(when(!col("weak_label") && col(s"f$i"), 1L).otherwise(0L))
+            .cast("long").as(s"dn$i"))): _*)
+    def dbl(c: Column): Column = c.cast("double")
+    val prior = log(dbl(col("np")) / dbl(col("nn")))
+    val termScores = terms.indices.map { i =>
+      // Laplace presence probabilities per class, each step an
+      // exactly-rounded double op in the same order as the oracle SQL
+      val pp = (dbl(col(s"dp$i")) + lit(1.0)) / (dbl(col("np")) + lit(2.0))
+      val pn = (dbl(col(s"dn$i")) + lit(1.0)) / (dbl(col("nn")) + lit(2.0))
+      when(col(s"f$i"), log(pp / pn))
+        .otherwise(log((lit(1.0) - pp) / (lit(1.0) - pn)))
+    }
+    val score = termScores.foldLeft(prior)(_ + _) // fixed left-assoc order
+    base.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 4))
+      .select(col(idCol), col("weak_label"), col("score"),
+        (col("score") > 0).as("predicted"))
+  }
+
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")

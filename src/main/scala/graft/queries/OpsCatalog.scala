@@ -54,6 +54,9 @@ object OpsCatalog {
   private val CapK = 25          // per-source document cap (q93)
   private val CapSalts = 8       // q93 skew sub-buckets
   private val BudgetTokens = 1000000L // q94 global token budget
+  private val NbTerms = Seq("the", "a", "join", "vector", "scan", "filter",
+    "group", "hash", "batch", "window", "stream", "customer") // q95 features
+  private val NbLabelChars = 300L // q95 weak label: n_chars > 300
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -568,6 +571,14 @@ object OpsCatalog {
       Sampling.allocateTokenBudget(Tables.load(s, dir, "documents"), "source",
           "n_chars", BudgetTokens)
         .orderBy("source")
+    },
+    // weak-label quality filter: a long-doc heuristic label distilled
+    // into a Bernoulli NB over marker-word presence — training is one
+    // count aggregate, so the oracle re-fits the model exactly
+    "q95_nb_quality" -> { (s, dir) =>
+      TextAnalysis.nbQualityFilter(Tables.load(s, dir, "documents"), "doc_id",
+          "text", col("n_chars") > NbLabelChars, NbTerms)
+        .orderBy("doc_id")
     },
     // C4-style sub-document dedup: drop repeated 4-token chunks
     // corpus-wide, stitch the survivors back into cleaned documents
@@ -1853,6 +1864,39 @@ object OpsCatalog {
          |             row_number() OVER (ORDER BY rem DESC, source) AS rk
          |      FROM b), e
          |ORDER BY source""".stripMargin,
+
+    "q95_nb_quality" -> {
+      // re-fit the two-row count model and replay the fixed-order score
+      // sum: every non-ln step is an exactly-rounded double op spelled
+      // identically; ln ulp drift is absorbed by the final ROUND(…, 4)
+      val featDefs = NbTerms.zipWithIndex.map { case (t, i) =>
+        s"list_contains(regexp_split_to_array(lower(text), '\\s+'), '$t') AS f$i"
+      }.mkString(",\n|         ")
+      val cntDefs = NbTerms.indices.flatMap(i => Seq(
+        s"CAST(SUM(CASE WHEN weak_label AND f$i THEN 1 ELSE 0 END) AS BIGINT) AS dp$i",
+        s"CAST(SUM(CASE WHEN NOT weak_label AND f$i THEN 1 ELSE 0 END) AS BIGINT) AS dn$i"
+      )).mkString(",\n|         ")
+      def pp(i: Int) = s"((CAST(dp$i AS DOUBLE) + 1.0) / (CAST(np AS DOUBLE) + 2.0))"
+      def pn(i: Int) = s"((CAST(dn$i AS DOUBLE) + 1.0) / (CAST(nn AS DOUBLE) + 2.0))"
+      val termSum = NbTerms.indices.map(i =>
+        s"(CASE WHEN f$i THEN ln(${pp(i)} / ${pn(i)}) " +
+          s"ELSE ln((1.0 - ${pp(i)}) / (1.0 - ${pn(i)})) END)")
+        .foldLeft("ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE))")((a, b) => s"($a + $b)")
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars > $NbLabelChars AS weak_label,
+         |         $featDefs
+         |  FROM documents
+         |), st AS (
+         |  SELECT CAST(SUM(CASE WHEN weak_label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |         CAST(SUM(CASE WHEN NOT weak_label THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+         |         $cntDefs
+         |  FROM base
+         |)
+         |SELECT doc_id, weak_label, score, score > 0 AS predicted
+         |FROM (SELECT doc_id, weak_label, ROUND($termSum, 4) AS score
+         |      FROM base, st)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q79_chunk_dedup" ->
       s"""WITH toks AS (

@@ -99,6 +99,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 0L))
   }
 
+  test("nbQualityFilter fits the Bernoulli counts and scores in fixed term order") {
+    import spark.implicits._
+    // np=2 nn=2; term "x": dp=2 dn=0 — hand-computable Laplace ratios
+    val df = Seq((1L, "x y", true), (2L, "x", true),
+      (3L, "y", false), (4L, "z", false)).toDF("doc_id", "text", "lbl")
+    val got = TextAnalysis.nbQualityFilter(df, "doc_id", "text", col("lbl"), Seq("x"))
+      .as[(Long, Boolean, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val present = math.rint((math.log(2.0 / 2.0) +
+      math.log((3.0 / 4.0) / (1.0 / 4.0))) * 1e4) / 1e4   //  ln 3
+    val absent = math.rint((math.log(2.0 / 2.0) +
+      math.log((1.0 - 3.0 / 4.0) / (1.0 - 1.0 / 4.0))) * 1e4) / 1e4 // -ln 3
+    assert(got === Seq(
+      (1L, true, present, true), (2L, true, present, true),
+      (3L, false, absent, false), (4L, false, absent, false)))
+  }
+
+  test("nbQualityFilter learns a real signal: long-doc label from word presence") {
+    import spark.implicits._
+    // longer docs contain more distinct words — presence features carry
+    // genuine signal for the length label, so train accuracy must beat
+    // the base rate by a margin
+    val docs = (1 to 200).map { i =>
+      val n = 1 + (i * 7919) % 20
+      val words = (0 until n).map(j => s"w${(i * 31 + j * 17) % 25}")
+      (i.toLong, words.mkString(" "), n > 10)
+    }.toDF("doc_id", "text", "lbl")
+    val terms = (0 until 25).map(j => s"w$j")
+    val scored = TextAnalysis.nbQualityFilter(docs, "doc_id", "text", col("lbl"), terms)
+    val acc = scored.where(col("weak_label") === col("predicted")).count().toDouble / 200
+    val base = math.max(scored.where(col("weak_label")).count(),
+      scored.where(!col("weak_label")).count()).toDouble / 200
+    assert(acc > base + 0.1, s"NB accuracy $acc should beat base rate $base")
+  }
+
   test("redactPii counts on the original text and replaces in pattern order") {
     import spark.implicits._
     val df = Seq(
