@@ -57,6 +57,8 @@ object OpsCatalog {
   private val NbTerms = Seq("the", "a", "join", "vector", "scan", "filter",
     "group", "hash", "batch", "window", "stream", "customer") // q95 features
   private val NbLabelChars = 300L // q95 weak label: n_chars > 300
+  private val WavRate = 16000    // q96 synthetic WAV sample rate
+  private val WavSamples = 1600  // q96 samples per clip (0.1 s)
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -137,6 +139,15 @@ object OpsCatalog {
       val assets = Multimodal.synthPngAssets(
         Tables.load(s, dir, "documents"), "doc_id", width = 16, height = 16)
       Multimodal.imageFeatures(assets).toDF().orderBy("asset_id")
+    },
+    // real RIFF/WAVE container round-trip: synthesize 16-bit mono PCM,
+    // decode via the chunk-walking parser, emit exact sample stats the
+    // oracle computes analytically from the generation formula
+    "q96_audio_decode" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      val assets = Multimodal.synthWavAssets(
+        Tables.load(s, dir, "documents"), "doc_id", WavRate, WavSamples)
+      Multimodal.audioFeatures(assets).toDF().orderBy("asset_id")
     },
     "q38_ann_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -960,6 +971,28 @@ object OpsCatalog {
         |       CAST(MIN((doc_id*31 + i) % 256) AS INTEGER) AS px_min,
         |       CAST(MAX((doc_id*31 + i) % 256) AS INTEGER) AS px_max
         |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
+    // sample(t) = (id*7919 + t*104729) % 65536 - 32768, replayed
+    // analytically; rms is the only float — exact BIGINT sum of
+    // squares, one double division, one correctly-rounded sqrt, 4dp
+    "q96_audio_decode" ->
+      s"""WITH s AS (
+         |  SELECT d.doc_id, CAST(r.range AS BIGINT) AS t,
+         |         ((d.doc_id * 7919 + CAST(r.range AS BIGINT) * 104729) % 65536) - 32768 AS v
+         |  FROM documents d, range(0, $WavSamples) r
+         |), sgn AS (
+         |  SELECT doc_id, t, v,
+         |         CASE WHEN t > 0 AND ((v >= 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY t) >= 0))
+         |              THEN 1 ELSE 0 END AS zc
+         |  FROM s
+         |)
+         |SELECT doc_id AS asset_id,
+         |       CAST($WavRate AS INTEGER) AS sample_rate,
+         |       CAST($WavSamples AS INTEGER) AS n_samples,
+         |       ROUND(sqrt(CAST(SUM(v * v) AS DOUBLE) / $WavSamples), 4) AS rms,
+         |       CAST(MAX(abs(v)) AS INTEGER) AS peak,
+         |       CAST(SUM(zc) AS BIGINT) AS zero_crossings
+         |FROM sgn GROUP BY doc_id ORDER BY asset_id""".stripMargin,
 
     "q38_ann_topk" ->
       s"""WITH norms AS (

@@ -79,6 +79,44 @@ class MultimodalSpec extends AnyFunSuite {
       txtFeat.feature.exists(_ > 0), "text path keeps the deterministic byte summary")
   }
 
+  test("real WAV codec round-trip: synth container decodes to exact PCM stats") {
+    import spark.implicits._
+    val docs = Seq((5L, "x"), (6L, "y")).toDF("doc_id", "text")
+    val assets = Multimodal.synthWavAssets(docs, "doc_id", sampleRate = 8000, nSamples = 4)
+    val got = Multimodal.audioFeatures(assets).collect().sortBy(_.asset_id)
+    // replay the generation formula by hand for id=5, t=0..3
+    def sample(id: Long, t: Long): Int = (((id * 7919L + t * 104729L) % 65536L) - 32768L).toInt
+    for ((f, id) <- got.zip(Seq(5L, 6L))) {
+      val ss = (0L until 4L).map(sample(id, _))
+      assert(f.sample_rate == 8000 && f.n_samples == 4)
+      assert(f.peak == ss.map(math.abs).max)
+      val zc = (1 until 4).count(i => (ss(i) >= 0) != (ss(i - 1) >= 0))
+      assert(f.zero_crossings == zc.toLong)
+      val rms = math.rint(math.sqrt(ss.map(s => s.toLong * s).sum.toDouble / 4) * 1e4) / 1e4
+      assert(f.rms == rms)
+    }
+  }
+
+  test("decodeWav walks chunks: LIST before data is skipped; malformed payloads -> None") {
+    import spark.implicits._
+    val docs = Seq((9L, "z")).toDF("doc_id", "text")
+    val wav = Multimodal.synthWavAssets(docs, "doc_id", 8000, 4)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val direct = Multimodal.decodeWav(wav).get
+
+    // splice a LIST chunk between "fmt " and "data" (after byte 36)
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = wav.take(36) ++ listChunk ++ wav.drop(36)
+    assert(Multimodal.decodeWav(spliced).contains(direct))
+
+    assert(Multimodal.decodeWav(wav.take(30)).isEmpty)          // truncated
+    assert(Multimodal.decodeWav("nope".getBytes).isEmpty)       // not RIFF
+    val stereo = wav.clone; stereo(22) = 2                      // channels=2
+    assert(Multimodal.decodeWav(stereo).isEmpty)
+    val eightBit = wav.clone; eightBit(34) = 8                  // bits=8
+    assert(Multimodal.decodeWav(eightBit).isEmpty)
+  }
+
   test("resize strides payloads down to at most targetBytes") {
     val out = Multimodal.resize(assets, targetBytes = 25).collect()
     val a1 = out.find(_.asset_id == 1L).get
