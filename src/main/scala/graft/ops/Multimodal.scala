@@ -284,6 +284,111 @@ object Multimodal {
     }
   }
 
+  /** Decoded video summary: per-frame REAL image decodes folded into
+    * first/last frame means and the average absolute inter-frame mean
+    * delta (the cheap temporal-activity signal a sampling curator
+    * thresholds on). */
+  case class DecodedVideo(nFrames: Int, width: Int, height: Int,
+                          meanFirst: Double, meanLast: Double,
+                          avgAbsDelta: Double)
+
+  /** Packed-frame video container ("GFV1": magic, frame count, then
+    * length-prefixed REAL PNG frames — the Motion-JPEG idea with a
+    * lossless codec). Decode walks the index and runs the actual
+    * ImageIO decode per frame, so the video path exercises a genuine
+    * codec end-to-end rather than a byte-slicing stub; any unparseable
+    * frame quarantines the whole asset as None.
+    *
+    * Numeric note: per-frame means are exact dyadic rationals
+    * (sum/(w·h) with w·h a power of two), their |deltas| likewise, and
+    * those summands share one small denominator — so the delta sum is
+    * EXACT in double regardless of association and the single closing
+    * division is one correctly-rounded op the oracle replays.
+    */
+  def decodeVideo(payload: Array[Byte]): Option[DecodedVideo] = {
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      val magic = new Array[Byte](4); b.get(magic)
+      if (new String(magic, "US-ASCII") != "GFV1") return None
+      val n = b.getInt
+      if (n <= 0) return None
+      var (w, h) = (-1, -1)
+      val means = new Array[Double](n)
+      var f = 0
+      while (f < n) {
+        val len = b.getInt
+        if (len <= 0 || len > b.remaining) return None
+        val frame = new Array[Byte](len); b.get(frame)
+        decodeImage(frame) match {
+          case None => return None
+          case Some(d) =>
+            if (f == 0) { w = d.width; h = d.height }
+            else if (d.width != w || d.height != h) return None
+            means(f) = d.pxMean
+        }
+        f += 1
+      }
+      var deltaSum = 0.0
+      var i = 1
+      while (i < n) { deltaSum += math.abs(means(i) - means(i - 1)); i += 1 }
+      Some(DecodedVideo(n, w, h, means(0), means(n - 1),
+        if (n > 1) deltaSum / (n - 1) else 0.0))
+    } catch { case _: java.nio.BufferUnderflowException => None }
+  }
+
+  /** Deterministic synthetic clips: frame f's pixel(i) =
+    * (id·31 + f·17 + i) mod 256, each frame ENCODED through the real
+    * PNG writer and packed into the GFV1 container. */
+  def synthVideoAssets(df: DataFrame, idCol: String, width: Int, height: Int,
+                       nFrames: Int)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(width > 0 && height > 0 && nFrames > 0)
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < width * height) {
+            raster.setSample(i % width, i / width, 0,
+              ((id * 31 + f * 17 + i) % 256).toInt)
+            i += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        val total = 8 + frames.map(4 + _.length).sum
+        val b = java.nio.ByteBuffer.allocate(total)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("GFV1".getBytes("US-ASCII")).putInt(nFrames)
+        frames.foreach { fr => b.putInt(fr.length); b.put(fr) }
+        (id, "video", total.toLong, b.array())
+      }
+    }.toDF("asset_id", "modality", "n_bytes", "payload")
+  }
+
+  /** Video features row for the analytic oracle query. */
+  case class VideoFeatures(asset_id: Long, n_frames: Int, width: Int,
+                           height: Int, mean_first: Double, mean_last: Double,
+                           avg_abs_delta: Double)
+
+  /** Decode every video asset (all frames, real codec) and emit
+    * oracle-comparable temporal stats. Undecodable payloads FAIL — the
+    * correctness gate, like [[imageFeatures]]/[[audioFeatures]]. */
+  def videoFeatures(assets: DataFrame)(implicit spark: SparkSession): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        val d = decodeVideo(a.payload).getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.asset_id}: payload is not a decodable GFV1 clip"))
+        VideoFeatures(a.asset_id, d.nFrames, d.width, d.height, d.meanFirst,
+          d.meanLast, d.avgAbsDelta)
+      }
+    }
+  }
+
   /** One fixed-size frame of a larger asset. */
   case class AssetFrame(asset_id: Long, modality: String, frame_idx: Int,
                         n_bytes: Long, payload: Array[Byte])

@@ -59,6 +59,9 @@ object OpsCatalog {
   private val NbLabelChars = 300L // q95 weak label: n_chars > 300
   private val WavRate = 16000    // q96 synthetic WAV sample rate
   private val WavSamples = 1600  // q96 samples per clip (0.1 s)
+  private val VidW = 16          // q97 frame raster
+  private val VidH = 16
+  private val VidFrames = 4      // q97 frames per clip
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -148,6 +151,14 @@ object OpsCatalog {
       val assets = Multimodal.synthWavAssets(
         Tables.load(s, dir, "documents"), "doc_id", WavRate, WavSamples)
       Multimodal.audioFeatures(assets).toDF().orderBy("asset_id")
+    },
+    // packed-real-PNG-frames container: every frame goes through the
+    // actual ImageIO decode; temporal activity = avg |Δ frame mean|
+    "q97_video_decode" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      val assets = Multimodal.synthVideoAssets(
+        Tables.load(s, dir, "documents"), "doc_id", VidW, VidH, VidFrames)
+      Multimodal.videoFeatures(assets).toDF().orderBy("asset_id")
     },
     "q38_ann_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -993,6 +1004,27 @@ object OpsCatalog {
          |       CAST(MAX(abs(v)) AS INTEGER) AS peak,
          |       CAST(SUM(zc) AS BIGINT) AS zero_crossings
          |FROM sgn GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
+    // per-frame means are exact dyadic rationals (sum/256) and their
+    // |deltas| share one small denominator, so every aggregate below is
+    // exact in double; the single /3.0 is one correctly-rounded op
+    "q97_video_decode" ->
+      s"""WITH fm AS (
+         |  SELECT d.doc_id, CAST(f.range AS BIGINT) AS f,
+         |         CAST(SUM((d.doc_id * 31 + CAST(f.range AS BIGINT) * 17 + i.range) % 256) AS DOUBLE) / ${VidW * VidH}.0 AS m
+         |  FROM documents d, range(0, $VidFrames) f, range(0, ${VidW * VidH}) i
+         |  GROUP BY d.doc_id, f.range
+         |), dl AS (
+         |  SELECT doc_id, f, m,
+         |         abs(m - lag(m) OVER (PARTITION BY doc_id ORDER BY f)) AS ad
+         |  FROM fm
+         |)
+         |SELECT doc_id AS asset_id, CAST($VidFrames AS INTEGER) AS n_frames,
+         |       CAST($VidW AS INTEGER) AS width, CAST($VidH AS INTEGER) AS height,
+         |       MAX(CASE WHEN f = 0 THEN m END) AS mean_first,
+         |       MAX(CASE WHEN f = ${VidFrames - 1} THEN m END) AS mean_last,
+         |       SUM(ad) / ${VidFrames - 1}.0 AS avg_abs_delta
+         |FROM dl GROUP BY doc_id ORDER BY asset_id""".stripMargin,
 
     "q38_ann_topk" ->
       s"""WITH norms AS (

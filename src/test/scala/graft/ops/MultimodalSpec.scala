@@ -117,6 +117,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(eightBit).isEmpty)
   }
 
+
+  test("GFV1 video round-trip: every frame through the real PNG decode, temporal stats exact") {
+    import spark.implicits._
+    val docs = Seq((3L, "v")).toDF("doc_id", "text")
+    val assets = Multimodal.synthVideoAssets(docs, "doc_id", 4, 4, nFrames = 3)
+    val f = Multimodal.videoFeatures(assets).collect().head
+    // hand stats: frame f mean = avg over i<16 of (3*31 + f*17 + i) % 256
+    def mean(fr: Int): Double =
+      (0 until 16).map(i => (3 * 31 + fr * 17 + i) % 256).sum.toDouble / 16
+    assert(f.n_frames == 3 && f.width == 4 && f.height == 4)
+    assert(f.mean_first == mean(0) && f.mean_last == mean(2))
+    val expected = (math.abs(mean(1) - mean(0)) + math.abs(mean(2) - mean(1))) / 2
+    assert(f.avg_abs_delta == expected)
+  }
+
+  test("decodeVideo rejects bad magic, corrupt frames, and mismatched rasters") {
+    import spark.implicits._
+    val docs = Seq((7L, "v")).toDF("doc_id", "text")
+    val good = Multimodal.synthVideoAssets(docs, "doc_id", 4, 4, nFrames = 2)
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.decodeVideo(good).isDefined)
+    val badMagic = good.clone; badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeVideo(badMagic).isEmpty)
+    // corrupt the first frame's PNG signature (byte 12 = first frame byte)
+    val corrupt = good.clone; corrupt(12) = 0
+    assert(Multimodal.decodeVideo(corrupt).isEmpty)
+    assert(Multimodal.decodeVideo(good.take(20)).isEmpty) // truncated
+  }
+
   test("resize strides payloads down to at most targetBytes") {
     val out = Multimodal.resize(assets, targetBytes = 25).collect()
     val a1 = out.find(_.asset_id == 1L).get
