@@ -152,6 +152,26 @@ object OpsCatalog {
         Tables.load(s, dir, "documents"), "doc_id", WavRate, WavSamples)
       Multimodal.audioFeatures(assets).toDF().orderBy("asset_id")
     },
+    // schema evolution: an old shard (2 cols) and a new shard (3 cols)
+    // land in ONE directory; the proven mergeSchema read sees the union
+    // with pre-evolution rows NULL in the new column
+    "q98_schema_evolution" -> { (s, dir) =>
+      import graft.sources.EvolvingStore
+      val out = tempOutput("q98", dir) { o =>
+        val li = Tables.load(s, dir, "lineitem")
+        EvolvingStore.appendShard(
+          li.where(col("l_orderkey") % 2 === 0).select("l_orderkey", "l_quantity"), o)
+        EvolvingStore.appendShard(
+          li.where(col("l_orderkey") % 2 === 1)
+            .select("l_orderkey", "l_quantity", "l_returnflag"), o)
+      }
+      EvolvingStore.readMergedProven(s, out,
+          Seq("l_orderkey", "l_quantity", "l_returnflag"))
+        .groupBy(coalesce(col("l_returnflag"), lit("<pre-evolution>")).as("rflag"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("sum_qty"))
+        .orderBy("rflag")
+    },
     // packed-real-PNG-frames container: every frame goes through the
     // actual ImageIO decode; temporal activity = avg |Δ frame mean|
     "q97_video_decode" -> { (s, dir) =>
@@ -1025,6 +1045,19 @@ object OpsCatalog {
          |       MAX(CASE WHEN f = ${VidFrames - 1} THEN m END) AS mean_last,
          |       SUM(ad) / ${VidFrames - 1}.0 AS avg_abs_delta
          |FROM dl GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
+    "q98_schema_evolution" ->
+      s"""WITH m AS (
+         |  SELECT l_orderkey, l_quantity, CAST(NULL AS VARCHAR) AS l_returnflag
+         |  FROM lineitem WHERE l_orderkey % 2 = 0
+         |  UNION ALL
+         |  SELECT l_orderkey, l_quantity, l_returnflag
+         |  FROM lineitem WHERE l_orderkey % 2 = 1
+         |)
+         |SELECT COALESCE(l_returnflag, '<pre-evolution>') AS rflag,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+         |FROM m GROUP BY 1 ORDER BY rflag""".stripMargin,
 
     "q38_ann_topk" ->
       s"""WITH norms AS (
