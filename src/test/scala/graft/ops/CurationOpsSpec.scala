@@ -99,6 +99,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 0L))
   }
 
+  test("allocateTokenBudget matches a driver-side reference on seeded random instances") {
+    import spark.implicits._
+    // independent exact-integer reference for Hamilton apportionment
+    def ref(weights: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+      val t = weights.map(_._2).sum
+      val base = weights.map { case (g, w) => (g, budget * w / t, budget * w % t) }
+      val extra = (budget - base.map(_._2).sum).toInt
+      val bumped = base.sortBy { case (g, _, r) => (-r, g) }.take(extra).map(_._1).toSet
+      base.map { case (g, b, _) => g -> (b + (if (bumped(g)) 1L else 0L)) }.toMap
+    }
+    val rng = new scala.util.Random(7)
+    for (c <- 1 to 8) {
+      val nGroups = 1 + rng.nextInt(12)
+      val weights = (1 to nGroups).map(i => (f"g$i%02d", 1L + rng.nextInt(1000)))
+      val budget = 1L + rng.nextInt(10000)
+      val got = Sampling.allocateTokenBudget(
+          weights.toDF("source", "n_tok"), "source", "n_tok", budget)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(got === ref(weights, budget), s"case $c: weights=$weights budget=$budget")
+    }
+  }
+
   test("nbQualityFilter fits the Bernoulli counts and scores in fixed term order") {
     import spark.implicits._
     // np=2 nn=2; term "x": dp=2 dn=0 — hand-computable Laplace ratios
