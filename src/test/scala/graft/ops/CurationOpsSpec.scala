@@ -36,6 +36,16 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.values.toSeq.sorted === (0L until 57L))
   }
 
+  test("trainingOrder positions are partition-count independent") {
+    import spark.implicits._
+    val df = (1L to 41L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run(p: Int) = Sampling.trainingOrder(df, "doc_id", partitions = p)
+      .select("doc_id", "train_pos").as[(Long, Long)].collect().toMap
+    val two = run(2)
+    assert(run(7) === two)
+    assert(run(16) === two)
+  }
+
   test("trainingOrder goes through a range exchange, not a global sort to one partition") {
     import spark.implicits._
     val df = (1L to 20L).map(i => (i, i.toString)).toDF("doc_id", "text")
