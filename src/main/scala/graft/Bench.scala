@@ -31,7 +31,8 @@ object Bench {
     "q85_ivf_pq", "q86_range_join", "q87_interval_join", "q88_json_extract",
     "q89_bm25_search", "q90_groupaware_split", "q91_training_order",
     "q92_pii_redact", "q93_domain_cap", "q94_token_budget", "q95_nb_quality",
-    "q96_audio_decode", "q97_video_decode", "q98_schema_evolution")
+    "q96_audio_decode", "q97_video_decode", "q98_schema_evolution",
+    "q99_corpus_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -624,4 +624,25 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_chunks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** Snapshot diff between two corpus versions — the audit a dataset
+    * release needs: per id, `added` / `removed` / `changed` /
+    * `unchanged`, decided by content hash so a byte-identical rewrite
+    * is not noise. One hash-equi full-outer join on the id; content
+    * never moves (only 32-hex digests shuffle). At 100 TB store both
+    * snapshots bucketed on the id ([[graft.sources.BucketedStore]]) so
+    * the join co-locates shard-for-shard, and filter `unchanged` before
+    * materializing — it is almost all of the output by mass.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("_h_old"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("_h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("_h_old").isNull, "added")
+          .when(col("_h_new").isNull, "removed")
+          .when(col("_h_old") === col("_h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -152,6 +152,22 @@ object OpsCatalog {
         Tables.load(s, dir, "documents"), "doc_id", WavRate, WavSamples)
       Multimodal.audioFeatures(assets).toDF().orderBy("asset_id")
     },
+    // corpus snapshot diff: the "new" snapshot drops ids % 7 == 0,
+    // rewrites text where % 5 == 0, and adds fresh ids — the diff must
+    // label every id by content hash, not by presence alone
+    "q99_corpus_diff" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val newSnap = docs.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("status")
+    },
     // schema evolution: an old shard (2 cols) and a new shard (3 cols)
     // land in ONE directory; the proven mergeSchema read sees the union
     // with pre-evolution rows NULL in the new column
@@ -1045,6 +1061,24 @@ object OpsCatalog {
          |       MAX(CASE WHEN f = ${VidFrames - 1} THEN m END) AS mean_last,
          |       SUM(ad) / ${VidFrames - 1}.0 AS avg_abs_delta
          |FROM dl GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
+    "q99_corpus_diff" ->
+      s"""WITH newsnap AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+         |), d AS (
+         |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |         CASE WHEN o.doc_id IS NULL THEN 'added'
+         |              WHEN n.doc_id IS NULL THEN 'removed'
+         |              WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+         |              ELSE 'changed' END AS status
+         |  FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+         |)
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     "q98_schema_evolution" ->
       s"""WITH m AS (

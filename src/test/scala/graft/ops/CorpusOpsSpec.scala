@@ -289,4 +289,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 4L, 1L, 0.25, 3L, 1L, 1.0 / 3.0)))
     assert(got(2) == ((3L, 1L, 1L, 1.0, 0L, 0L, 0.0)))
   }
+
+  test("corpusDiff labels by content hash: added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "gone"), (3L, "before")).toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (3L, "after"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "unchanged"), (2L, "removed"),
+      (3L, "changed"), (4L, "added")))
+  }
 }
