@@ -637,4 +637,61 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(col("adc2").cast("double"), 6).as("adc_dist"), col("rank"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — a training-data-pipeline extension beyond the
+    * reference's workload surface): coarse-quantize the embedding space
+    * with the same deterministic Voronoi assignment as [[ivfTopK]], call
+    * two members of one cell semantic duplicates when their exact cosine
+    * reaches `tau`, close the duplicate relation transitively
+    * ([[graft.ops.Dedup.connectedComponents]] — edges never cross cells,
+    * so the global pointer-jumping converges cell-locally), and keep per
+    * duplicate group the member LEAST similar to its cell centroid —
+    * the paper's keep-rule: the outlier preserves the most diversity.
+    *
+    * Scale shape: the pairwise stage is bounded by cell sizes (never
+    * corpus all-pairs — grow the centroid count with the corpus so
+    * cells stay small, the same knob rule as IVF), centroid scoring is
+    * one broadcast crossJoin inherited from [[ivfAssign]], and the
+    * keep rule is a map-side-combinable struct-min, not a global
+    * window. Returns every input id with its cell, duplicate-group
+    * label (min reachable id), centroid cosine, and a `kept` flag.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroidPred: Column, tau: Double): DataFrame = {
+    val corpus0 = ivfCorpus(df, vecCol)
+    // persisted: feeds the centroid-cos join, BOTH sides of the
+    // within-cell pair join, and the final labeling join
+    val withCent = assignCells(corpus0, idCol, vecCol, centroidPred)
+      .join(broadcast(corpus0.where(centroidPred)
+        .select(col(idCol).as("cell"), col(vecCol).as("cvec"), col("norm2").as("cnorm2"))), "cell")
+      .select(col("id"), col("cell"), col("vec"), col("norm2"),
+        cosine(col("vec"), col("cvec"), col("norm2"), col("cnorm2")).as("cent_cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withCent.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("norm2").as("norm2_a"))
+    val b = withCent.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("norm2").as("norm2_b"))
+    // cell-local near-dup edges; shuffle join on the cell id so the
+    // persisted assignment subtree is scanned, not broadcast-copied
+    val edges = a.join(b.hint("shuffle_merge"), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")) >= tau)
+      .select("id_a", "id_b")
+    val labels = graft.ops.Dedup.connectedComponents(
+        edges, "id_a", "id_b", withCent.select(col("id")), "id")
+      .select(col("id"), col("cluster_id").as("group_id"))
+    // least-similar-to-centroid representative: struct-min orders by
+    // (cent_cos ASC, id ASC), combining map-side — ties break to the
+    // smallest id deterministically
+    val kept = withCent.join(labels, "id")
+      .groupBy("group_id")
+      .agg(min(struct(col("cent_cos"), col("id"))).as("best"))
+      .select(col("group_id").as("kg"), col("best.id").as("keep_id"))
+    withCent.join(labels, "id")
+      .join(kept, col("group_id") === col("kg"))
+      .select(col("id").as(idCol), col("cell"), col("group_id"),
+        round(col("cent_cos"), 6).as("cent_cos"),
+        (col("id") === col("keep_id")).as("kept"))
+  }
 }

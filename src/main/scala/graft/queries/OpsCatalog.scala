@@ -265,6 +265,14 @@ object OpsCatalog {
       Dedup.connectedComponents(edges, "id_a", "id_b", docs, "doc_id")
         .orderBy("doc_id")
     },
+    // SemDeDup: Voronoi-cell clustering (q43's deterministic centroids),
+    // within-cell cosine near-dup groups, keep the member LEAST similar
+    // to its centroid (the diversity-preserving outlier)
+    "q100_semantic_dedup" -> { (s, dir) =>
+      Similarity.semanticDedup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % IvfCentMod === 0, CosThresh)
+        .orderBy("vec_id")
+    },
     // the dedup pipeline's endpoint: cluster near-dups (as q49), then
     // keep ONE representative per cluster — highest n_chars, ties to
     // the smallest doc_id — via the map-side-combinable struct-max
@@ -1233,6 +1241,73 @@ object OpsCatalog {
          |FROM pdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
          |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $CosThresh
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q100_semantic_dedup" -> {
+      // SemDeDup: q43's Voronoi assignment, within-cell cosine edges at
+      // the q42 threshold, transitive closure via recursive CTE (q49's
+      // pattern), keep-rule = lowest centroid cosine (ties to lowest id)
+      s"""WITH RECURSIVE norms AS (
+         |  SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS n2
+         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % $IvfCentMod = 0
+         |), adots AS (
+         |  SELECT vec_id, cent_id,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT e.vec_id, c.cent_id, unnest(e.embedding) AS x, unnest(c.cvec) AS y
+         |        FROM embeddings e, cents c) t
+         |  GROUP BY vec_id, cent_id
+         |), acos AS (
+         |  SELECT a.vec_id, a.cent_id,
+         |         CAST(a.dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+         |  FROM adots a
+         |  JOIN norms nv ON nv.vec_id = a.vec_id
+         |  JOIN norms nc ON nc.vec_id = a.cent_id
+         |), cells AS (
+         |  SELECT vec_id, cell, cent_cos FROM (
+         |    SELECT vec_id, cent_id AS cell, cos AS cent_cos,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM acos) WHERE rn = 1
+         |), cpairs AS (
+         |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b, ea.embedding AS ea, eb.embedding AS eb
+         |  FROM cells ca JOIN cells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = ca.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = cb.vec_id
+         |), cdots AS (
+         |  SELECT id_a, id_b,
+         |         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))) AS dot
+         |  FROM (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM cpairs) t
+         |  GROUP BY id_a, id_b
+         |), dedges AS (
+         |  SELECT id_a, id_b FROM cdots
+         |  JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+         |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $CosThresh
+         |), dsym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM dedges
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM dedges
+         |), dreach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM cells
+         |  UNION
+         |  SELECT s.src, dreach.r FROM dsym s JOIN dreach ON dreach.node = s.dst
+         |), dlabels AS (
+         |  SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS group_id
+         |  FROM dreach GROUP BY node
+         |), keeprule AS (
+         |  SELECT group_id, vec_id AS keep_id FROM (
+         |    SELECT l.group_id, l.vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY l.group_id
+         |                              ORDER BY c.cent_cos ASC, l.vec_id) AS rk
+         |    FROM dlabels l JOIN cells c ON c.vec_id = l.vec_id) t WHERE rk = 1
+         |)
+         |SELECT c.vec_id, c.cell, l.group_id,
+         |       round(c.cent_cos, 6) AS cent_cos,
+         |       (c.vec_id = k.keep_id) AS kept
+         |FROM cells c
+         |JOIN dlabels l ON l.vec_id = c.vec_id
+         |JOIN keeprule k ON k.group_id = l.group_id
+         |ORDER BY c.vec_id""".stripMargin
     },
 
     "q43_ivf_ann" -> {
