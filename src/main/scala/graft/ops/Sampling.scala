@@ -295,4 +295,61 @@ object Sampling {
       .select(col(groupCol), col("group_tokens").cast("long").as("group_tokens"),
         col("token_alloc"))
   }
+
+  /** Temperature-scaled mixture sampling (the multilingual-pretraining
+    * recipe p_g ∝ n_g^α — Conneau & Lample 2019, XLM; mT5's α=0.3
+    * variant): flatten a skewed group distribution by drawing
+    * `alloc_g` rows per group, where alloc apportions `total` over
+    * weights n_g^α. `halvings` selects α = 2^-halvings (1 → the XLM
+    * default 0.5, 2 → 0.25): repeated `sqrt` is the one fractional
+    * exponent both engines round identically (IEEE correctly-rounded),
+    * where a general `pow` drifts by ulps between libm and the JVM.
+    * Weights go through `floor(·×10^6)` into exact decimals so the
+    * largest-remainder apportionment is integer-exact (same Hamilton
+    * scheme as [[allocateTokenBudget]]); per-group row selection is
+    * the [[stratifiedSample]] hash rank. A group upweighted beyond its
+    * size emits all its rows (rank caps at n_g) — the returned
+    * `group_alloc` exposes the deficit so callers can epoch-repeat.
+    *
+    * Scale shape: the apportionment windows run over ONE row per
+    * group; the corpus-sized work is a count aggregate plus a
+    * per-group rank (when alloc ≪ n, the [[capPerGroup]] salted
+    * two-phase rank is the drop-in skew path), and the allocation
+    * joins back as a broadcast.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        total: Long, halvings: Int = 1,
+                        salt: String = "temp"): DataFrame = {
+    require(total > 0, s"total=$total")
+    require(halvings >= 1 && halvings <= 4, s"halvings=$halvings (α=2^-h ∈ [1/16, 1/2])")
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val wRank = Window.partitionBy().orderBy(col("_rem").desc, col(groupCol))
+    val wRoot = (1 to halvings).foldLeft(col("group_n").cast("double")) {
+      case (c, _) => sqrt(c)
+    }
+    val alloc = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("group_n"))
+      // ×10^6 then floor: sqrt(n) ≤ 2^26.5 for n ≤ 2^53, so the scaled
+      // weight stays exact in double and floor() agrees across engines
+      // with no round-tie semantics in play
+      .withColumn("_iw", floor(wRoot * lit(1e6)).cast("decimal(38,0)"))
+      .withColumn("_t", sum(col("_iw")).over(wAll))
+      .withColumn("_prod", col("_iw") * lit(total).cast("decimal(38,0)"))
+      .withColumn("_base", expr("CAST(_prod DIV _t AS BIGINT)"))
+      .withColumn("_rem", expr("CAST(_prod % _t AS DECIMAL(38,0))"))
+      .withColumn("_extra", lit(total) - sum(col("_base")).over(wAll))
+      .withColumn("_rk", row_number().over(wRank))
+      .withColumn("group_alloc",
+        col("_base") + when(col("_rk") <= col("_extra"), 1L).otherwise(0L))
+      .select(col(groupCol), col("group_n"), col("group_alloc"))
+    val h = hash60(concat(lit(salt), lit(":"), col(groupCol).cast("string"),
+      lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .join(broadcast(alloc), Seq(groupCol))
+      .where(col("sample_rank") <= col("group_alloc"))
+      .select(col(idCol), col(groupCol), col("sample_rank"),
+        col("group_n"), col("group_alloc"))
+  }
 }

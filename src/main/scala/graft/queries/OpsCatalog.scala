@@ -25,6 +25,7 @@ object OpsCatalog {
   private val TopK = 5
   private val IvfCentMod = 32  // deterministic centroid rule: vec_id % 32 == 0
   private val IvfNprobe = 2    // probe the 2 nearest cells per query
+  private val TempTotal = 300L // temperature-sample draw size (q101)
   private val PackBudget = 512L // tokens per packed training sequence
   private val SessionGapNs = 8L * 3600 * 1000000000L // 8h session gap (epoch-nanos)
   private val ShuffleShards = 16 // training shards for the corpus shuffle
@@ -240,6 +241,12 @@ object OpsCatalog {
     "q46_stratified_sample" -> { (s, dir) =>
       Sampling.stratifiedSample(Tables.load(s, dir, "documents"), "doc_id", "lang", 10)
         .select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
+    },
+    // temperature-scaled mixture sampling: p_lang ∝ n^0.5, exact
+    // largest-remainder allocation, hash-ranked per-group draw
+    "q101_temperature_sample" -> { (s, dir) =>
+      Sampling.temperatureSample(Tables.load(s, dir, "documents"), "doc_id", "lang", TempTotal)
+        .orderBy("lang", "sample_rank")
     },
     // multi-probe SRP: each query also searches its 1-bit-flip buckets
     "q47_srp_multiprobe" -> { (s, dir) =>
@@ -1408,6 +1415,40 @@ object OpsCatalog {
          |             ${dh("'split:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS d
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q101_temperature_sample" ->
+      // n^0.5 weights floored into exact integers, Hamilton apportionment
+      // in HUGEINT (q94's scheme), then q46's hash-ranked per-group draw
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+         |), w AS (
+         |  SELECT lang, n,
+         |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS HUGEINT) AS iw
+         |  FROM counts
+         |), t AS (SELECT SUM(iw) AS tt FROM w),
+         |b AS (
+         |  SELECT lang, n, iw,
+         |         (iw * $TempTotal) // tt AS base,
+         |         (iw * $TempTotal) % tt AS rem
+         |  FROM w, t
+         |), e AS (SELECT SUM(base) AS sb FROM b),
+         |alloc AS (
+         |  SELECT lang, n,
+         |         CAST(base + CASE WHEN rk <= $TempTotal - sb THEN 1 ELSE 0 END AS BIGINT) AS group_alloc
+         |  FROM (SELECT lang, n, base,
+         |               row_number() OVER (ORDER BY rem DESC, lang) AS rk
+         |        FROM b), e
+         |), ranked AS (
+         |  SELECT doc_id, lang,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |           ORDER BY ${dh("'temp:' || lang || ':' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents
+         |)
+         |SELECT r.doc_id, r.lang, CAST(rn AS INTEGER) AS sample_rank,
+         |       a.n AS group_n, a.group_alloc
+         |FROM ranked r JOIN alloc a USING (lang)
+         |WHERE rn <= a.group_alloc
+         |ORDER BY lang, sample_rank""".stripMargin,
 
     "q46_stratified_sample" ->
       s"""SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank FROM (

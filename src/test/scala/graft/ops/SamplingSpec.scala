@@ -79,4 +79,61 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
     assert(again == out.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
   }
+
+  test("temperatureSample: Hamilton allocation over sqrt weights, flattened shares") {
+    import spark.implicits._
+    // heavily skewed groups: 1600 / 300 / 80 / 20
+    val skewed = ((1 to 1600).map(i => (i.toLong, "big")) ++
+      (2001 to 2300).map(i => (i.toLong, "mid")) ++
+      (3001 to 3080).map(i => (i.toLong, "small")) ++
+      (4001 to 4020).map(i => (i.toLong, "tiny"))).toDF("id", "lang")
+    val total = 500L
+    val out = Sampling.temperatureSample(skewed, "id", "lang", total).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+
+    // independent Hamilton reference over floor(sqrt(n)*1e6) in BigInt
+    val ns = Map("big" -> 1600L, "mid" -> 300L, "small" -> 80L, "tiny" -> 20L)
+    val iw = ns.map { case (g, n) => g -> BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong) }
+    val t = iw.values.sum
+    val base = iw.map { case (g, w) => g -> (w * total / t) }
+    val rem = iw.map { case (g, w) => g -> (w * total % t) }
+    val extra = total - base.values.sum.toLong
+    val order = rem.toSeq.sortBy { case (g, r) => (-r, g) }.map(_._1)
+    val expectAlloc = base.map { case (g, b) =>
+      g -> (b.toLong + (if (order.indexOf(g) < extra) 1L else 0L))
+    }
+    val gotAlloc = out.groupBy(_._2).map { case (g, rows) => g -> rows.head._5 }
+    assert(gotAlloc == expectAlloc, s"alloc $gotAlloc != reference $expectAlloc")
+    assert(expectAlloc.values.sum == total, "Hamilton must hit the total exactly")
+
+    // per group: exactly min(alloc, n) rows, contiguous ranks from 1
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.length == math.min(expectAlloc(g), ns(g)).toInt,
+        s"$g emitted ${rows.length}, alloc ${expectAlloc(g)}, n ${ns(g)}")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"$g ranks not contiguous")
+    }
+    // flattening: under sqrt weighting the dominant group's share must
+    // sit strictly between its proportional share and uniform
+    val bigShare = expectAlloc("big").toDouble / total
+    assert(bigShare < 1600.0 / 2000.0 && bigShare > 0.25,
+      s"big share $bigShare not flattened")
+    // deterministic and partition-independent
+    val again = Sampling.temperatureSample(skewed.repartition(13), "id", "lang", total)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(again == out.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("temperatureSample caps an over-allocated tiny group at its size") {
+    import spark.implicits._
+    // tiny group upweighted beyond its row count: sqrt flattening with a
+    // large total forces alloc(tiny) > n(tiny)
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1004).map(i => (i.toLong, "tiny"))).toDF("id", "lang")
+    val out = Sampling.temperatureSample(df, "id", "lang", 400L)
+      .collect().map(r => (r.getString(1), r.getLong(4)))
+    val tinyRows = out.count(_._1 == "tiny")
+    val tinyAlloc = out.find(_._1 == "tiny").map(_._2).getOrElse(0L)
+    assert(tinyAlloc > 4, s"fixture degenerated: tiny alloc $tinyAlloc not over-allocated")
+    assert(tinyRows == 4, s"tiny emitted $tinyRows rows, must cap at group size 4")
+  }
 }
