@@ -32,7 +32,8 @@ object Bench {
     "q89_bm25_search", "q90_groupaware_split", "q91_training_order",
     "q92_pii_redact", "q93_domain_cap", "q94_token_budget", "q95_nb_quality",
     "q96_audio_decode", "q97_video_decode", "q98_schema_evolution",
-    "q99_corpus_diff", "q100_semantic_dedup", "q101_temperature_sample")
+    "q99_corpus_diff", "q100_semantic_dedup", "q101_temperature_sample",
+    "q102_image_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

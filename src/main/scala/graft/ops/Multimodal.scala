@@ -418,11 +418,10 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: byte-stride downsampling to ≤ `targetBytes` (a real
-    * image resize interpolates pixels after decode; the payload-in/
-    * payload-out shape, metadata update, and per-partition batching are
-    * the production plumbing). Deterministic, so tests can assert sizes
-    * and content.
+  /** Modality-agnostic byte-stride downsampling to ≤ `targetBytes` —
+    * the budget cap for opaque payloads whose codec is unknown. For
+    * images the REAL pixel resize is [[resizeImages]]. Deterministic,
+    * so tests can assert sizes and content.
     */
   def resize(assets: DataFrame, targetBytes: Int)
             (implicit spark: SparkSession): Dataset[Asset] = {
@@ -436,6 +435,49 @@ object Multimodal {
           val out = Array.range(0, a.payload.length, stride).map(a.payload)
           a.copy(n_bytes = out.length.toLong, payload = out)
         }
+      }
+    }
+  }
+
+  /** REAL image resize: decode through the production PNG reader,
+    * nearest-neighbor sample band 0 onto a `targetW`×`targetH` raster
+    * (dst (x,y) ← src (⌊x·srcW/targetW⌋, ⌊y·srcH/targetH⌋) — integer
+    * arithmetic, so a SQL oracle replays the pixel mapping exactly),
+    * re-encode through the real PNG writer. Payload-in/payload-out like
+    * every codec here: the whole transform runs inside mapPartitions,
+    * nothing but (smaller) binary payloads moves, and downstream
+    * [[imageFeatures]] decodes the product — proving the re-encoded
+    * bytes are a valid PNG, not just a plausible buffer. Undecodable
+    * inputs FAIL (correctness gate, same contract as imageFeatures);
+    * grayscale band-0 only, matching [[decodeImage]]'s stat surface.
+    */
+  def resizeImages(assets: DataFrame, targetW: Int, targetH: Int)
+                  (implicit spark: SparkSession): Dataset[Asset] = {
+    import spark.implicits._
+    require(targetW > 0 && targetH > 0)
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        val src = Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"asset ${a.asset_id}: payload is not a decodable image"))
+        val (sw, sh) = (src.getWidth, src.getHeight)
+        val dst = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val (sr, dr) = (src.getRaster, dst.getRaster)
+        var y = 0
+        while (y < targetH) {
+          val sy = y * sh / targetH
+          var x = 0
+          while (x < targetW) {
+            dr.setSample(x, y, 0, sr.getSample(x * sw / targetW, sy, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Asset(a.asset_id, a.modality, out.size().toLong, out.toByteArray)
       }
     }
   }

@@ -144,6 +144,17 @@ object OpsCatalog {
         Tables.load(s, dir, "documents"), "doc_id", width = 16, height = 16)
       Multimodal.imageFeatures(assets).toDF().orderBy("asset_id")
     },
+    // REAL pixel resize: encode 16x16 PNGs, nearest-neighbor downsample
+    // to 8x8 through decode->resample->re-encode, then decode the
+    // PRODUCT for stats — dst(x,y) = src(2x,2y), so the oracle computes
+    // the resized raster analytically from the generation formula
+    "q102_image_resize" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      val assets = Multimodal.synthPngAssets(
+        Tables.load(s, dir, "documents"), "doc_id", width = 16, height = 16)
+      val small = Multimodal.resizeImages(assets.toDF(), targetW = 8, targetH = 8)
+      Multimodal.imageFeatures(small.toDF()).toDF().orderBy("asset_id")
+    },
     // real RIFF/WAVE container round-trip: synthesize 16-bit mono PCM,
     // decode via the chunk-walking parser, emit exact sample stats the
     // oracle computes analytically from the generation formula
@@ -1030,6 +1041,23 @@ object OpsCatalog {
         |SELECT doc_id AS asset_id,
         |       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
         |       CAST(SUM((doc_id*31 + i) % 256) AS DOUBLE) / 256.0 AS px_mean,
+        |       CAST(MIN((doc_id*31 + i) % 256) AS INTEGER) AS px_min,
+        |       CAST(MAX((doc_id*31 + i) % 256) AS INTEGER) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
+    "q102_image_resize" ->
+      // nearest-neighbor 16x16 -> 8x8 keeps src pixels (2x, 2y): the
+      // surviving raster indices are i = (2y)*16 + 2x, and the 64-pixel
+      // mean divides by a power of two — exact in binary on both engines
+      """WITH px AS (
+        |  SELECT d.doc_id, (ys.y * 2) * 16 + xs.x * 2 AS i
+        |  FROM documents d,
+        |       (SELECT unnest(range(0, 8)) AS x) xs,
+        |       (SELECT unnest(range(0, 8)) AS y) ys
+        |)
+        |SELECT doc_id AS asset_id,
+        |       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |       CAST(SUM((doc_id*31 + i) % 256) AS DOUBLE) / 64.0 AS px_mean,
         |       CAST(MIN((doc_id*31 + i) % 256) AS INTEGER) AS px_min,
         |       CAST(MAX((doc_id*31 + i) % 256) AS INTEGER) AS px_max
         |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin,

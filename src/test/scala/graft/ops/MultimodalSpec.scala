@@ -146,6 +146,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeVideo(good.take(20)).isEmpty) // truncated
   }
 
+  test("resizeImages: nearest-neighbor floor mapping, odd sizes, PNG product") {
+    import spark.implicits._
+    // 5x3 source with pixel(x,y) = y*5 + x, through the REAL encoder
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 5) img.getRaster.setSample(x, y, 0, y * 5 + x)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val src = Seq(Multimodal.Asset(9L, "image", bos.size().toLong, bos.toByteArray)).toDF()
+    val out = Multimodal.resizeImages(src, targetW = 2, targetH = 2).collect().head
+    // the product must be a real, decodable PNG
+    assert(out.payload.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(dec.getWidth == 2 && dec.getHeight == 2)
+    // dst(x,y) = src(x*5/2, y*3/2) = src(0,0) src(2,0) src(0,1) src(2,1)
+    val got = for (y <- 0 until 2; x <- 0 until 2)
+      yield dec.getRaster.getSample(x, y, 0)
+    assert(got == Seq(0, 2, 5, 7), s"pixels $got")
+    // undecodable payload fails the correctness gate
+    val bad = Seq(Multimodal.Asset(1L, "image", 3L, Array[Byte](1, 2, 3))).toDF()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeImages(bad, 2, 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("resize strides payloads down to at most targetBytes") {
     val out = Multimodal.resize(assets, targetBytes = 25).collect()
     val a1 = out.find(_.asset_id == 1L).get
