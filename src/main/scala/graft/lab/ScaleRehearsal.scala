@@ -118,15 +118,32 @@ object ScaleRehearsal {
       val (srpPairs, srpSec) = timed {
         Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.9, planes).count()
       }
+      // SemDeDup knob rule: centroid count grows WITH n (fixed id
+      // modulus ⇒ cells ∝ n, cell size constant), so the within-cell
+      // candidate volume — the only superlinear risk in the operator —
+      // grows linearly: cells × C(cellSize, 2)
+      val (semCand, _) = timed {
+        val assigned = Similarity.ivfAssign(embs, "vec_id", "embedding",
+          col("vec_id") % 50 === 0)
+        val a = assigned.select(col("cell"), col("id").as("ia"))
+        val b = assigned.select(col("cell"), col("id").as("ib"))
+        a.join(b, "cell").where(col("ia") < col("ib")).count()
+      }
+      val (semKept, semSec) = timed {
+        Similarity.semanticDedup(embs, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, tau = 0.9)
+          .where(col("kept")).count()
+      }
       (n, Cell(n, lshPairs, lshSec, "bands=4x2"),
           Cell(n, simPairs, simSec, "r=6"),
-          Cell(n, srpPairs, srpSec, s"planes=$planes"))
+          Cell(n, srpPairs, srpSec, s"planes=$planes"),
+          Cell(n, semCand, semSec, s"kept=$semKept"))
     }
 
-    println("| n | lsh_pairs | lsh_sec | sim_pairs | sim_sec | srp_pairs | srp_sec | srp_planes |")
-    println("|---|---|---|---|---|---|---|---|")
-    rows.foreach { case (n, l, h, p) =>
-      println(f"| $n | ${l.pairs} | ${l.seconds}%.2f | ${h.pairs} | ${h.seconds}%.2f | ${p.pairs} | ${p.seconds}%.2f | ${p.knob} |")
+    println("| n | lsh_pairs | lsh_sec | sim_pairs | sim_sec | srp_pairs | srp_sec | srp_planes | sem_cand | sem_sec | sem_kept |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|")
+    rows.foreach { case (n, l, h, p, sd) =>
+      println(f"| $n | ${l.pairs} | ${l.seconds}%.2f | ${h.pairs} | ${h.seconds}%.2f | ${p.pairs} | ${p.seconds}%.2f | ${p.knob} | ${sd.pairs} | ${sd.seconds}%.2f | ${sd.knob} |")
     }
     // growth factors vs the 10× size jump (subquadratic ⇔ « 100)
     val first = rows.head; val last = rows.last
@@ -134,7 +151,8 @@ object ScaleRehearsal {
     println(f"growth n=×${g(first._1, last._1)}%.1f: " +
       f"lsh_pairs=×${g(first._2.pairs, last._2.pairs)}%.1f " +
       f"sim_pairs=×${g(first._3.pairs, last._3.pairs)}%.1f " +
-      f"srp_pairs=×${g(first._4.pairs, last._4.pairs)}%.1f")
+      f"srp_pairs=×${g(first._4.pairs, last._4.pairs)}%.1f " +
+      f"sem_cand=×${g(first._5.pairs, last._5.pairs)}%.1f")
     spark.stop()
   }
 }
