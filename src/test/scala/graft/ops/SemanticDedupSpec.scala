@@ -91,6 +91,27 @@ class SemanticDedupSpec extends AnyFunSuite {
       "fixture degenerated: no duplicate group with >= 3 members")
   }
 
+  test("the persisted assignment feeds every consumer as a cache scan") {
+    import spark.implicits._
+    val rng = new Random(29)
+    val dir = java.nio.file.Files.createTempDirectory("semspec").toString
+    (0 until 120).map(i => (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "vec")
+      .write.mode("overwrite").parquet(s"$dir/vecs.parquet")
+    // parquet-backed: a local relation would constant-fold and never
+    // build the scans under test
+    val df = spark.read.parquet(s"$dir/vecs.parquet")
+    val out = Similarity.semanticDedup(df, "vec_id", "vec",
+      col("vec_id") % 12 === 0, 0.5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the centroid-scoring crossJoin is the expensive subtree; both pair
+    // sides, the labeling join, and the keep-rule aggregate must read
+    // the persisted assignment, not recompute it
+    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheScans >= 2, s"expected >=2 cache scans, got $cacheScans in:\n$plan")
+  }
+
   test("exactly one kept member per group, and it is the centroid-farthest") {
     import spark.implicits._
     val rng = new Random(13)
