@@ -150,8 +150,14 @@ object Dedup {
     * guard at scale; also bounds fan-out). Returns pairs with
     * jaccard >= `threshold`.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, maxDf: Long, threshold: Double): DataFrame = {
+  /** Shared candidate core of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: per-pair distinct-shingle intersection counts
+    * with both documents' set sizes riding along —
+    * `(id_a, id_b, n_a, n_b, n_inter)`. One linear pipeline, two
+    * shuffles, DF-capped before any pair fan-out.
+    */
+  private def shinglePairCounts(df: DataFrame, idCol: String, textCol: String,
+                                shingleN: Int, maxDf: Long): DataFrame = {
     // per-document DISTINCT shingles computed in-row (array_distinct):
     // no global distinct shuffle, and the per-doc set size |A| is a plain
     // scalar projection off the scan rather than a third aggregation over
@@ -188,11 +194,34 @@ object Dedup {
     // n_a/n_b are functionally dependent on the ids — grouping on them
     // too keeps them available without any join-back
     pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, maxDf: Long, threshold: Double): DataFrame =
+    shinglePairCounts(df, idCol, textCol, shingleN, maxDf)
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
-  }
+
+  /** Broder CONTAINMENT pairs (Broder 1997's c(A,B) = |A∩B|/|A|): the
+    * asymmetric companion to [[ngramJaccardPairs]] — a short document
+    * quoted wholesale inside a long one scores containment ≈ 1 while
+    * its Jaccard stays tiny (the union is dominated by the long side),
+    * so symmetric dedup misses exactly the quote-inclusion /
+    * boilerplate-embedding duplicates this operator exists to catch.
+    * Emits both directions (`cont_ab` = |A∩B|/|A|, `cont_ba`) for pairs
+    * where either reaches `threshold`; each is ONE IEEE division of two
+    * exact integers, so the threshold decision is engine-portable.
+    * Same candidate core, same DF cap, same two-shuffle scale shape.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, maxDf: Long, threshold: Double): DataFrame =
+    shinglePairCounts(df, idCol, textCol, shingleN, maxDf)
+      .withColumn("cont_ab", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_ba", col("n_inter").cast("double") / col("n_b"))
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select("id_a", "id_b", "n_inter", "cont_ab", "cont_ba")
 
   private val SimBits = 60
 

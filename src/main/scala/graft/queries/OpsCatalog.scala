@@ -26,6 +26,7 @@ object OpsCatalog {
   private val IvfCentMod = 32  // deterministic centroid rule: vec_id % 32 == 0
   private val IvfNprobe = 2    // probe the 2 nearest cells per query
   private val TempTotal = 300L // temperature-sample draw size (q101)
+  private val ContThresh = 0.25 // Broder containment threshold (q103)
   private val PackBudget = 512L // tokens per packed training sequence
   private val SessionGapNs = 8L * 3600 * 1000000000L // 8h session gap (epoch-nanos)
   private val ShuffleShards = 16 // training shards for the corpus shuffle
@@ -106,6 +107,13 @@ object OpsCatalog {
     "q33_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
           ShingleN, MaxDf, JaccThresh)
+        .orderBy("id_a", "id_b")
+    },
+    // Broder containment: asymmetric |A∩B|/|A| near-dup signal — catches
+    // quote-inclusion pairs whose symmetric Jaccard stays tiny
+    "q103_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          ShingleN, MaxDf, ContThresh)
         .orderBy("id_a", "id_b")
     },
     "q34_simhash" -> { (s, dir) =>
@@ -990,6 +998,32 @@ object OpsCatalog {
          |JOIN sizes sa ON sa.id = id_a
          |JOIN sizes sb ON sb.id = id_b
          |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= $JaccThresh
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q103_containment" ->
+      // same DF-capped intersection counts as q33; the score divides by
+      // ONE side's set size (asymmetric), both directions emitted
+      s"""WITH $shingleCte, dsh AS (
+         |  SELECT DISTINCT doc_id AS id, sh FROM sh
+         |), rare AS (
+         |  SELECT sh FROM dsh GROUP BY sh HAVING COUNT(*) <= $MaxDf
+         |), fsh AS (
+         |  SELECT id, dsh.sh FROM dsh JOIN rare ON dsh.sh = rare.sh
+         |), sizes AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM dsh GROUP BY id
+         |), inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM fsh a JOIN fsh b ON a.sh = b.sh
+         |  WHERE a.id < b.id GROUP BY a.id, b.id
+         |)
+         |SELECT id_a, id_b, n_inter,
+         |       CAST(n_inter AS DOUBLE) / sa.n_sh AS cont_ab,
+         |       CAST(n_inter AS DOUBLE) / sb.n_sh AS cont_ba
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n_sh,
+         |               CAST(n_inter AS DOUBLE) / sb.n_sh) >= $ContThresh
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q34_simhash" ->

@@ -299,4 +299,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, "unchanged"), (2L, "removed"),
       (3L, "changed"), (4L, "added")))
   }
+
+  test("containmentPairs scores quote-inclusion that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 is doc 1 quoted inside much longer unrelated text: the
+    // small side's shingles are fully contained, but the union is
+    // dominated by the long side
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),
+      (2L, s"$filler $quote"),
+      (3L, "wholly unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, maxDf = 50, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // doc 1 has 4 shingles, every one inside doc 2 (the "$filler $quote"
+    // join also creates bridging shingles, but all 4 of doc 1's survive)
+    val (nInter, contAb, contBa) = cont((1L, 2L))
+    assert(nInter == 4 && contAb == 1.0, s"n_inter=$nInter cont_ab=$contAb")
+    assert(contBa < 0.1, s"long side must NOT be contained: $contBa")
+    assert(!cont.contains((1L, 3L)) && !cont.contains((2L, 3L)))
+    // the same pair under symmetric Jaccard at the same bar: invisible
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 50, 0.9).collect()
+    assert(jac.isEmpty, "Jaccard at 0.9 must miss the quote-inclusion pair")
+  }
 }
