@@ -33,7 +33,9 @@ object Bench {
     "q92_pii_redact", "q93_domain_cap", "q94_token_budget", "q95_nb_quality",
     "q96_audio_decode", "q97_video_decode", "q98_schema_evolution",
     "q99_corpus_diff", "q100_semantic_dedup", "q101_temperature_sample",
-    "q102_image_resize", "q103_containment")
+    "q102_image_resize", "q103_containment", "q104_pivot", "q105_cube",
+    "q106_inverted_index", "q107_weighted_sample", "q108_context_windows",
+    "q109_edit_distance", "q110_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -654,6 +654,100 @@ object Dedup {
         col("n_chunks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Exact duplicated-substring coverage — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * exact-substring signal, re-expressed relationally instead of via a
+    * suffix array: every length-`l` character gram of every document is
+    * posted to a corpus-wide table, grams occurring at ≥ 2 positions
+    * (anywhere — another document or the same one twice) mark their
+    * source positions as duplicated, and the per-document result is the
+    * interval-union length of those duplicated windows. `dup_ratio` is
+    * the fraction of the document covered by text that exists verbatim
+    * elsewhere in the corpus — the span-level dedup signal shingle
+    * Jaccard (document-level) and [[chunkDedup]] (token-chunk level)
+    * cannot see.
+    *
+    * Scale shape: volume is O(total chars) exploded rows keyed on the
+    * gram — one count aggregation (map-side combined) and one equi-join
+    * back, then a PER-DOCUMENT window for the interval union (bounded by
+    * document length, never corpus-wide). Boilerplate grams with huge
+    * multiplicity skew the join key; AQE skew-join splits them, and the
+    * join payload is 16 bytes/row. The suffix-array formulation finds
+    * maximal spans exactly; this gram formulation finds the same
+    * coverage for spans ≥ `l` at relational cost — the standard
+    * trade in distributed settings.
+    *
+    * Output: one row per input document —
+    * `(id, n_chars, n_pos, n_dup_pos, dup_chars, dup_ratio)`.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, l: Int): DataFrame = {
+    require(l >= 2, s"gram length must be >= 2, got $l")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // every start position of a length-l gram; docs shorter than l have none
+    val pos = base.where(col("n_chars") >= l)
+      .select(col("id"),
+        explode(sequence(lit(0L), col("n_chars") - l)).as("pos"),
+        col("text"))
+      .withColumn("gram", col("text").substr(col("pos").cast("int") + 1, lit(l)))
+      .select("id", "pos", "gram")
+    // corpus-wide multiplicity per gram; only duplicated grams survive
+    val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("gram")
+    val dupPos = pos.join(dupGrams, Seq("gram")).select("id", "pos")
+    // interval union per doc: sorted starts, each contributes
+    // min(l, gap-to-previous) covered characters
+    val w = Window.partitionBy("id").orderBy("pos")
+    val perDoc = dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("add", when(col("prev").isNull, lit(l.toLong))
+        .otherwise(least(lit(l.toLong), col("pos") - col("prev"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dup_pos"), sum("add").cast("long").as("dup_chars"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_chars"),
+        greatest(col("n_chars") - l + 1, lit(0L)).as("n_pos"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars"), 6)
+          .as("dup_ratio"))
+  }
+
+  /** Edit-distance near-duplicate verification: LSH candidate pairs
+    * ([[lshCandidates]] over [[minhashSignaturesWide]]) re-scored with
+    * the EXACT Levenshtein distance, keeping pairs whose normalized
+    * distance (dist / max(len_a, len_b)) is ≤ `maxDistFrac`. The classic
+    * two-phase dedup: a sub-quadratic sketch proposes, an exact
+    * character-level metric disposes — shingle overlap can confuse
+    * reordered text for near-identical text; edit distance cannot.
+    *
+    * Scale shape: the O(len_a · len_b) DP runs ONLY on candidate pairs
+    * (bounded by the LSH band/bucket geometry), never all pairs, and the
+    * text join-back is two hash joins on the id. Spark's `levenshtein`
+    * is a codegen'd built-in; at very long documents cap inputs upstream
+    * (the DP is quadratic in length — that cost is inherent to the
+    * metric, not the plan).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleN: Int, bands: Int,
+                        maxDistFrac: Double): DataFrame = {
+    val wide = minhashSignaturesWide(df, idCol, textCol, k, shingleN)
+    val cand = lshCandidates(lshBandsWide(wide, idCol, bands, k / bands), idCol)
+    val docs = df.select(col(idCol).as("_ed_id"), col(textCol).as("_ed_text"))
+    cand
+      .join(docs.select(col("_ed_id").as("id_a"), col("_ed_text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("_ed_id").as("id_b"), col("_ed_text").as("text_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("text_a")), length(col("text_b"))).cast("long"))
+      // one IEEE division of two exact integers: the threshold decision
+      // is bit-identical in every engine
+      .withColumn("dist_ratio", col("dist").cast("double") / col("max_len"))
+      .where(col("dist_ratio") <= maxDistFrac)
+      .select("id_a", "id_b", "dist", "max_len", "dist_ratio")
+  }
+
   /** Snapshot diff between two corpus versions — the audit a dataset
     * release needs: per id, `added` / `removed` / `changed` /
     * `unchanged`, decided by content hash so a byte-identical rewrite

@@ -352,4 +352,32 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("sample_rank"),
         col("group_n"), col("group_alloc"))
   }
+
+  /** Deterministic weighted sample of size `k`: each row draws a
+    * uniform 50-bit hash `u` of its id and competes with priority
+    * `u / weight` — the k SMALLEST priorities win, so selection odds
+    * rise monotonically with the weight (a row with twice the weight
+    * halves its priority). This is the hash-seeded priority-sampling
+    * family (Duffield et al.); the textbook PPS-exact variant keys on
+    * `-ln(u)/w`, a transcendental whose last-ulp behavior differs
+    * across engines — `u/w` keeps the same monotone weight semantics
+    * with every step (one int-to-double conversion, one IEEE division)
+    * bit-reproducible by the oracle.
+    *
+    * Scale shape: a pure projection followed by a global top-k
+    * (TakeOrdered — per-partition heaps of k, never a full sort), so
+    * the only data movement is k rows per partition to the driver-side
+    * merge. Ties cannot occur across distinct ids (distinct hashes),
+    * and the (priority, id) order makes even a hash collision
+    * deterministic.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "wsamp"): DataFrame = {
+    val u = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string"))) % (1L << 50)
+    df.where(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("double").as("weight"),
+        (u.cast("double") / col(weightCol).cast("double")).as("priority"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

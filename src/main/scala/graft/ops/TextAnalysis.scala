@@ -437,6 +437,67 @@ object TextAnalysis {
         (col("score") > 0).as("predicted"))
   }
 
+  /** Inverted index build: term → document frequency, collection
+    * frequency, and a doc-ordered posting list `"id:tf,id:tf,…"`. The
+    * index behind contamination checks and corpus search ([[bm25Search]]
+    * recomputes scores from raw text; real serving builds this once).
+    *
+    * Scale shape: explode → per-(term, doc) counts (map-side combined)
+    * → per-term aggregation. The posting list is the one unbounded state
+    * per key, so it is CAPPED at `maxPostings` entries (smallest doc ids
+    * kept — deterministic), the standard posting-prune move: df/cf stay
+    * exact over ALL docs, only the materialized list truncates. `minDf`
+    * drops the hapax tail (most of the vocabulary by key count) before
+    * the list aggregation.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long, maxPostings: Int): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").cast("long").as("cf"),
+        // sort_array on struct(id, tf) orders by id; slice caps the list
+        array_join(
+          transform(
+            slice(sort_array(collect_list(struct(col("id"), col("tf")))),
+              1, maxPostings),
+            p => concat(p.getField("id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))),
+          ",").as("postings"))
+      .where(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"), col("postings"))
+  }
+
+  /** Training context windows: each document's token stream cut into
+    * windows of `window` tokens at `stride`-token steps — the
+    * fixed-context examples an LM training run consumes (stride <
+    * window gives overlapping contexts). Windows start at
+    * 0, stride, 2·stride, … up to the last start where a full window
+    * fits; a document shorter than `window` emits its whole token
+    * stream as the single (short) window 0.
+    *
+    * Scale shape: one in-row `sequence` + explode per document — output
+    * volume is tokens/stride rows per doc (bounded by the stride
+    * choice), no shuffle at all until whatever consumes the windows.
+    */
+  def contextWindows(df: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive: $window/$stride")
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
+      .withColumn("nw", size(col("toks")).cast("long"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), greatest(col("nw") - window, lit(0L)),
+          lit(stride.toLong))).as("start_pos"))
+      .withColumn("window_toks", slice(col("toks"), col("start_pos") + 1, lit(window)))
+      .select(col(idCol),
+        (col("start_pos") / stride).cast("long").as("window_id"),
+        col("start_pos"),
+        size(col("window_toks")).cast("long").as("n_toks"),
+        array_join(col("window_toks"), " ").as("window_text"))
+  }
+
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")

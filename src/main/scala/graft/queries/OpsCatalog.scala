@@ -64,6 +64,14 @@ object OpsCatalog {
   private val VidW = 16          // q97 frame raster
   private val VidH = 16
   private val VidFrames = 4      // q97 frames per clip
+  private val PivotStatuses = Seq("F", "O") // q104 pivot columns (known domain)
+  private val InvMinDf = 5       // q106 inverted index: drop the hapax tail
+  private val InvMaxPostings = 20 // q106 posting-list cap per term
+  private val WSampleK = 40      // q107 weighted-sample size
+  private val CtxWindow = 32     // q108 context window (tokens)
+  private val CtxStride = 24     // q108 window stride (overlapping)
+  private val EditMaxFrac = 0.35 // q109 normalized edit-distance ceiling
+  private val DupL = 20          // q110 duplicated-substring gram length (chars)
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -91,6 +99,52 @@ object OpsCatalog {
       TopFraction.topFraction(Tables.load(s, dir, "events"), "value", "event_id", 0.2)
         .select("event_id", "value").orderBy("event_id")
     },
+    // relational pivot with the value domain DECLARED (no driver-side
+    // distinct-collect pass — .pivot(col) alone scans the table to find
+    // the columns, the classic hidden job at scale); decimal-exact sums
+    "q104_pivot" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .withColumn("qd", col("l_quantity").cast("decimal(14,2)"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", PivotStatuses)
+        .agg(sum(col("qd")))
+        .select(col("l_returnflag") +:
+          PivotStatuses.map(st =>
+            col(st).cast("double").as(s"qty_${st.toLowerCase}")): _*)
+        .orderBy("l_returnflag")
+    },
+    // CUBE over two dims with grouping_id — all four grouping sets in
+    // one pass (partial-agg combined), decimal-exact sums
+    "q105_cube" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .withColumn("qd", col("l_quantity").cast("decimal(14,2)"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("qd")).cast("double").as("qty"))
+        .select("gid", "l_returnflag", "l_linestatus", "n", "qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    // inverted index: term -> df/cf + doc-ordered capped posting list
+    "q106_inverted_index" -> { (s, dir) =>
+      TextAnalysis.invertedIndex(Tables.load(s, dir, "documents"), "doc_id", "text",
+          InvMinDf, InvMaxPostings)
+        .orderBy("term")
+    },
+    // deterministic weighted sample: priority = hash(id)/n_chars, k smallest
+    "q107_weighted_sample" -> { (s, dir) =>
+      Sampling.weightedSample(
+          Tables.load(s, dir, "documents").withColumn("w", col("n_chars")),
+          "doc_id", "w", WSampleK)
+        .orderBy("doc_id")
+    },
+    // LM training context windows: CtxWindow tokens at CtxStride steps
+    "q108_context_windows" -> { (s, dir) =>
+      TextAnalysis.contextWindows(Tables.load(s, dir, "documents"), "doc_id", "text",
+          CtxWindow, CtxStride)
+        .orderBy("doc_id", "window_id")
+    },
     "q30_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")
@@ -115,6 +169,19 @@ object OpsCatalog {
       Dedup.containmentPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
           ShingleN, MaxDf, ContThresh)
         .orderBy("id_a", "id_b")
+    },
+    // two-phase near-dup: LSH proposes candidate pairs, EXACT Levenshtein
+    // disposes — the character-level metric shingle overlap can't fake
+    "q109_edit_distance" -> { (s, dir) =>
+      Dedup.editDistancePairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          K, ShingleN, Bands, EditMaxFrac)
+        .orderBy("id_a", "id_b")
+    },
+    // Lee et al. exact-substring dedup signal: fraction of each doc
+    // covered by length-DupL char grams that occur >= 2 times corpus-wide
+    "q110_dup_spans" -> { (s, dir) =>
+      Dedup.dupSpans(Tables.load(s, dir, "documents"), "doc_id", "text", DupL)
+        .orderBy("doc_id")
     },
     "q34_simhash" -> { (s, dir) =>
       Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -843,6 +910,28 @@ object OpsCatalog {
        |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.node = s.dst
        |)""".stripMargin
 
+  /** MinHash → banded LSH → candidate pairs, ending with an open
+    * `cand(id_a, id_b)` CTE — the q32 oracle body, reused by the q109
+    * edit-distance verification oracle.
+    */
+  private lazy val lshCandCte: String = {
+    val bandRows = (0 until Bands).map { b =>
+      val cols = (0 until K / Bands).map(r => s"s${b * (K / Bands) + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${dh(s"concat_ws(',', $cols)")} AS bucket FROM sigw"
+    }.mkString("\n  UNION ALL\n  ")
+    val sigCols = (0 until K)
+      .map(s => s"MIN(CASE WHEN seed = $s THEN min_hash END) AS s$s").mkString(", ")
+    s"""$shingleCte, $sigCte, sigw AS (
+       |  SELECT doc_id, $sigCols FROM sig GROUP BY doc_id
+       |), bands AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
   private val sigCte = {
     val seedRows = (0 until K).map { s =>
       val (a, b) = Dedup.minhashConsts(s)
@@ -960,23 +1049,123 @@ object OpsCatalog {
       s"""WITH $shingleCte, $sigCte
          |SELECT doc_id, CAST(seed AS INTEGER) AS seed, min_hash FROM sig ORDER BY doc_id, seed""".stripMargin,
 
-    "q32_lsh_candidates" -> {
-      val bandRows = (0 until Bands).map { b =>
-        val cols = (0 until K / Bands).map(r => s"s${b * (K / Bands) + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, ${dh(s"concat_ws(',', $cols)")} AS bucket FROM sigw"
-      }.mkString("\n  UNION ALL\n  ")
-      val sigCols = (0 until K)
-        .map(s => s"MIN(CASE WHEN seed = $s THEN min_hash END) AS s$s").mkString(", ")
-      s"""WITH $shingleCte, $sigCte, sigw AS (
-         |  SELECT doc_id, $sigCols FROM sig GROUP BY doc_id
-         |), bands AS (
-         |  $bandRows
+    "q32_lsh_candidates" ->
+      s"""WITH $lshCandCte
+         |SELECT id_a, id_b FROM cand
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q109: the q32 candidate derivation re-scored with DuckDB's own
+    // exact levenshtein (same unit-cost DP as Spark's built-in)
+    "q109_edit_distance" ->
+      s"""WITH $lshCandCte, scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+         |         CAST(GREATEST(length(da.text), length(db.text)) AS BIGINT) AS max_len
+         |  FROM cand c
+         |  JOIN documents da ON da.doc_id = c.id_a
+         |  JOIN documents db ON db.doc_id = c.id_b
          |)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |WHERE a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin
+         |SELECT id_a, id_b, dist, max_len,
+         |       CAST(dist AS DOUBLE) / max_len AS dist_ratio
+         |FROM scored
+         |WHERE CAST(dist AS DOUBLE) / max_len <= $EditMaxFrac
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q104_pivot" -> {
+      val cells = PivotStatuses.map(st =>
+        s"CAST(SUM(CASE WHEN l_linestatus = '$st' THEN CAST(l_quantity AS DECIMAL(14,2)) END) AS DOUBLE) AS qty_${st.toLowerCase}")
+        .mkString(",\n       ")
+      s"""SELECT l_returnflag,
+         |       $cells
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
     },
+
+    "q105_cube" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       l_returnflag, l_linestatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q106_inverted_index" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2
+         |), byterm AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+         |  FROM tf GROUP BY term
+         |), ranked AS (
+         |  SELECT term, doc_id, tf,
+         |         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |  FROM tf
+         |), posts AS (
+         |  SELECT term,
+         |         string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+         |                    ',' ORDER BY doc_id) AS postings
+         |  FROM ranked WHERE rn <= $InvMaxPostings GROUP BY term
+         |)
+         |SELECT b.term, b.df, b.cf, p.postings
+         |FROM byterm b JOIN posts p USING (term)
+         |WHERE b.df >= $InvMinDf
+         |ORDER BY term""".stripMargin,
+
+    "q107_weighted_sample" ->
+      s"""SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         |       CAST((${dh("'wsamp:' || CAST(doc_id AS VARCHAR)")} % ${1L << 50}) AS DOUBLE)
+         |         / CAST(n_chars AS DOUBLE) AS priority
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY priority, doc_id LIMIT $WSampleK""".stripMargin,
+
+    "q108_context_windows" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
+         |), w AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nw FROM base
+         |), starts AS (
+         |  SELECT doc_id, toks,
+         |         unnest(range(0, GREATEST(nw - $CtxWindow, 0) + 1, $CtxStride)) AS start_pos
+         |  FROM w
+         |)
+         |SELECT doc_id,
+         |       CAST(start_pos // $CtxStride AS BIGINT) AS window_id,
+         |       CAST(start_pos AS BIGINT) AS start_pos,
+         |       CAST(len(list_slice(toks, start_pos + 1, start_pos + $CtxWindow)) AS BIGINT) AS n_toks,
+         |       array_to_string(list_slice(toks, start_pos + 1, start_pos + $CtxWindow), ' ') AS window_text
+         |FROM starts ORDER BY doc_id, window_id""".stripMargin,
+
+    "q110_dup_spans" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+         |), pos AS (
+         |  SELECT doc_id, text, unnest(range(0, n_chars - ${DupL - 1})) AS pos
+         |  FROM base WHERE n_chars >= $DupL
+         |), grams AS (
+         |  SELECT doc_id, pos, substr(text, pos + 1, $DupL) AS gram FROM pos
+         |), dupg AS (
+         |  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+         |), dpos AS (
+         |  SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)
+         |), cov AS (
+         |  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM dpos
+         |), agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pos,
+         |         CAST(SUM(CASE WHEN prev IS NULL THEN $DupL
+         |                       ELSE LEAST($DupL, pos - prev) END) AS BIGINT) AS dup_chars
+         |  FROM cov GROUP BY doc_id
+         |)
+         |SELECT b.doc_id, b.n_chars,
+         |       CAST(GREATEST(b.n_chars - ${DupL - 1}, 0) AS BIGINT) AS n_pos,
+         |       CAST(COALESCE(a.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+         |       CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+         |       ROUND(CAST(COALESCE(a.dup_chars, 0) AS DOUBLE) / b.n_chars, 6) AS dup_ratio
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q33_ngram_jaccard" ->
       s"""WITH $shingleCte, dsh AS (
