@@ -102,4 +102,81 @@ object EventOps {
         (col("_last").getField("_rts").as("asof_ts") +:
           valCols.map(v => col("_last").getField(v).as(s"asof_$v"))): _*)
   }
+
+  /** Ordered funnel analysis: for each key, walk its event stream in
+    * time order and count how far it gets through `steps` — step i+1
+    * only counts if it happens STRICTLY after the event that completed
+    * step i. Returns one row per stage: `(stage, step, n_users)` where
+    * `n_users` counts keys reaching AT LEAST that stage (the classic
+    * conversion funnel). Greedy earliest-completion is optimal here (if
+    * any strictly-increasing chain exists, taking every step at its
+    * earliest valid time finds one), which is what makes the one-pass
+    * scan below equal to the min-chain formulation the oracle replays.
+    *
+    * Scale design: events are pruned to the funnel's step types BEFORE
+    * the one shuffle (groupBy key); the walk is an in-row `aggregate`
+    * over the key's sorted step events, so per-key state is one
+    * (stage, time) pair and the stage counting is a bounded explode
+    * (|steps| rows per key, map-side combined). A key whose step-event
+    * history cannot fit one executor needs a pre-cap upstream — at that
+    * volume per user the funnel is saturated anyway.
+    *
+    * `tsCol` must already be a canonical long event time (callers derive
+    * it via [[graft.Tables.eventTimeNs]]).
+    */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    val evs = events
+      .where(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(keyCol).as("_k"),
+        struct(col(tsCol).cast("long").as("t"), col(typeCol).as("et")).as("e"))
+      .groupBy("_k").agg(sort_array(collect_list(col("e"))).as("evs"))
+    // in-row scan: acc = (stage reached, time of the completing event);
+    // each when-branch tests the ORIGINAL acc so branches are disjoint
+    val reached = evs.withColumn("acc",
+      aggregate(col("evs"),
+        struct(lit(0).as("stage"), lit(Long.MinValue).as("t")),
+        (acc, e) => steps.zipWithIndex.foldLeft(acc) { case (els, (st, i)) =>
+          when(acc.getField("stage") === i && e.getField("et") === st &&
+            e.getField("t") > acc.getField("t"),
+            struct(lit(i + 1).as("stage"), e.getField("t").as("t")))
+            .otherwise(els)
+        }))
+      .select(col("_k"), col("acc.stage").as("reached"))
+    reached
+      .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).as("stage"), lit(st).as("step"),
+          when(col("reached") >= i + 1, 1L).otherwise(0L).as("hit"))
+      }: _*)).as("s"))
+      .groupBy(col("s.stage").as("stage"), col("s.step").as("step"))
+      .agg(sum(col("s.hit")).as("n_users"))
+  }
+
+  /** Retention cohorts: keys are cohorted by the epoch-day of their
+    * FIRST event; for every (cohort_day, day_offset) the count of keys
+    * active (≥ 1 event) exactly `day_offset` days after their cohort
+    * day. The standard activation/retention triangle.
+    *
+    * Scale design: ONE data-sized shuffle — `collect_set(day)` per key
+    * (map-side deduped; per-key state is bounded by the calendar span,
+    * not the event count), cohort = in-row `array_min`, offsets a
+    * bounded in-row explode, and the final (cohort, offset) groupBy runs
+    * over keys·days rows, already tiny. `tsCol` must be canonical long
+    * nanos ([[graft.Tables.eventTimeNs]]).
+    */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val DayNs = 86400L * 1000000000L
+    val byKey = events
+      .select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_ns"))
+      .withColumn("day", expr(s"_ns DIV $DayNs"))
+      .groupBy("_k").agg(collect_set(col("day")).as("ds"))
+      .withColumn("cohort_day", array_min(col("ds")))
+    byKey
+      .select(col("cohort_day"),
+        explode(transform(col("ds"), d => d - col("cohort_day"))).as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

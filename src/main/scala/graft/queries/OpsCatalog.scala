@@ -72,6 +72,7 @@ object OpsCatalog {
   private val CtxStride = 24     // q108 window stride (overlapping)
   private val EditMaxFrac = 0.35 // q109 normalized edit-distance ceiling
   private val DupL = 20          // q110 duplicated-substring gram length (chars)
+  private val FunnelSteps = Seq("view", "click", "purchase") // q111 ordered funnel
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -426,6 +427,22 @@ object OpsCatalog {
         .select("user_id", "ts", "value")
       EventOps.asofJoin(clicks, purchases, "user_id", "ts", Seq("value"))
         .orderBy("event_id")
+    },
+    // ordered conversion funnel: strict view -> click -> purchase chains
+    // per user, one in-row scan per key (greedy earliest == min-chain)
+    "q111_funnel" -> { (s, dir) =>
+      val ev0 = Tables.load(s, dir, "events")
+      val ev = ev0.withColumn("ts_ns", Tables.eventTimeNs(ev0))
+      EventOps.funnel(ev, "user_id", "event_type", "ts_ns", FunnelSteps)
+        .orderBy("stage")
+    },
+    // activation/retention triangle: cohort by first-event epoch-day,
+    // count users active at each day offset
+    "q112_retention" -> { (s, dir) =>
+      val ev0 = Tables.load(s, dir, "events")
+      val ev = ev0.withColumn("ts_ns", Tables.eventTimeNs(ev0))
+      EventOps.retentionCohorts(ev, "user_id", "ts_ns")
+        .orderBy("cohort_day", "day_offset")
     },
     // deterministic corpus shuffle into independently-ordered shards
     "q56_shuffle_shards" -> { (s, dir) =>
@@ -1166,6 +1183,38 @@ object OpsCatalog {
          |       ROUND(CAST(COALESCE(a.dup_chars, 0) AS DOUBLE) / b.n_chars, 6) AS dup_ratio
          |FROM base b LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q111_funnel" -> {
+      // independent derivation from the Spark scan: the min-chain form
+      // (step i's completion = MIN t of step-i events strictly after
+      // step i-1's completion) — equal by the greedy-exchange argument
+      val ctes = FunnelSteps.zipWithIndex.map { case (st, i) =>
+        if (i == 0)
+          s"s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = '$st' GROUP BY 1)"
+        else
+          s"s${i + 1} AS (SELECT e.user_id, MIN(t) AS t${i + 1} FROM e JOIN s$i USING (user_id) " +
+            s"WHERE event_type = '$st' AND t > t$i GROUP BY 1)"
+      }.mkString(", ")
+      val rows = FunnelSteps.zipWithIndex.map { case (st, i) =>
+        s"SELECT CAST(${i + 1} AS INTEGER) AS stage, '$st' AS step, " +
+          s"(SELECT CAST(COUNT(*) AS BIGINT) FROM s${i + 1}) AS n_users"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+         |$ctes
+         |SELECT * FROM ($rows) ORDER BY stage""".stripMargin
+    },
+
+    "q112_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), cohorts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+        |)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM days d JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q33_ngram_jaccard" ->
       s"""WITH $shingleCte, dsh AS (

@@ -71,4 +71,55 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getDouble(4))
     assert(got.toSeq == Seq(3.0))
   }
+
+  test("funnel counts strict ordered chains; equal timestamps never chain") {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val ev = Seq(
+      // user 1: full ordered chain
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: click BEFORE the first view — chain stops at stage 1,
+      // but a later click rescues stage 2 (greedy takes earliest valid)
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 15L),
+      // user 3: click at the SAME ts as the view — strictness blocks it
+      (3L, "view", 10L), (3L, "click", 10L),
+      // user 4: purchase without the middle step
+      (4L, "view", 1L), (4L, "purchase", 2L),
+      // user 5: only noise event types
+      (5L, "error", 1L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnel(ev.repartition(3), "user_id", "event_type", "ts", steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // stage 1: users 1,2,3,4 viewed; stage 2: 1 and 2 clicked after; stage 3: only 1
+    assert(got.toSeq == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel rejects empty or duplicated step lists") {
+    import spark.implicits._
+    val ev = Seq((1L, "view", 1L)).toDF("user_id", "event_type", "ts")
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(ev, "user_id", "event_type", "ts", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(ev, "user_id", "event_type", "ts", Seq("view", "view"))
+    }
+  }
+
+  test("retentionCohorts builds the activation triangle from first-event days") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      // user 1: first day 0, active days 0, 1, 3 (two events on day 1)
+      (1L, 0L), (1L, day + 5L), (1L, day + 6L), (1L, 3 * day),
+      // user 2: first day 0, active day 0 only
+      (2L, 100L),
+      // user 3: first day 1, active days 1 and 3
+      (3L, day), (3L, 3 * day + 7L)
+    ).toDF("user_id", "ts")
+    val got = EventOps.retentionCohorts(ev.repartition(3), "user_id", "ts")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
 }
