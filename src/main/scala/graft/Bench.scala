@@ -35,7 +35,8 @@ object Bench {
     "q99_corpus_diff", "q100_semantic_dedup", "q101_temperature_sample",
     "q102_image_resize", "q103_containment", "q104_pivot", "q105_cube",
     "q106_inverted_index", "q107_weighted_sample", "q108_context_windows",
-    "q109_edit_distance", "q110_dup_spans", "q111_funnel", "q112_retention")
+    "q109_edit_distance", "q110_dup_spans", "q111_funnel", "q112_retention",
+    "q113_rolling_active", "q114_transitions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

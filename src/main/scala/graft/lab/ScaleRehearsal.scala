@@ -134,16 +134,26 @@ object ScaleRehearsal {
           col("vec_id") % 50 === 0, tau = 0.9)
           .where(col("kept")).count()
       }
+      // dupSpans has no quadratic term to guard (dup-position volume is
+      // bounded by total positions = O(total chars)); the rehearsal
+      // checks that bound holds empirically — duplicated-position count
+      // and wall-time must track corpus size ~linearly even though the
+      // planted near-dups guarantee real cross-document span hits
+      val (dupPos, dupSec) = timed {
+        Dedup.dupSpans(docs, "doc_id", "text", l = 20)
+          .agg(sum(col("n_dup_pos"))).collect()(0).getLong(0)
+      }
       (n, Cell(n, lshPairs, lshSec, "bands=4x2"),
           Cell(n, simPairs, simSec, "r=6"),
           Cell(n, srpPairs, srpSec, s"planes=$planes"),
-          Cell(n, semCand, semSec, s"kept=$semKept"))
+          Cell(n, semCand, semSec, s"kept=$semKept"),
+          Cell(n, dupPos, dupSec, "l=20"))
     }
 
-    println("| n | lsh_pairs | lsh_sec | sim_pairs | sim_sec | srp_pairs | srp_sec | srp_planes | sem_cand | sem_sec | sem_kept |")
-    println("|---|---|---|---|---|---|---|---|---|---|---|")
-    rows.foreach { case (n, l, h, p, sd) =>
-      println(f"| $n | ${l.pairs} | ${l.seconds}%.2f | ${h.pairs} | ${h.seconds}%.2f | ${p.pairs} | ${p.seconds}%.2f | ${p.knob} | ${sd.pairs} | ${sd.seconds}%.2f | ${sd.knob} |")
+    println("| n | lsh_pairs | lsh_sec | sim_pairs | sim_sec | srp_pairs | srp_sec | srp_planes | sem_cand | sem_sec | sem_kept | dup_pos | dup_sec |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
+    rows.foreach { case (n, l, h, p, sd, ds) =>
+      println(f"| $n | ${l.pairs} | ${l.seconds}%.2f | ${h.pairs} | ${h.seconds}%.2f | ${p.pairs} | ${p.seconds}%.2f | ${p.knob} | ${sd.pairs} | ${sd.seconds}%.2f | ${sd.knob} | ${ds.pairs} | ${ds.seconds}%.2f |")
     }
     // growth factors vs the 10× size jump (subquadratic ⇔ « 100)
     val first = rows.head; val last = rows.last
@@ -152,7 +162,8 @@ object ScaleRehearsal {
       f"lsh_pairs=×${g(first._2.pairs, last._2.pairs)}%.1f " +
       f"sim_pairs=×${g(first._3.pairs, last._3.pairs)}%.1f " +
       f"srp_pairs=×${g(first._4.pairs, last._4.pairs)}%.1f " +
-      f"sem_cand=×${g(first._5.pairs, last._5.pairs)}%.1f")
+      f"sem_cand=×${g(first._5.pairs, last._5.pairs)}%.1f " +
+      f"dup_pos=×${g(first._6.pairs, last._6.pairs)}%.1f")
     spark.stop()
   }
 }

@@ -154,6 +154,62 @@ object EventOps {
       .agg(sum(col("s.hit")).as("n_users"))
   }
 
+  /** Rolling active keys: for every epoch-day, the count of distinct
+    * keys active at least once in the trailing `windowDays`-day window
+    * ending that day — the N-day-active-users curve. Each (key, day)
+    * activity contributes to the `windowDays` window-days it can be
+    * seen from, so windows trailing past the last observed day appear
+    * with their partial coverage (the standard convention; slice at the
+    * consumer if unwanted).
+    *
+    * Scale design: distinct (key, day) first — collapses event volume
+    * to key·calendar size BEFORE the ×windowDays in-row explode — then
+    * an exact two-phase distinct count per window-day. No window
+    * function, no per-day self-joins.
+    */
+  def rollingActive(events: DataFrame, keyCol: String, tsCol: String,
+                    windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive: $windowDays")
+    val DayNs = 86400L * 1000000000L
+    events
+      .select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_ns"))
+      .withColumn("day", expr(s"_ns DIV $DayNs"))
+      .select("_k", "day").distinct()
+      .select(col("_k"),
+        explode(transform(sequence(lit(0), lit(windowDays - 1)),
+          i => col("day") + i)).as("window_day"))
+      .groupBy("window_day")
+      .agg(countDistinct(col("_k")).as("n_active"))
+  }
+
+  /** Event-type transition matrix: per key, consecutive event pairs in
+    * time order, aggregated to `(from_type, to_type, n, prob)` where
+    * `prob` is row-normalized over the from-type (a first-order Markov
+    * chain over the event stream). Ordering ties on (ts) resolve by
+    * type so the lag is deterministic even with same-instant events.
+    *
+    * Scale design: one shuffle — the per-key window (lag of one value,
+    * constant state); the transition aggregation and its normalization
+    * run over |types|² rows. `prob` is one IEEE division of two exact
+    * longs, engine-portable.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, typeCol: String,
+                       tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ns"), col("_t"))
+    val pairs = events
+      .select(col(keyCol).as("_k"), col(typeCol).as("_t"),
+        col(tsCol).cast("long").as("_ns"))
+      .withColumn("from_type", lag(col("_t"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("_t").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("prob", col("n").cast("double") /
+        sum(col("n")).over(wf).cast("double"))
+      .select("from_type", "to_type", "n", "prob")
+  }
+
   /** Retention cohorts: keys are cohorted by the epoch-day of their
     * FIRST event; for every (cohort_day, day_offset) the count of keys
     * active (≥ 1 event) exactly `day_offset` days after their cohort

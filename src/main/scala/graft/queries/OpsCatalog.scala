@@ -73,6 +73,7 @@ object OpsCatalog {
   private val EditMaxFrac = 0.35 // q109 normalized edit-distance ceiling
   private val DupL = 20          // q110 duplicated-substring gram length (chars)
   private val FunnelSteps = Seq("view", "click", "purchase") // q111 ordered funnel
+  private val RollingDays = 7    // q113 trailing active-user window (days)
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -443,6 +444,21 @@ object OpsCatalog {
       val ev = ev0.withColumn("ts_ns", Tables.eventTimeNs(ev0))
       EventOps.retentionCohorts(ev, "user_id", "ts_ns")
         .orderBy("cohort_day", "day_offset")
+    },
+    // trailing 7-day distinct-active curve (distinct (user, day) first,
+    // then a bounded in-row window-day explode)
+    "q113_rolling_active" -> { (s, dir) =>
+      val ev0 = Tables.load(s, dir, "events")
+      val ev = ev0.withColumn("ts_ns", Tables.eventTimeNs(ev0))
+      EventOps.rollingActive(ev, "user_id", "ts_ns", RollingDays)
+        .orderBy("window_day")
+    },
+    // first-order Markov transition matrix over per-user event streams
+    "q114_transitions" -> { (s, dir) =>
+      val ev0 = Tables.load(s, dir, "events")
+      val ev = ev0.withColumn("ts_ns", Tables.eventTimeNs(ev0))
+      EventOps.transitionMatrix(ev, "user_id", "event_type", "ts_ns")
+        .orderBy("from_type", "to_type")
     },
     // deterministic corpus shuffle into independently-ordered shards
     "q56_shuffle_shards" -> { (s, dir) =>
@@ -1215,6 +1231,30 @@ object OpsCatalog {
         |FROM days d JOIN cohorts c USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q113_rolling_active" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+         |), wins AS (
+         |  SELECT user_id, day + unnest(range(0, $RollingDays)) AS window_day FROM days
+         |)
+         |SELECT window_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+         |FROM wins GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q114_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+        |), p AS (
+        |  SELECT event_type AS to_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_type) AS from_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "q33_ngram_jaccard" ->
       s"""WITH $shingleCte, dsh AS (

@@ -133,16 +133,25 @@ object EventStream {
 
   /** Streaming exact dedup on a content hash — the ingestion-time
     * counterpart of the batch `Dedup.exact` (q30): keep the first
-    * occurrence of each md5(content) seen within the watermark horizon.
-    * State is the per-hash seen-marker, bounded by the watermark (the
-    * standard `dropDuplicates`-with-watermark pattern, hash-partitioned
-    * on the content hash at scale).
+    * occurrence of each md5(content), suppressing duplicates that
+    * arrive within the watermark delay of it.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: with plain
+    * `dropDuplicates` the watermark only evicts state when the
+    * event-time column is part of the dedup keys — keyed on a content
+    * hash alone the seen-set grows forever, the classic unbounded-state
+    * trap at corpus scale. The WithinWatermark variant expires each
+    * key's marker once the watermark passes its first occurrence, so
+    * state is O(hashes per watermark horizon) regardless of key column.
+    * Duplicates separated by MORE than the horizon are this operator's
+    * non-goal — the persistent LSH index path ([[IngestDedup]]) owns
+    * long-horizon dedup.
     */
   def dedupStream(docs: DataFrame, textCol: String,
                   tsCol: String, watermark: String = "1 hour"): DataFrame =
     docs.withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Drive a streaming DataFrame to completion against the (static)
     * parquet source using a memory sink — the local test harness

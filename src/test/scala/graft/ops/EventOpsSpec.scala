@@ -105,6 +105,39 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingActive counts trailing-window distinct keys per day") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    // u1 active days 0 and 2 (two events on day 0); u2 active day 1
+    val ev = Seq((1L, 0L), (1L, 5L), (1L, 2 * day), (2L, day))
+      .toDF("user_id", "ts")
+    val got = EventOps.rollingActive(ev.repartition(3), "user_id", "ts", windowDays = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day d's activity is visible from window-days d and d+1
+    assert(got == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+    intercept[IllegalArgumentException] {
+      EventOps.rollingActive(ev, "user_id", "ts", windowDays = 0)
+    }
+  }
+
+  test("transitionMatrix counts consecutive pairs with row-normalized probabilities") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L),
+      (2L, "a", 1L), (2L, "c", 2L),
+      // same-instant tie: (ts, type) order makes x precede y
+      (3L, "y", 5L), (3L, "x", 5L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventOps.transitionMatrix(ev.repartition(3), "user_id", "event_type", "ts")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 2.0 / 3.0)),
+      ("a", "c") -> ((1L, 1.0 / 3.0)),
+      ("b", "a") -> ((1L, 1.0)),
+      ("x", "y") -> ((1L, 1.0))))
+  }
+
   test("retentionCohorts builds the activation triangle from first-event days") {
     import spark.implicits._
     val day = 86400L * 1000000000L

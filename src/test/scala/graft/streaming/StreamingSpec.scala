@@ -111,6 +111,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(coverage > 0.9, s"emitted only $coverage of events in closed sessions")
   }
 
+  test("dedupStream state expires after the watermark horizon (bounded state)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val dedup = EventStream.dedupStream(
+      ms.toDF().toDF("txt", "event_time"), "txt", "event_time", "10 minutes")
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("ddw").start()
+    try {
+      // batch 1: two copies of A — one survivor; watermark -> 60s - 10min
+      ms.addData(("A", ts(0)), ("A", ts(60)))
+      q.processAllAvailable()
+      // batch 2: push the watermark far past A's marker (3600s - 600s)
+      ms.addData(("B", ts(3600)))
+      q.processAllAvailable()
+      // batch 3: A's seen-marker has EXPIRED — the horizon-bounded
+      // contract re-admits it exactly once (in-batch dup still collapses).
+      // With plain dropDuplicates this would be 1, and state immortal.
+      ms.addData(("A", ts(4000)), ("A", ts(4010)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT txt FROM ddw").collect().map(_.getString(0))
+    assert(got.count(_ == "A") == 2, s"expected horizon re-admission: ${got.toSeq}")
+    assert(got.count(_ == "B") == 1)
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val within = 24L * 3600
     val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
