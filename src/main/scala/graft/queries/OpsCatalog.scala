@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, EventOps, Multimodal, Quantiles, RangeJoin, Sampling, SemiStructured, Similarity, Sketches, TextAnalysis, TopFraction}
+import graft.ops.{Bpe, Dedup, EventOps, Multimodal, Quantiles, RangeJoin, Sampling, SemiStructured, Similarity, Sketches, TextAnalysis, TopFraction}
 import graft.ops.PortableHash.{duckHash60 => dh}
 
 /** Query + oracle entries for the training-data-pipeline operators
@@ -74,6 +74,7 @@ object OpsCatalog {
   private val DupL = 20          // q110 duplicated-substring gram length (chars)
   private val FunnelSteps = Seq("view", "click", "purchase") // q111 ordered funnel
   private val RollingDays = 7    // q113 trailing active-user window (days)
+  private val BpeMerges = 16     // q115 learned merge count
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -184,6 +185,16 @@ object OpsCatalog {
     "q110_dup_spans" -> { (s, dir) =>
       Dedup.dupSpans(Tables.load(s, dir, "documents"), "doc_id", "text", DupL)
         .orderBy("doc_id")
+    },
+    // BPE merge learning (Sennrich vocab formulation): no SQL-oracle
+    // form exists (per-round argmax-then-rewrite fixpoint), so the
+    // driver records rows-only; BpeSpec's independent driver-side
+    // reference implementation is the correctness anchor
+    "q115_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      Bpe.learnMerges(Tables.load(s, dir, "documents"), "text", BpeMerges)
+        .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+        .orderBy("rank")
     },
     "q34_simhash" -> { (s, dir) =>
       Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
