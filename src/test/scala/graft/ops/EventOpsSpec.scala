@@ -138,6 +138,39 @@ class EventOpsSpec extends AnyFunSuite {
       ("x", "y") -> ((1L, 1.0))))
   }
 
+  test("plan shapes: funnel shuffles once on the key; weightedSample is a TakeOrdered") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }).flatMap(flatten)
+    // funnel: the per-key scan is ONE data-sized exchange; the stage
+    // explode adds one more tiny aggregation exchange over |steps| rows
+    // per key — a plan with a join or window here would be a regression
+    val ev = (1L to 200L).flatMap(u => Seq((u, "view", u), (u, "click", u + 1)))
+      .toDF("user_id", "event_type", "ts")
+    val f = EventOps.funnel(ev, "user_id", "event_type", "ts", Seq("view", "click"))
+    f.collect()
+    val fNodes = flatten(f.queryExecution.executedPlan)
+    assert(!fNodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "funnel must not use a window")
+    assert(!fNodes.exists(_.nodeName.toLowerCase.contains("join")),
+      "funnel must not join")
+    // weightedSample: global top-k must plan as TakeOrdered (partition
+    // heaps), never a full Sort + single-partition exchange
+    val w = Sampling.weightedSample(
+      (1L to 500L).map(i => (i, 1L + i % 7)).toDF("doc_id", "w"), "doc_id", "w", 10)
+    w.collect()
+    val wNodes = flatten(w.queryExecution.executedPlan)
+    assert(wNodes.exists(_.nodeName.contains("TakeOrdered")),
+      s"weightedSample should plan as TakeOrderedAndProject:\n${w.queryExecution.executedPlan}")
+    assert(!wNodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "weightedSample must not global-sort")
+  }
+
   test("retentionCohorts builds the activation triangle from first-event days") {
     import spark.implicits._
     val day = 86400L * 1000000000L
