@@ -104,6 +104,47 @@ object EventStream {
       }.toDF()
   }
 
+  final case class FunnelState(stage: Int, tNanos: Long)
+  final case class UserFunnel(user_id: Long, reached: Int)
+
+  /** Streaming conversion funnel — the ingest-time counterpart of the
+    * batch [[graft.ops.EventOps.funnel]] (q111): per-user state is ONE
+    * (stage, time) pair advanced by the same strict greedy rule (step
+    * i+1 only on a step event strictly after the event that completed
+    * step i). Within a micro-batch events are processed in event-time
+    * order; ACROSS batches the stream is assumed in order up to the
+    * watermark — a late event that should have advanced a stage already
+    * passed over is ignored, the standard streaming-funnel
+    * approximation, exact whenever arrival respects event time
+    * (StreamingSpec pins batch parity on the static canon). Emits each
+    * user's currently-reached stage (Update mode: latest row per user
+    * wins).
+    */
+  def funnelStages(spark: SparkSession, events: DataFrame,
+                   steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    events
+      .where(col("event_type").isin(steps.map(lit): _*))
+      .select(col("user_id").cast("long"), col("event_type"),
+        graft.Tables.eventTimeNs(events))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var st = prev.stage
+          var t = prev.tNanos
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, et, ts) =>
+            if (st < steps.length && et == steps(st) && ts > t) { st += 1; t = ts }
+          }
+          state.update(FunnelState(st, t))
+          UserFunnel(user, st)
+      }.toDF()
+  }
+
   /** Stream-stream interval join: attribute each purchase to every click
     * by the same user within the preceding `withinSeconds` — the classic
     * event-attribution shape. Both sides are watermarked so Spark's

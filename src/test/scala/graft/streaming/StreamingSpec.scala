@@ -165,6 +165,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming funnel stages equal the batch funnel on the static canon") {
+    val steps = Seq("view", "click", "purchase")
+    val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
+    val stages = EventStream.funnelStages(spark, stream, steps)
+    EventStream.runToMemory(stages, "fns", org.apache.spark.sql.streaming.OutputMode.Update())
+    // Update mode re-emits a user on every batch; the canon is one file →
+    // one batch, so rows are already final. Guard anyway: keep the MAX
+    // reached per user (stages only advance).
+    val got = spark.sql("SELECT user_id, MAX(reached) AS reached FROM fns GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val static0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val static = static0.withColumn("ts_ns", graft.Tables.eventTimeNs(static0))
+    val batch = graft.ops.EventOps.funnel(static, "user_id", "event_type", "ts_ns", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // per-stage user counts derived from the streaming per-user stages
+    steps.indices.foreach { i =>
+      val stage = i + 1
+      val nStream = got.values.count(_ >= stage).toLong
+      assert(nStream == batch(stage),
+        s"stage $stage: streaming $nStream vs batch ${batch(stage)}")
+    }
+  }
+
   test("stateful per-user sessions via mapGroupsWithState") {
     val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
     val sessions = EventStream.userSessions(spark, stream)
