@@ -481,4 +481,73 @@ object Multimodal {
       }
     }
   }
+
+  /** Horizontal mirror through the real codec — the simplest of the
+    * augmentation family (flip/crop/rotate) a vision training pipeline
+    * applies at scale: decode, dst(x, y) ← src(w−1−x, y) in integer
+    * index arithmetic, re-encode through the PNG writer. Runs inside
+    * mapPartitions like every codec pass; undecodable inputs fail the
+    * gate (quarantine lives in [[extractFeatures]]).
+    */
+  def flipImages(assets: DataFrame)(implicit spark: SparkSession): Dataset[Asset] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        val src = Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"asset ${a.asset_id}: payload is not a decodable image"))
+        val (w, h) = (src.getWidth, src.getHeight)
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val (sr, dr) = (src.getRaster, dst.getRaster)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            dr.setSample(x, y, 0, sr.getSample(w - 1 - x, y, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Asset(a.asset_id, a.modality, out.size().toLong, out.toByteArray)
+      }
+    }
+  }
+
+  /** Half-raster stats: exact left/right pixel sums. Global stats
+    * (mean/min/max) are mirror-invariant, so THESE are what let an
+    * oracle actually prove a flip happened — the left sum of the
+    * product must equal the analytic right sum of the source.
+    */
+  case class ImageHalfStats(asset_id: Long, width: Int, height: Int,
+                            left_sum: Long, right_sum: Long)
+
+  def imageHalfStats(assets: DataFrame)(implicit spark: SparkSession): Dataset[ImageHalfStats] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        val img = Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"asset ${a.asset_id}: payload is not a decodable image"))
+        val r = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (ls, rs) = (0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = r.getSample(x, y, 0).toLong
+            if (x < w / 2) ls += v else rs += v
+            x += 1
+          }
+          y += 1
+        }
+        ImageHalfStats(a.asset_id, w, h, ls, rs)
+      }
+    }
+  }
 }

@@ -243,6 +243,18 @@ object OpsCatalog {
       val small = Multimodal.resizeImages(assets.toDF(), targetW = 8, targetH = 8)
       Multimodal.imageFeatures(small.toDF()).toDF().orderBy("asset_id")
     },
+    // real augmentation pass: encode 16x16 PNGs, horizontal-flip through
+    // decode->mirror->re-encode, then decode the PRODUCT for half-raster
+    // sums — global stats are mirror-invariant, so the left/right sums
+    // are what PROVE the flip: the oracle computes them analytically
+    // from the generation formula with the x index mirrored
+    "q116_image_flip" -> { (s, dir) =>
+      implicit val spark: SparkSession = s
+      val assets = Multimodal.synthPngAssets(
+        Tables.load(s, dir, "documents"), "doc_id", width = 16, height = 16)
+      val flipped = Multimodal.flipImages(assets.toDF())
+      Multimodal.imageHalfStats(flipped.toDF()).toDF().orderBy("asset_id")
+    },
     // real RIFF/WAVE container round-trip: synthesize 16-bit mono PCM,
     // decode via the chunk-walking parser, emit exact sample stats the
     // oracle computes analytically from the generation formula
@@ -1242,6 +1254,20 @@ object OpsCatalog {
         |FROM days d JOIN cohorts c USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q116_image_flip" ->
+      // source pixel(i) = (id*31 + i) % 256 on a 16x16 raster; the
+      // flipped image's pixel at (x, y) is the source's at (15-x, y)
+      """WITH px AS (
+        |  SELECT doc_id AS asset_id, i % 16 AS x,
+        |         (doc_id * 31 + ((i // 16) * 16 + (15 - (i % 16)))) % 256 AS v
+        |  FROM documents, (SELECT unnest(range(0, 256)) AS i)
+        |)
+        |SELECT asset_id,
+        |       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |       CAST(SUM(CASE WHEN x < 8 THEN v END) AS BIGINT) AS left_sum,
+        |       CAST(SUM(CASE WHEN x >= 8 THEN v END) AS BIGINT) AS right_sum
+        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin,
 
     "q113_rolling_active" ->
       s"""WITH days AS (

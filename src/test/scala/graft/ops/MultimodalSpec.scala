@@ -173,6 +173,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("flipImages mirrors the raster: half sums swap, double flip is identity") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val src = Multimodal.synthPngAssets(docs, "doc_id", width = 6, height = 4)
+    val srcStats = Multimodal.imageHalfStats(src).collect()
+      .map(s => s.asset_id -> ((s.left_sum, s.right_sum))).toMap
+    val flipped = Multimodal.flipImages(src)
+    val flipStats = Multimodal.imageHalfStats(flipped.toDF()).collect()
+      .map(s => s.asset_id -> ((s.left_sum, s.right_sum))).toMap
+    // even width: the mirror swaps the halves exactly
+    srcStats.foreach { case (id, (l, r)) =>
+      assert(flipStats(id) == ((r, l)), s"asset $id: $l/$r vs ${flipStats(id)}")
+    }
+    // involution: flipping twice recovers the original payload bytes
+    val twice = Multimodal.flipImages(flipped.toDF()).collect()
+      .map(a => a.asset_id -> a.payload.toSeq).toMap
+    src.as[Multimodal.Asset].collect().foreach { a =>
+      assert(twice(a.asset_id) == a.payload.toSeq, s"asset ${a.asset_id} not involutive")
+    }
+  }
+
   test("resize strides payloads down to at most targetBytes") {
     val out = Multimodal.resize(assets, targetBytes = 25).collect()
     val a1 = out.find(_.asset_id == 1L).get
