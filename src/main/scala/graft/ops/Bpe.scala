@@ -84,6 +84,26 @@ object Bpe {
     res
   }
 
+  /** UTF-8 binary comparison (= code-point order) — the collation
+    * Spark's string ordering uses. Java's `String.compareTo` compares
+    * UTF-16 code units, which ranks supplementary characters (encoded
+    * as surrogates near 0xD800) BELOW U+E000..U+FFFF; a tie broken
+    * differently per path would make driver and distributed runs learn
+    * different merge tables on non-ASCII corpora.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Driver-side merge loop over the collected word-frequency table. */
   private def learnDriver(words0: DataFrame, nMerges: Int): Seq[(Int, String, String, String, Long)] = {
     var vocab: Map[Vector[String], Long] = words0.select("syms", "freq").collect()
@@ -110,7 +130,17 @@ object Bpe {
       }
       if (pairs.isEmpty) exhausted = true
       else {
-        val ((a, b), n) = pairs.minBy { case ((a, b), n) => (-n, a, b) }
+        // same total order as the distributed path: count desc, then
+        // UTF-8 binary (code-point) order on (left, right)
+        val ((a, b), n) = pairs.reduceLeft { (p, q) =>
+          val cmp =
+            if (p._2 != q._2) java.lang.Long.compare(q._2, p._2)
+            else {
+              val cl = utf8Compare(p._1._1, q._1._1)
+              if (cl != 0) cl else utf8Compare(p._1._2, q._1._2)
+            }
+          if (cmp <= 0) p else q
+        }
         res += ((rank, a, b, a + b, n))
         vocab = vocab.groupBy { case (w, _) => mergeWord(w, a, b) }
           .view.mapValues(_.values.sum).toMap
@@ -123,12 +153,20 @@ object Bpe {
   /** Distributed merge rounds for vocabularies beyond the driver. */
   private def learnDistributed(words0: DataFrame, nMerges: Int): Seq[(Int, String, String, String, Long)] = {
     var words = words0
-    var persisted: Option[DataFrame] = None
+    // the persisted frame backing `words` (None = words0, caller-owned),
+    // and the prior round's cache, which must survive until the CURRENT
+    // round's frame has materialized (its lineage reads the prior cache;
+    // releasing it earlier would force every round to replay the whole
+    // merge chain from words0 — O(rounds²) total work)
+    var cache: Option[DataFrame] = None
+    var retired: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
-      // adjacent pairs of the CURRENT symbol sequences, weighted by freq
+      // adjacent pairs of the CURRENT symbol sequences, weighted by freq.
+      // This collect materializes `words`' cache, after which the prior
+      // round's cache is safe to release.
       val top = words
         .select(col("freq"),
           explode(zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -139,22 +177,23 @@ object Bpe {
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
         .collect()
+      retired.foreach(_.unpersist(blocking = false))
+      retired = None
       top.headOption match {
         case None => exhausted = true
         case Some(row: Row) =>
           val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
           out += ((rank, l, r, l + r, n))
-          // persist the rewritten table (materialized lazily by the next
-          // round's argmax) and release the previous round's cache
           val next = words.withColumn("syms", applyMerge(col("syms"), l, r))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          persisted.foreach(_.unpersist(blocking = false))
-          persisted = Some(next)
+          retired = cache
+          cache = Some(next)
           words = next
           rank += 1
       }
     }
-    persisted.foreach(_.unpersist(blocking = false))
+    retired.foreach(_.unpersist(blocking = false))
+    cache.foreach(_.unpersist(blocking = false))
     out.toSeq
   }
 

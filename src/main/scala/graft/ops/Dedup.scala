@@ -685,13 +685,19 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-    // every start position of a length-l gram; docs shorter than l have none
+    // every start position of a length-l gram; docs shorter than l have
+    // none. Persisted: both the multiplicity aggregate and the join-back
+    // consume this frame, and their projections differ enough that
+    // exchange reuse cannot collapse them — without the persist the
+    // dominant explode+substr pass over every character position runs
+    // TWICE (cache lifecycle is session-owned, same rule as q43/q84).
     val pos = base.where(col("n_chars") >= l)
       .select(col("id"),
         explode(sequence(lit(0L), col("n_chars") - l)).as("pos"),
         col("text"))
       .withColumn("gram", col("text").substr(col("pos").cast("int") + 1, lit(l)))
       .select("id", "pos", "gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-wide multiplicity per gram; only duplicated grams survive
     val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select("gram")
@@ -710,7 +716,11 @@ object Dedup {
         greatest(col("n_chars") - l + 1, lit(0L)).as("n_pos"),
         coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars"), 6)
+        // zero-length documents: 0/0 is NaN in Spark but NULL in SQL
+        // engines — pin the ratio to 0.0 explicitly
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+            col("n_chars"), 6))
           .as("dup_ratio"))
   }
 

@@ -145,13 +145,23 @@ object EventOps {
             .otherwise(els)
         }))
       .select(col("_k"), col("acc.stage").as("reached"))
+    // a zero-count seed per stage: with no step-typed events at all the
+    // keyed aggregation is empty, but the contract (and the oracle's
+    // UNION ALL of scalar counts) is one row per stage with n_users = 0
+    val spark = events.sparkSession
+    import spark.implicits._
+    val seed = steps.zipWithIndex
+      .map { case (st, i) => (i + 1, st, 0L) }.toDF("stage", "step", "hit")
     reached
       .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
         struct(lit(i + 1).as("stage"), lit(st).as("step"),
           when(col("reached") >= i + 1, 1L).otherwise(0L).as("hit"))
       }: _*)).as("s"))
-      .groupBy(col("s.stage").as("stage"), col("s.step").as("step"))
-      .agg(sum(col("s.hit")).as("n_users"))
+      .select(col("s.stage").as("stage"), col("s.step").as("step"),
+        col("s.hit").as("hit"))
+      .unionByName(seed)
+      .groupBy("stage", "step")
+      .agg(sum(col("hit")).as("n_users"))
   }
 
   /** Rolling active keys: for every epoch-day, the count of distinct

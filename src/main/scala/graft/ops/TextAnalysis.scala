@@ -443,12 +443,17 @@ object TextAnalysis {
     * recomputes scores from raw text; real serving builds this once).
     *
     * Scale shape: explode → per-(term, doc) counts (map-side combined)
-    * → per-term aggregation. The posting list is the one unbounded state
-    * per key, so it is CAPPED at `maxPostings` entries (smallest doc ids
-    * kept — deterministic), the standard posting-prune move: df/cf stay
-    * exact over ALL docs, only the materialized list truncates. `minDf`
-    * drops the hapax tail (most of the vocabulary by key count) before
-    * the list aggregation.
+    * → ONE per-term aggregation computing df, cf, and the capped posting
+    * list together, with `minDf` pruning the hapax tail (most of the
+    * vocabulary by key count) from the OUTPUT after that aggregation.
+    * Deliberately one-pass: pre-filtering hapaxes before list-building
+    * would need a second df aggregation plus a join back, and the work
+    * the one-pass shape "wastes" on a hapax is a length-1 list — far
+    * cheaper than the extra shuffle. The posting list is the one
+    * unbounded state per key, so it is CAPPED at `maxPostings` entries
+    * (smallest doc ids kept — deterministic), the standard
+    * posting-prune move: df/cf stay exact over ALL docs, only the
+    * materialized list truncates.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     minDf: Long, maxPostings: Int): DataFrame = {

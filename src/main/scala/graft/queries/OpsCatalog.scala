@@ -1219,7 +1219,9 @@ object OpsCatalog {
          |       CAST(GREATEST(b.n_chars - ${DupL - 1}, 0) AS BIGINT) AS n_pos,
          |       CAST(COALESCE(a.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
          |       CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
-         |       ROUND(CAST(COALESCE(a.dup_chars, 0) AS DOUBLE) / b.n_chars, 6) AS dup_ratio
+         |       CASE WHEN b.n_chars = 0 THEN 0.0
+         |            ELSE ROUND(CAST(COALESCE(a.dup_chars, 0) AS DOUBLE) / b.n_chars, 6)
+         |       END AS dup_ratio
          |FROM base b LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 

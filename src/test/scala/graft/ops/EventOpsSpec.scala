@@ -94,6 +94,14 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("funnel emits explicit zero-count stages when no step events exist") {
+    import spark.implicits._
+    val ev = Seq((1L, "error", 1L), (2L, "signup", 2L)).toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnel(ev, "user_id", "event_type", "ts", Seq("view", "click"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "view", 0L), (2, "click", 0L)))
+  }
+
   test("funnel rejects empty or duplicated step lists") {
     import spark.implicits._
     val ev = Seq((1L, "view", 1L)).toDF("user_id", "event_type", "ts")

@@ -94,7 +94,8 @@ class TextIndexSpec extends AnyFunSuite {
       (2L, "xxabcdefzz"),        // dup at positions 2,3,4
       (3L, "zzzzzzzz"),          // self-repetition: every gram identical
       (4L, "ab"),                // shorter than l: zero positions
-      (5L, "unique wrds here!")  // nothing shared, nothing self-repeated
+      (5L, "unique wrds here!"), // nothing shared, nothing self-repeated
+      (6L, "")                   // zero-length: ratio pinned to 0.0, not NaN
     ).toDF("doc_id", "text")
     val got = Dedup.dupSpans(docs.repartition(3), "doc_id", "text", 4)
       .collect().map(r => (r.getLong(0),
@@ -107,6 +108,7 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got(3L) == ((8L, 5L, 5L, 8L, 1.0)))
     assert(got(4L) == ((2L, 0L, 0L, 0L, 0.0)))
     assert(got(5L) == ((17L, 14L, 0L, 0L, 0.0)))
+    assert(got(6L) == ((0L, 0L, 0L, 0L, 0.0)))
   }
 
   test("dupSpans rejects degenerate gram lengths") {
