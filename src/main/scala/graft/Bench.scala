@@ -37,7 +37,7 @@ object Bench {
     "q106_inverted_index", "q107_weighted_sample", "q108_context_windows",
     "q109_edit_distance", "q110_dup_spans", "q111_funnel", "q112_retention",
     "q113_rolling_active", "q114_transitions", "q115_bpe_merges",
-    "q116_image_flip")
+    "q116_image_flip", "q117_grouped_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

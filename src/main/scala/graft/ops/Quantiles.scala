@@ -123,4 +123,126 @@ object Quantiles {
       spark.createDataFrame(rows).toDF("prob", "quantile")
     } finally { vals.unpersist(); () }
   }
+
+  /** Exact continuous quantile of `valueCol` at `p`, PER GROUP — the
+    * "p99 latency per domain" shape. Same iterative range refinement as
+    * [[exactQuantiles]], but every round advances ALL still-active
+    * groups in ONE aggregate: the per-group [lo, hi] intervals ship as
+    * a broadcast ranges frame, rows bucket within their own group's
+    * interval, and the (group, band) histogram (≤ groups × buckets
+    * rows) returns to the driver, which descends each group
+    * independently. Groups converge at different rounds and drop out;
+    * the final ≤ `smallCutoff`-row tails resolve together in one
+    * per-group window (row_number over each group's surviving range —
+    * partitioned, bounded, never a global sort), collecting exactly the
+    * two ranks interpolation needs per group.
+    *
+    * Scale trade-off, explicitly: driver state is O(groups) and each
+    * round returns ≤ groups × buckets histogram rows, so this operator
+    * targets FEW-to-moderately-many LARGE groups (domains, sources,
+    * days). For millions of tiny groups the built-in per-group
+    * `percentile_approx`/`percentile` is the right tool — each group
+    * fits one task there, which is exactly where the built-in's
+    * gather-the-group behavior stops being a problem.
+    *
+    * Returns one row per group: (group, n, quantile), quantile rounded
+    * HALF_UP to `scale` decimals (the q82 cross-engine convention).
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                            p: Double, buckets: Int = 256,
+                            smallCutoff: Long = 65536, scale: Int = 4): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"prob out of [0,1]: $p")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      final case class St(n: Long, rank: Long, frac: Double, var lo: Double,
+                          var hi: Double, var below: Long, var inRange: Long,
+                          var nextVal: Option[Double], var done: Boolean)
+      val init = vals.groupBy($"g")
+        .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+        .collect()
+      require(init.nonEmpty, s"no non-null values in $valueCol")
+      val st = scala.collection.mutable.LinkedHashMap(init.map { r =>
+        val n = r.getLong(1)
+        val h = p * (n - 1)
+        val rank = math.floor(h).toLong
+        r.getString(0) -> St(n, rank, h - rank, r.getDouble(2), r.getDouble(3),
+          0L, n, None, done = false)
+      }.sortBy(_._1): _*)
+
+      var active = st.filter { case (_, s) => s.inRange > smallCutoff && s.hi > s.lo }
+      while (active.nonEmpty) {
+        val ranges = active.toSeq.map { case (g, s) => (g, s.lo, s.hi) }
+          .toDF("g", "_lo", "_hi")
+        val b = least(lit(buckets - 1), greatest(lit(0),
+          floor(($"v" - $"_lo") / ($"_hi" - $"_lo") * buckets))).cast("int")
+        val hist = vals.join(broadcast(ranges), Seq("g"))
+          .where($"v" >= $"_lo" && $"v" <= $"_hi")
+          .groupBy($"g", b.as("b"))
+          .agg(count(lit(1)).as("c"), min($"v").as("mn"), max($"v").as("mx"))
+          .collect()
+          .map(r => (r.getString(0), (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+        active.foreach { case (g, s) =>
+          val bands = hist.getOrElse(g, sys.error(s"group $g lost its range"))
+          var acc = s.below
+          var chosen: Option[(Int, Long, Double, Double)] = None
+          for (band @ (_, c, _, _) <- bands if chosen.isEmpty) {
+            if (acc + c > s.rank) chosen = Some(band) else acc += c
+          }
+          val (bi, c, mn, mx) = chosen.getOrElse(
+            sys.error(s"group $g: rank ${s.rank} fell out of [${s.lo},${s.hi}]"))
+          if (s.frac != 0.0 && s.nextVal.isEmpty && s.rank - acc == c - 1)
+            s.nextVal = bands.collectFirst { case (b2, c2, mn2, _) if b2 > bi && c2 > 0 => mn2 }
+          s.below = acc; s.lo = mn; s.hi = mx; s.inRange = c
+        }
+        active = active.filter { case (_, s) => s.inRange > smallCutoff && s.hi > s.lo }
+      }
+
+      // one shared resolution pass: per group, the (local+1)-th (and when
+      // still needed, (local+2)-th) smallest value inside its final range
+      val tails = st.toSeq.collect { case (g, s) if s.hi > s.lo =>
+        val take = if (s.frac != 0.0 && s.nextVal.isEmpty) (s.rank - s.below) + 2
+                   else (s.rank - s.below) + 1
+        (g, s.lo, s.hi, take)
+      }
+      val resolved: Map[String, Seq[(Long, Double)]] =
+        if (tails.isEmpty) Map.empty
+        else {
+          val rangesF = tails.toDF("g", "_lo", "_hi", "_take")
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy($"g").orderBy($"v")
+          vals.join(broadcast(rangesF), Seq("g"))
+            .where($"v" >= $"_lo" && $"v" <= $"_hi")
+            .withColumn("rn", row_number().over(w))
+            .where($"rn" <= $"_take")
+            .select($"g", $"rn".cast("long"), $"v")
+            .collect()
+            .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+        }
+
+      val rows = st.toSeq.map { case (g, s) =>
+        val (vLow, vHigh) =
+          if (s.hi == s.lo) (s.lo, s.nextVal.getOrElse(s.lo))
+          else {
+            val local = (s.rank - s.below).toInt
+            val tail = resolved(g)
+            val low = tail(local)._2
+            (low,
+              s.nextVal.getOrElse(
+                if (s.frac != 0.0) tail(local + 1)._2 else low))
+          }
+        val q = if (s.frac == 0.0) vLow else vLow + s.frac * (vHigh - vLow)
+        (g, s.n,
+          BigDecimal(q).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      spark.createDataFrame(rows).toDF(groupCol, "n", "quantile")
+    } finally { vals.unpersist(); () }
+  }
 }

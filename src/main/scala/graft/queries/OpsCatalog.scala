@@ -75,6 +75,7 @@ object OpsCatalog {
   private val FunnelSteps = Seq("view", "click", "purchase") // q111 ordered funnel
   private val RollingDays = 7    // q113 trailing active-user window (days)
   private val BpeMerges = 16     // q115 learned merge count
+  private val GroupQuantP = 0.95 // q117 per-group continuous quantile
 
   // Layout-rewriting queries (q65/q69) materialize a table copy under a
   // temp dir. Memoize per (tag, source) so the bench's warm+3-timed
@@ -467,6 +468,14 @@ object OpsCatalog {
       val ev = ev0.withColumn("ts_ns", Tables.eventTimeNs(ev0))
       EventOps.retentionCohorts(ev, "user_id", "ts_ns")
         .orderBy("cohort_day", "day_offset")
+    },
+    // per-group exact continuous quantile (p95 of value per event type):
+    // grouped range refinement — all groups advance in one aggregate
+    // per round, never a per-group gather
+    "q117_grouped_quantiles" -> { (s, dir) =>
+      Quantiles.groupedExactQuantiles(Tables.load(s, dir, "events"),
+          "event_type", "value", GroupQuantP)
+        .orderBy("event_type")
     },
     // trailing 7-day distinct-active curve (distinct (user, day) first,
     // then a bounded in-row window-day explode)
@@ -1270,6 +1279,12 @@ object OpsCatalog {
         |       CAST(SUM(CASE WHEN x < 8 THEN v END) AS BIGINT) AS left_sum,
         |       CAST(SUM(CASE WHEN x >= 8 THEN v END) AS BIGINT) AS right_sum
         |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+
+    "q117_grouped_quantiles" ->
+      s"""SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+         |       ROUND(quantile_cont(value, $GroupQuantP), 4) AS quantile
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q113_rolling_active" ->
       s"""WITH days AS (

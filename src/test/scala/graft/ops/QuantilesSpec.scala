@@ -66,4 +66,39 @@ class QuantilesSpec extends AnyFunSuite {
       Quantiles.exactQuantiles(const, "x", Seq(1.5))
     }.getMessage.contains("probs"))
   }
+
+  test("groupedExactQuantiles matches the per-group reference through multi-round refinement") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // heterogeneous groups: large continuous, tie-heavy, constant, tiny
+    val rows =
+      Array.fill(5000)(("big", math.floor(rnd.nextDouble() * 1e6) / 100.0)) ++
+      Array.fill(3000)(("ties", (rnd.nextInt(7) * 10).toDouble)) ++
+      Array.fill(500)(("const", 3.25)) ++
+      Array((("tiny", 1.0)), (("tiny", 2.0)), (("tiny", 4.0)))
+    val df = rows.toSeq.toDF("g", "v").repartition(8)
+    // smallCutoff far below the big groups forces several grouped rounds
+    val got = Quantiles.groupedExactQuantiles(df, "g", "v", 0.95,
+        buckets = 8, smallCutoff = 32)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      assert(got(g) == ((grp.length.toLong, ref(sorted, 0.95))),
+        s"group $g: ${got(g)} vs (${grp.length}, ${ref(sorted, 0.95)})")
+    }
+  }
+
+  test("groupedExactQuantiles agrees with the built-in per-group percentile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(4000)((s"g${rnd.nextInt(5)}", rnd.nextInt(1000).toDouble))
+      .toDF("g", "v")
+    val got = Quantiles.groupedExactQuantiles(df, "g", "v", 0.5,
+        buckets = 4, smallCutoff = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val want = df.groupBy("g")
+      .agg(round(expr("percentile(v, 0.5)"), 4).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
 }
