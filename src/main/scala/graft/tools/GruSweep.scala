@@ -1,0 +1,109 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.estimate.{Estimator, Gru}
+import graft.gen.BalancedCheckpoint
+import graft.model.ModelJson
+
+/** The RECURRENT estimator family on the band-campaign workload: a GRU
+  * over each query's node-vector traversal sequence
+  * (`SetEncoders.flatMatrix`) classifying reference-space log2 buckets —
+  * the same model family as the reference's gerelt GRU
+  * (`dqo/estimator/gerelt/v20/model.py:94-122`), trained from scratch
+  * ([[graft.estimate.Gru]], gradient-checked in GruSpec) instead of
+  * substituting a fixed-vector summary model. Same checkpoint, same
+  * CRC-byte holdout, same reference bucket space as BandRetrain/MlpSweep,
+  * so numbers drop into the README parity table unchanged.
+  *
+  * Usage: `sbt 'runMain graft.tools.GruSweep [checkpoint] [statsJson]'`
+  */
+object GruSweep {
+
+  def main(args: Array[String]): Unit = {
+    val cpPath = args.lift(0).getOrElse("/root/repo/data/band/campaign_x160_c2.cp")
+    val statsPath = args.lift(1).getOrElse("/root/repo/data/band/x160/stats.json")
+    val cp = BalancedCheckpoint.deserialize(Files.readString(Paths.get(cpPath)))
+    val db = ModelJson.fromJson(Files.readString(Paths.get(statsPath)))
+    val usable = cp.results.filter(_._2 > 0)
+    println(s"[gru] ${usable.size} measured runtimes from $cpPath")
+
+    val (test, train) = usable.partition { case (sql, _) =>
+      val c = new java.util.zip.CRC32(); c.update(sql.getBytes("UTF-8"))
+      (c.getValue & 0xff) < 64
+    }
+    println(s"[gru] train=${train.size} heldout=${test.size}")
+
+    val Dim = 203
+    val seqs = scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
+    def enc(sql: String): Array[Array[Double]] =
+      seqs.getOrElseUpdate(sql,
+        graft.encode.SetEncoders.flatMatrix(db, sql).map(_.padTo(Dim, 0.0)))
+    (train ++ test).foreach { case (s, _) => enc(s) }
+
+    // z-score per dimension over TRAIN timesteps only
+    val (mean, std) = {
+      val sum = new Array[Double](Dim); val sq = new Array[Double](Dim)
+      var n = 0L
+      train.foreach { case (sql, _) =>
+        enc(sql).foreach { row =>
+          var i = 0
+          while (i < Dim) { sum(i) += row(i); sq(i) += row(i) * row(i); i += 1 }
+          n += 1
+        }
+      }
+      val m = sum.map(_ / n)
+      val s = sq.indices.map(i =>
+        math.max(1e-6, math.sqrt(sq(i) / n - m(i) * m(i)))).toArray
+      (m, s)
+    }
+    def z(seq: Array[Array[Double]]): Array[Array[Double]] =
+      seq.map { row =>
+        val out = new Array[Double](Dim)
+        var i = 0
+        while (i < Dim) { out(i) = (row(i) - mean(i)) / std(i); i += 1 }
+        out
+      }
+
+    val classes = usable.map { case (_, rt) => Estimator.runtimeBucket(rt, 0) }.max + 1
+    def labeled(set: Seq[(String, Double)]): Seq[(Array[Array[Double]], Int)] =
+      set.map { case (sql, rt) => (z(enc(sql)), Estimator.runtimeBucket(rt, 0)) }
+
+    // bucket-balanced cyclic oversampling (training set only), the
+    // BandRetrain/MlpSweep convention
+    val byBucket = train.groupBy { case (_, rt) => Estimator.runtimeBucket(rt, 0) }
+    val cap = byBucket.values.map(_.size).max
+    val balanced = byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
+      Iterator.continually(xs).flatten.take(cap).toSeq
+    }
+
+    val actuals = test.map { case (_, rt) => math.log(rt) / math.log(2) }
+    val testSeqs = test.map { case (sql, _) => z(enc(sql)) }
+    def score(bucketsPerSeed: Seq[Seq[Int]]): (Double, Double, Double) = {
+      val voted = bucketsPerSeed.transpose.map { votes =>
+        votes.groupBy(identity).toSeq.maxBy { case (b, vs) => (vs.size, -b) }._1.toDouble
+      }
+      Estimator.evaluate(voted.zip(actuals), minBucket = 0)
+    }
+
+    val seeds = Seq(42L, 7L, 1234L)
+    for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced)) {
+      val data = labeled(set)
+      val perSeed = seeds.map { seed =>
+        val t0 = System.nanoTime()
+        val fitted = Gru.fit(data, Gru.Config(inputDim = Dim, hidden = 48,
+          classes = classes, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val preds = testSeqs.map(fitted.predict)
+        val (acc, mae, f1) = score(Seq(preds))
+        println(f"[gru1] $label%-8s h=48 seed=$seed%4d (${sec}%.0f s, " +
+          f"loss ${fitted.losses.head}%.3f->${fitted.losses.last}%.3f) " +
+          f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+        preds
+      }
+      val (acc, mae, f1) = score(perSeed)
+      println(f"[vote] $label%-8s h=48 seeds=${seeds.size} " +
+        f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+    }
+  }
+}
