@@ -67,7 +67,7 @@ object Gru {
   }
 
   /** y = M x + b where M is rows x cols at `off` (row-major), b at `boff`. */
-  private def affine(w: Array[Double], off: Int, rows: Int, cols: Int,
+  private[estimate] def affine(w: Array[Double], off: Int, rows: Int, cols: Int,
                      x: Array[Double], boff: Int, out: Array[Double]): Unit = {
     var r = 0
     while (r < rows) {
@@ -81,7 +81,7 @@ object Gru {
   }
 
   /** out += M^T d (M rows x cols at off). */
-  private def addTMatVec(w: Array[Double], off: Int, rows: Int, cols: Int,
+  private[estimate] def addTMatVec(w: Array[Double], off: Int, rows: Int, cols: Int,
                          d: Array[Double], out: Array[Double]): Unit = {
     var r = 0
     while (r < rows) {
@@ -94,7 +94,7 @@ object Gru {
   }
 
   /** grad(M) += d x^T, grad(b) += d. */
-  private def addOuter(g: Array[Double], off: Int, boff: Int, d: Array[Double],
+  private[estimate] def addOuter(g: Array[Double], off: Int, boff: Int, d: Array[Double],
                        x: Array[Double]): Unit = {
     var r = 0
     while (r < d.length) {
@@ -107,7 +107,7 @@ object Gru {
     }
   }
 
-  private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+  private[estimate] def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
   final case class Forward(hs: Array[Array[Double]], zs: Array[Array[Double]],
                            rs: Array[Array[Double]], gs: Array[Array[Double]],

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.estimate.{Estimator, Gru}
+import graft.estimate.{Estimator, Gru, Gru4}
 import graft.gen.BalancedCheckpoint
 import graft.model.ModelJson
 
@@ -86,7 +86,37 @@ object GruSweep {
       Estimator.evaluate(voted.zip(actuals), minBucket = 0)
     }
 
+    // ---- v20 architecture: four traversal GRUs + tanh head, smooth-L1
+    // regression on log2 runtime (the reference's own loss/label space) —
+    // trees from the parent-linked encoder form, same z-scored vectors
+    val trees = scala.collection.mutable.Map.empty[String, graft.estimate.Gru4.Tree]
+    def tree(sql: String): graft.estimate.Gru4.Tree =
+      trees.getOrElseUpdate(sql, {
+        val (parents, vecs) = graft.encode.SetEncoders.treeWithParents(db, sql)
+        graft.estimate.Gru4.fromParents(parents,
+          z(vecs.map(_.padTo(Dim, 0.0))))
+      })
+    val v20Train = train.map { case (sql, rt) =>
+      (tree(sql), math.log(rt) / math.log(2)) }
+    val testTrees = test.map { case (sql, _) => tree(sql) }
     val seeds = Seq(42L, 7L, 1234L)
+    val v20PerSeed = seeds.map { seed =>
+      val t0 = System.nanoTime()
+      val fitted = Gru4.fit(v20Train, Gru4.Config(inputDim = Dim, hidden = 48,
+        headHidden = 32, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val preds = testTrees.map(fitted.predict)
+      val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
+      println(f"[v20-1] 4-traversal seed=$seed%4d (${sec}%.0f s, " +
+        f"loss ${fitted.losses.head}%.3f->${fitted.losses.last}%.3f) " +
+        f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+      preds
+    }
+    val avg = v20PerSeed.transpose.map(ps => ps.sum / ps.size)
+    val (vAcc, vMae, vF1) = Estimator.evaluate(avg.zip(actuals), minBucket = 0)
+    println(f"[v20-ens] 4-traversal mean of ${seeds.size} seeds " +
+      f"| heldout REF-SPACE: acc=$vAcc%.3f mae=$vMae%.3f f1=$vF1%.3f")
+
     for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced)) {
       val data = labeled(set)
       val perSeed = seeds.map { seed =>
