@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.estimate.{Estimator, Gru, Gru4}
+import graft.estimate.{Estimator, Gru, Gru4, TreeLstm}
 import graft.gen.BalancedCheckpoint
 import graft.model.ModelJson
 
@@ -116,6 +116,25 @@ object GruSweep {
     val (vAcc, vMae, vF1) = Estimator.evaluate(avg.zip(actuals), minBucket = 0)
     println(f"[v20-ens] 4-traversal mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$vAcc%.3f mae=$vMae%.3f f1=$vF1%.3f")
+
+    // ---- child-sum TreeLSTM (the reference's treelstm family), same
+    // trees, same smooth-L1 log2 regression
+    val tlPerSeed = seeds.map { seed =>
+      val t0 = System.nanoTime()
+      val fitted = TreeLstm.fit(v20Train, TreeLstm.Config(inputDim = Dim,
+        hidden = 48, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val preds = testTrees.map(fitted.predict)
+      val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
+      println(f"[tl-1] treelstm seed=$seed%4d (${sec}%.0f s, " +
+        f"loss ${fitted.losses.head}%.3f->${fitted.losses.last}%.3f) " +
+        f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+      preds
+    }
+    val tlAvg = tlPerSeed.transpose.map(ps => ps.sum / ps.size)
+    val (tAcc, tMae, tF1) = Estimator.evaluate(tlAvg.zip(actuals), minBucket = 0)
+    println(f"[tl-ens] treelstm mean of ${seeds.size} seeds " +
+      f"| heldout REF-SPACE: acc=$tAcc%.3f mae=$tMae%.3f f1=$tF1%.3f")
 
     for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced)) {
       val data = labeled(set)
