@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.estimate.{Estimator, Gru, Gru4, TreeLstm}
+import graft.estimate.{Estimator, Gru, Gru4, RelCnn, TreeLstm}
 import graft.gen.BalancedCheckpoint
 import graft.model.ModelJson
 
@@ -135,6 +135,28 @@ object GruSweep {
     val (tAcc, tMae, tF1) = Estimator.evaluate(tlAvg.zip(actuals), minBucket = 0)
     println(f"[tl-ens] treelstm mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$tAcc%.3f mae=$tMae%.3f f1=$tF1%.3f")
+
+    // ---- relcnn (conv over the node matrix), same sequences, same
+    // smooth-L1 log2 regression
+    val cnnTrain = train.map { case (sql, rt) =>
+      (z(enc(sql)), math.log(rt) / math.log(2)) }
+    val cnnPerSeed = seeds.map { seed =>
+      val t0 = System.nanoTime()
+      val fitted = RelCnn.fit(cnnTrain, RelCnn.Config(inputDim = Dim,
+        filters = 64, headHidden = 32, lr = 2e-3, epochs = 30, batch = 32,
+        seed = seed))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val preds = testSeqs.map(fitted.predict)
+      val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
+      println(f"[cnn-1] relcnn seed=$seed%4d (${sec}%.0f s, " +
+        f"loss ${fitted.losses.head}%.3f->${fitted.losses.last}%.3f) " +
+        f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+      preds
+    }
+    val cnnAvg = cnnPerSeed.transpose.map(ps => ps.sum / ps.size)
+    val (cAcc, cMae, cF1) = Estimator.evaluate(cnnAvg.zip(actuals), minBucket = 0)
+    println(f"[cnn-ens] relcnn mean of ${seeds.size} seeds " +
+      f"| heldout REF-SPACE: acc=$cAcc%.3f mae=$cMae%.3f f1=$cF1%.3f")
 
     for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced)) {
       val data = labeled(set)
