@@ -24,7 +24,7 @@ object MlpSweep {
 
   def main(args: Array[String]): Unit = {
     val cpPath = args.lift(0).getOrElse("/root/repo/data/band/campaign_x160_c2.cp")
-    val statsPath = args.lift(1).getOrElse("/tmp/graft_band/x160/stats.json")
+    val statsPath = args.lift(1).getOrElse("/root/repo/data/band/x160/stats.json")
     val cp = BalancedCheckpoint.deserialize(Files.readString(Paths.get(cpPath)))
     val db = ModelJson.fromJson(Files.readString(Paths.get(statsPath)))
     val usable = cp.results.filter(_._2 > 0)
