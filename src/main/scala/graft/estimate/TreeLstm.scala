@@ -96,10 +96,13 @@ object TreeLstm {
       val gi = gate(p.offWi, p.offUi, p.offBi, tanh = false)
       val go = gate(p.offWo, p.offUo, p.offBo, tanh = false)
       val gu = gate(p.offWu, p.offUu, p.offBu, tanh = true)
+      // Fx x + bf is child-independent: compute once per node, reuse
+      // across the per-child forget gates
+      val fxShared = new Array[Double](hidden)
+      affine(p.w, p.offFx, hidden, inputDim, x, p.offBf, fxShared)
       val fs = kids.map { k =>
-        affine(p.w, p.offFx, hidden, inputDim, x, p.offBf, tmpA)
         affine(p.w, p.offFh, hidden, hidden, fwd(k).h, -1, tmpB)
-        Array.tabulate(hidden)(q => math.tanh(tmpA(q) + tmpB(q)))
+        Array.tabulate(hidden)(q => math.tanh(fxShared(q) + tmpB(q)))
       }
       val c = new Array[Double](hidden)
       var q = 0
@@ -195,73 +198,16 @@ object TreeLstm {
     def predict(tree: Tree): Double = predictLog2(p, tree)
   }
 
-  private lazy val pool = java.util.concurrent.Executors.newFixedThreadPool(
-    math.max(1, Runtime.getRuntime.availableProcessors() / 2),
-    r => { val t = new Thread(r, "treelstm-grad"); t.setDaemon(true); t })
-
-  /** Adam over (tree, log2 runtime); deterministic per seed. */
+  /** Adam over (tree, log2 runtime) via the shared [[AdamTrainer]]
+    * loop; deterministic per seed.
+    */
   def fit(data: Seq[(Tree, Double)], cfg: Config): Fitted = {
     require(data.nonEmpty, "no training data")
     require(data.forall(_._1.vecs.nonEmpty), "empty tree in training data")
     val p = Params(cfg)
-    val n = Params.size(cfg)
-    val g = new Array[Double](n)
-    val m = new Array[Double](n)
-    val v = new Array[Double](n)
-    val rnd = new scala.util.Random(cfg.seed ^ 0x9E3779B97F4A7C15L)
-    val (b1, b2, eps) = (0.9, 0.999, 1e-8)
-    var step = 0
-    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val idx = data.indices.toArray
-    for (_ <- 1 to cfg.epochs) {
-      var i = idx.length - 1
-      while (i > 0) {
-        val j = rnd.nextInt(i + 1)
-        val tmp = idx(i); idx(i) = idx(j); idx(j) = tmp
-        i -= 1
-      }
-      var epochLoss = 0.0
-      var off = 0
-      while (off < idx.length) {
-        val end = math.min(off + cfg.batch, idx.length)
-        java.util.Arrays.fill(g, 0.0)
-        val tasks = (off until end).map { k =>
-          new java.util.concurrent.Callable[(Double, Array[Double])] {
-            def call(): (Double, Array[Double]) = {
-              val (tree, y) = data(idx(k))
-              val gi = new Array[Double](n)
-              (lossAndGrad(p, tree, y, gi), gi)
-            }
-          }
-        }
-        import scala.jdk.CollectionConverters._
-        pool.invokeAll(tasks.asJava).asScala.foreach { fut =>
-          val (l, gi) = fut.get()
-          epochLoss += l
-          var q = 0
-          while (q < n) { g(q) += gi(q); q += 1 }
-        }
-        val bs = (end - off).toDouble
-        var norm2 = 0.0
-        var q = 0
-        while (q < n) { g(q) /= bs; norm2 += g(q) * g(q); q += 1 }
-        val norm = math.sqrt(norm2)
-        val scale = if (norm > cfg.clip) cfg.clip / norm else 1.0
-        step += 1
-        val bc1 = 1 - math.pow(b1, step)
-        val bc2 = 1 - math.pow(b2, step)
-        q = 0
-        while (q < n) {
-          val gq = g(q) * scale
-          m(q) = b1 * m(q) + (1 - b1) * gq
-          v(q) = b2 * v(q) + (1 - b2) * gq * gq
-          p.w(q) -= cfg.lr * (m(q) / bc1) / (math.sqrt(v(q) / bc2) + eps)
-          q += 1
-        }
-        off = end
-      }
-      losses += epochLoss / idx.length
-    }
-    Fitted(p, losses.toSeq)
+    val losses = AdamTrainer.run[(Tree, Double)](data, p.w,
+      AdamTrainer.Opt(cfg.lr, cfg.epochs, cfg.batch, cfg.seed, cfg.clip),
+      { case ((tree, y), g) => lossAndGrad(p, tree, y, g) })
+    Fitted(p, losses)
   }
 }

@@ -205,7 +205,10 @@ object Bpe {
   def tokenize(df: DataFrame, textCol: String,
                merges: Seq[(String, String)]): DataFrame =
     df
-      .withColumn("_words", Dedup.tokens(col(textCol)))
+      // drop empty split artifacts (leading whitespace): the word table
+      // the merges were learned from excludes them too
+      .withColumn("_words",
+        filter(Dedup.tokens(col(textCol)), w => length(w) > 0))
       .withColumn("bpe_tokens",
         flatten(transform(col("_words"), w =>
           merges.foldLeft(concat(split(w, ""), array(lit(Eow)))) {

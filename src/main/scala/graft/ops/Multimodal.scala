@@ -497,6 +497,11 @@ object Multimodal {
             new java.io.ByteArrayInputStream(a.payload)))
           .getOrElse(throw new IllegalArgumentException(
             s"asset ${a.asset_id}: payload is not a decodable image"))
+        // single-band only: silently flipping just band 0 of an RGB
+        // image would discard two channels — fail loud instead
+        require(src.getRaster.getNumBands == 1,
+          s"asset ${a.asset_id}: flipImages handles single-band (grayscale) " +
+            s"rasters; got ${src.getRaster.getNumBands} bands")
         val (w, h) = (src.getWidth, src.getHeight)
         val dst = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -533,6 +538,9 @@ object Multimodal {
             new java.io.ByteArrayInputStream(a.payload)))
           .getOrElse(throw new IllegalArgumentException(
             s"asset ${a.asset_id}: payload is not a decodable image"))
+        require(img.getRaster.getNumBands == 1,
+          s"asset ${a.asset_id}: imageHalfStats sums single-band rasters; " +
+            s"got ${img.getRaster.getNumBands} bands")
         val r = img.getRaster
         val (w, h) = (img.getWidth, img.getHeight)
         var (ls, rs) = (0L, 0L)

@@ -147,6 +147,10 @@ object Quantiles {
     *
     * Returns one row per group: (group, n, quantile), quantile rounded
     * HALF_UP to `scale` decimals (the q82 cross-engine convention).
+    * Rows with a NULL group key are EXCLUDED (a null key can never
+    * match the broadcast ranges join, so it would crash mid-descent
+    * instead of aggregating; callers wanting SQL's null group coalesce
+    * the key upstream).
     */
   def groupedExactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                             p: Double, buckets: Int = 256,
@@ -157,7 +161,7 @@ object Quantiles {
     import spark.implicits._
     val vals = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull && col("g").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       final case class St(n: Long, rank: Long, frac: Double, var lo: Double,

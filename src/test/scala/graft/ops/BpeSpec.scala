@@ -111,6 +111,15 @@ class BpeSpec extends AnyFunSuite {
     assert(toks == Seq("aa", "a", Bpe.Eow, "a", "b", Bpe.Eow), toks.toString)
   }
 
+  test("tokenize drops empty split artifacts from leading whitespace") {
+    import spark.implicits._
+    val docs = Seq((1L, "  ab")).toDF("doc_id", "text")
+    val toks = Bpe.tokenize(docs, "text", Seq(("a", "b")))
+      .select("bpe_tokens").as[Seq[String]].collect().head
+    // no phantom ["", "</w>"] from the leading-whitespace empty word
+    assert(toks == Seq("ab", Bpe.Eow), toks.toString)
+  }
+
   test("tokenize of the learned merges compresses the training corpus") {
     import spark.implicits._
     val corpus = Seq.fill(20)("the same sentence repeated here") ++

@@ -194,6 +194,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("flipImages and imageHalfStats reject multi-band (color) rasters") {
+    import spark.implicits._
+    val rgb = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xFF0000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", out)
+    val assets = Seq(Multimodal.Asset(1L, "image", out.size().toLong, out.toByteArray)).toDF()
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.flipImages(assets).collect()
+    }
+    assert(e1.getMessage.contains("single-band") ||
+      Option(e1.getCause).exists(_.getMessage.contains("single-band")))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageHalfStats(assets).collect()
+    }
+    assert(e2.getMessage.contains("single-band") ||
+      Option(e2.getCause).exists(_.getMessage.contains("single-band")))
+  }
+
   test("resize strides payloads down to at most targetBytes") {
     val out = Multimodal.resize(assets, targetBytes = 25).collect()
     val a1 = out.find(_.asset_id == 1L).get

@@ -88,6 +88,15 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedExactQuantiles excludes null group keys instead of crashing") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0), (None, 5.0), (None, 6.0))
+      .toDF("g", "v")
+    val got = Quantiles.groupedExactQuantiles(df, "g", "v", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 2L, 1.5)))
+  }
+
   test("groupedExactQuantiles agrees with the built-in per-group percentile") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
