@@ -6,15 +6,23 @@ import graft.estimate.{Estimator, Gru, Gru4, RelCnn, TreeLstm}
 import graft.gen.BalancedCheckpoint
 import graft.model.ModelJson
 
-/** The RECURRENT estimator family on the band-campaign workload: a GRU
-  * over each query's node-vector traversal sequence
-  * (`SetEncoders.flatMatrix`) classifying reference-space log2 buckets —
-  * the same model family as the reference's gerelt GRU
-  * (`dqo/estimator/gerelt/v20/model.py:94-122`), trained from scratch
-  * ([[graft.estimate.Gru]], gradient-checked in GruSpec) instead of
-  * substituting a fixed-vector summary model. Same checkpoint, same
-  * CRC-byte holdout, same reference bucket space as BandRetrain/MlpSweep,
-  * so numbers drop into the README parity table unchanged.
+/** The neural estimator families on the band-campaign workload — all
+  * four of the reference's model shapes, trained from scratch (each
+  * gradient-checked in its spec) instead of substituting fixed-vector
+  * summary models:
+  *
+  *  - v20 four-traversal GRU regressor ([[graft.estimate.Gru4]],
+  *    `dqo/estimator/gerelt/v20/model.py:94-122`)
+  *  - child-sum TreeLSTM regressor ([[graft.estimate.TreeLstm]],
+  *    `dqo/estimator/treelstm/v1/childsum.py`)
+  *  - relcnn convolutional regressor ([[graft.estimate.RelCnn]],
+  *    `dqo/estimator/relcnn/v1/model.py`)
+  *  - single-GRU bucket classifier over the flat traversal sequence
+  *    ([[graft.estimate.Gru]]), plain and bucket-balanced, 3-seed vote
+  *
+  * Same checkpoint, same CRC-byte holdout, same reference bucket space
+  * as BandRetrain/MlpSweep, so numbers drop into the README parity
+  * table unchanged.
   *
   * Usage: `sbt 'runMain graft.tools.GruSweep [checkpoint] [statsJson]'`
   */
