@@ -218,9 +218,6 @@ object Gru {
     }
   }
 
-  /** Adam training over (sequence, bucket-label) examples. Batch order is
-    * a seeded shuffle per epoch — deterministic end to end.
-    */
   /** Adam training over (sequence, bucket-label) examples — the shared
     * [[AdamTrainer]] loop; deterministic end to end for a fixed seed.
     */

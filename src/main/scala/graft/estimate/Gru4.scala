@@ -5,9 +5,12 @@ import Gru.{affine, addTMatVec, addOuter, sigmoid}
 /** The reference's v20 recurrent architecture, faithfully: FOUR GRUs —
   * one per tree traversal (preorder / inorder / postorder / BFS,
   * `dqo/estimator/gerelt/v20/model.py:94-122`; traversal semantics from
-  * `dqo/tree/__init__.py:141-175`, including the binary-style inorder
-  * that visits child 0, the node, then child 1 only when a node has
-  * exactly two children) — each ending in a tanh'd final hidden state,
+  * `dqo/tree/__init__.py:141-183`, including the binary-style inorder
+  * AND postorder that visit child 0's subtree, then child 1's only when
+  * a node has exactly two children — on 3+-child nodes, which the
+  * encoder can emit for wide projections, both orders skip children 2+
+  * exactly as the reference's iterative stacks do) — each ending in a
+  * tanh'd final hidden state,
   * concatenated into an MLP head that REGRESSES log2(runtime) under
   * smooth-L1 loss (the reference's `F.smooth_l1_loss` on `np.log2`
   * labels). Head depth is trimmed to one tanh layer (the reference
@@ -97,8 +100,17 @@ object Gru4 {
       if (c.length == 2) vin(c(1))
     }
     vin(t.root)
+    // binary-style like the reference's iterative postorder
+    // (dqo/tree/__init__.py:156-183): child 0's subtree always, child 1's
+    // only when a node has EXACTLY two children — children 2+ are never
+    // visited, the same quirk inorder has
     val post = Array.newBuilder[Int]
-    def vpost(i: Int): Unit = { t.children(i).foreach(vpost); post += i }
+    def vpost(i: Int): Unit = {
+      val c = t.children(i)
+      if (c.nonEmpty) vpost(c(0))
+      if (c.length == 2) vpost(c(1))
+      post += i
+    }
     vpost(t.root)
     val bfs = Array.newBuilder[Int]
     val q = scala.collection.mutable.Queue(t.root)

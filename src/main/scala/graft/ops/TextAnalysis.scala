@@ -180,11 +180,14 @@ object TextAnalysis {
     * Scale design: one map-side-combined groupBy on the word, then
     * Spark's distributed partial top-k (`TakeOrderedAndProject` — every
     * partition keeps k, the driver merges k·p rows), never a
-    * single-partition global window.
+    * single-partition global window. No pre-explode repartition: tokens
+    * explode map-side from whatever layout the scan produced, and the
+    * word groupBy shuffles (with partial aggregation) regardless — a
+    * repartition here would add a second corpus-sized exchange for
+    * nothing.
     */
   def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val words = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
     words.groupBy("word")
       .agg(count(lit(1)).as("tf"),
@@ -206,8 +209,9 @@ object TextAnalysis {
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // no pre-explode repartition (see vocabulary): the (doc, word)
+    // groupBy shuffles with map-side combine anyway
     val words = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
     val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
     // df per word FROM tf: tf's keys already ARE the distinct (doc, word)

@@ -1283,7 +1283,7 @@ object OpsCatalog {
     "q117_grouped_quantiles" ->
       s"""SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
          |       ROUND(quantile_cont(value, $GroupQuantP), 4) AS quantile
-         |FROM events WHERE value IS NOT NULL
+         |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q113_rolling_active" ->

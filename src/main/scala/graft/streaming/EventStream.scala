@@ -119,29 +119,63 @@ object EventStream {
     * (StreamingSpec pins batch parity on the static canon). Emits each
     * user's currently-reached stage (Update mode: latest row per user
     * wins).
+    *
+    * State bound: without `idleTimeout` state is one (stage, time) pair
+    * per DISTINCT user ever seen — O(|users|) forever, fine for bounded
+    * user populations, unbounded for open-world ids. Passing
+    * `idleTimeout` (e.g. `"30 days"`) watermarks the stream and evicts a
+    * user whose last funnel event is older than the watermark minus the
+    * horizon, emitting their final reached stage on the way out; a user
+    * who reappears later restarts at stage 0 — the standard
+    * idle-eviction trade.
     */
   def funnelStages(spark: SparkSession, events: DataFrame,
-                   steps: Seq[String]): DataFrame = {
+                   steps: Seq[String],
+                   idleTimeout: Option[String] = None): DataFrame = {
     import spark.implicits._
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct: $steps")
-    events
-      .where(col("event_type").isin(steps.map(lit): _*))
+    val stepEvents = events.where(col("event_type").isin(steps.map(lit): _*))
+    // event-time timeout needs a watermark in the plan; the column itself
+    // may be dropped afterwards (the watermark operator has already seen it)
+    val timed = idleTimeout match {
+      case Some(_) => withEventTime(stepEvents).withWatermark("event_time", "10 minutes")
+      case None => stepEvents
+    }
+    val timeoutConf = idleTimeout match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
+    timed
       .select(col("user_id").cast("long"), col("event_type"),
         graft.Tables.eventTimeNs(events))
       .as[(Long, String, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState(timeoutConf) {
         (user: Long, rows: Iterator[(Long, String, Long)],
          state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
-          val prev = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          var st = prev.stage
-          var t = prev.tNanos
-          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, et, ts) =>
-            if (st < steps.length && et == steps(st) && ts > t) { st += 1; t = ts }
+          if (state.hasTimedOut) {
+            val reached = state.get.stage
+            state.remove()
+            UserFunnel(user, reached)
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            var st = prev.stage
+            var t = prev.tNanos
+            val batch = rows.toSeq.sortBy(r => (r._3, r._2))
+            batch.foreach { case (_, et, ts) =>
+              if (st < steps.length && et == steps(st) && ts > t) { st += 1; t = ts }
+            }
+            state.update(FunnelState(st, t))
+            idleTimeout.foreach { horizon =>
+              // anchor on the newest event seen for this user this batch
+              // (>= watermark by construction), not `t`, which stays at
+              // MinValue until step 0 fires
+              val anchorMs = math.max(t, batch.map(_._3).max) / 1000000L
+              state.setTimeoutTimestamp(anchorMs, horizon)
+            }
+            UserFunnel(user, st)
           }
-          state.update(FunnelState(st, t))
-          UserFunnel(user, st)
       }.toDF()
   }
 

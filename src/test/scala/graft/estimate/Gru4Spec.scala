@@ -30,6 +30,21 @@ class Gru4Spec extends AnyFunSuite {
     assert(bfs.toSeq == Seq(0, 1, 2, 3, 4, 5))
   }
 
+  test("inorder and postorder skip children 2+ on wide nodes (reference quirk)") {
+    //       0
+    //      /|\
+    //     1 2 3     <- 3-child root: the reference's iterative stacks
+    //     |            only push child 1 when len(children) == 2, so
+    //     4            child 2 (node 3) is never visited
+    val parents = Array(-1, 0, 0, 0, 1)
+    val t = Gru4.fromParents(parents, Array.fill(5)(Array(0.0)))
+    val Array(pre, ino, post, bfs) = Gru4.traversals(t)
+    assert(pre.toSeq == Seq(0, 1, 4, 2, 3))
+    assert(bfs.toSeq == Seq(0, 1, 2, 3, 4))
+    assert(ino.toSeq == Seq(4, 1, 0))   // 3-child root: no "child 1" leg
+    assert(post.toSeq == Seq(4, 1, 0))  // ditto — node 2 and 3 skipped
+  }
+
   test("analytic gradient matches finite differences across blocks and head") {
     val cfg = Gru4.Config(inputDim = 3, hidden = 3, headHidden = 4, seed = 9L)
     val p = Gru4.Params(cfg)
