@@ -56,6 +56,12 @@ object PipelineCatalog {
     * `TestdataCanonSpec` and the Verify preamble can tripwire drift. */
   def pinnedCanonFp: Long = Golden.canonFp
 
+  /** The q61 physical op-tree golden — public so `PlanGoldenSpec` can
+    * anchor it to an independently hand-built expected tree (a Spark
+    * version bump that re-plans the query must fail that spec loudly,
+    * not get silently re-pinned). */
+  def pinnedQ61: Long = Golden.q61
+
   /** NON-THROWING golden check: a mismatch degrades to a loud stderr
     * report + `matches_golden=false` in the result rows (schema already
     * carries the column), never an absent query. Round 6 lost six green
@@ -236,7 +242,42 @@ object PipelineCatalog {
           math.round(acc * 1000) / 1000.0, math.round(mae * 1000) / 1000.0,
           math.round(f1 * 1000) / 1000.0, math.round(kappa * 1000) / 1000.0)
       }
-      rows.toDF("family", "n_queries", "feat_dim", "feat_crc", "matches_golden",
+      // the eighth family row: the MSCN SetConv NETWORK itself
+      // (graft.estimate.Mscn, kipf/model.py:8-48) trained on the full
+      // set matrices — not a flat summary through GBT like the rows
+      // above. The pinned CRC covers the complete per-query set
+      // matrices AND masks (stronger than the "mscn" row's masked
+      // sums); the trained metrics are unpinned like every family.
+      val setconvRow = {
+        import graft.encode.SetEncoders
+        import graft.estimate.Mscn
+        val encs = workload.map { case (sql, _) => SetEncoders.encodeMscn(db, sql) }
+        def mat(rows: Array[Array[Double]]) =
+          rows.map(_.map(v => math.round(v).toString).mkString("")).mkString(",")
+        def maskStr(m: Array[Double]) = m.map(v => math.round(v).toString).mkString("")
+        val featCrc = crc32(encs.zipWithIndex.map { case (e, i) =>
+          s"$i|T:${mat(e.tables)}|TM:${maskStr(e.tablesMask)}" +
+            s"|J:${mat(e.joins)}|JM:${maskStr(e.joinsMask)}" +
+            s"|P:${mat(e.predicates)}|PM:${maskStr(e.predicatesMask)}"
+        }.mkString("\n"))
+        val ok = checkGolden("q63_estimate/mscn_setconv", dir, featCrc,
+          Golden.q63.getOrElse("mscn_setconv", 0L))
+        val tf = encs.head.tables.head.length
+        val pf = encs.head.predicates.head.length
+        val jf = math.max(1, encs.head.joins.headOption.map(_.length).getOrElse(1))
+        val data = encs.zip(workload).map { case (e, (_, rt)) => (Mscn.sets(e), rt) }
+        val fitted = Mscn.fit(data, Mscn.Config(tf, pf, jf, hidden = 32,
+          epochs = 400, batch = 16, seed = 42L))
+        val preds = data.map { case (s2, rt) =>
+          (fitted.predictLog2(s2), math.log(rt) / math.log(2)) }
+        val (acc, mae, f1) = Estimator.evaluate(preds)
+        val kappa = Metrics.cohenKappa(
+          preds.map { case (p, l) => (math.rint(p).toInt, math.rint(l).toInt) })
+        ("mscn_setconv", workload.size, tf + pf + jf, featCrc, ok,
+          math.round(acc * 1000) / 1000.0, math.round(mae * 1000) / 1000.0,
+          math.round(f1 * 1000) / 1000.0, math.round(kappa * 1000) / 1000.0)
+      }
+      (rows :+ setconvRow).toDF("family", "n_queries", "feat_dim", "feat_crc", "matches_golden",
         "bucket_acc", "mae_log2", "macro_f1", "kappa").orderBy("family")
     },
 
@@ -299,6 +340,8 @@ object PipelineCatalog {
     val q63: Map[String, Long] = Map(
       "gerelt" -> 2658404775L, "gerelt_v20" -> 836036881L, "mscn" -> 1062057986L,
       "greq" -> 208779266L, "neo" -> 3911205913L, "relcnn" -> 2687616046L,
-      "treelstm" -> 1884330627L)
+      "treelstm" -> 1884330627L,
+      // full set matrices + masks for the from-scratch SetConv (round 8)
+      "mscn_setconv" -> 1722847268L)
   }
 }

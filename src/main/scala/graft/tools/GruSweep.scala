@@ -2,15 +2,17 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.estimate.{Estimator, Gru, Gru4, RelCnn, TreeLstm}
+import graft.estimate.{Estimator, Gru, Gru4, Mscn, RelCnn, TreeLstm}
 import graft.gen.BalancedCheckpoint
 import graft.model.ModelJson
 
 /** The neural estimator families on the band-campaign workload — all
-  * four of the reference's model shapes, trained from scratch (each
+  * five of the reference's model shapes, trained from scratch (each
   * gradient-checked in its spec) instead of substituting fixed-vector
   * summary models:
   *
+  *  - MSCN SetConv over the masked set matrices
+  *    ([[graft.estimate.Mscn]], `dqo/estimator/others/kipf/model.py:8-48`)
   *  - v20 four-traversal GRU regressor ([[graft.estimate.Gru4]],
   *    `dqo/estimator/gerelt/v20/model.py:94-122`)
   *  - child-sum TreeLSTM regressor ([[graft.estimate.TreeLstm]],
@@ -165,6 +167,41 @@ object GruSweep {
     val (cAcc, cMae, cF1) = Estimator.evaluate(cnnAvg.zip(actuals), minBucket = 0)
     println(f"[cnn-ens] relcnn mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$cAcc%.3f mae=$cMae%.3f f1=$cF1%.3f")
+
+    // ---- MSCN SetConv over the raw binary set matrices (no z-score —
+    // the reference feeds the 0/1 encodings directly), trained with the
+    // notebook's exp-space squared loss on min-max-normalized ln labels
+    val setCache = scala.collection.mutable.Map.empty[String, Mscn.Sets]
+    def msets(sql: String): Mscn.Sets =
+      setCache.getOrElseUpdate(sql,
+        Mscn.sets(graft.encode.SetEncoders.encodeMscn(db, sql)))
+    (train ++ test).foreach { case (s, _) => msets(s) }
+    val anyEnc = graft.encode.SetEncoders.encodeMscn(db, train.head._1)
+    val (tf, pf, jf) = (anyEnc.tables.head.length,
+      anyEnc.predicates.head.length,
+      math.max(1, anyEnc.joins.headOption.map(_.length).getOrElse(1)))
+    val mscnTrain = train.map { case (sql, rt) => (msets(sql), rt) }
+    val testSets = test.map { case (sql, _) => msets(sql) }
+    val actualSecs = test.map(_._2)
+    val mscnPerSeed = seeds.map { seed =>
+      val t0 = System.nanoTime()
+      val fitted = Mscn.fit(mscnTrain, Mscn.Config(tf, pf, jf, hidden = 64,
+        lr = 1e-3, epochs = 60, batch = 32, seed = seed))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val preds = testSets.map(fitted.predictLog2)
+      val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
+      val qe = Mscn.qerrorSummary(
+        testSets.map(fitted.predictSeconds).zip(actualSecs))
+      println(f"[mscn1] setconv seed=$seed%4d (${sec}%.0f s, " +
+        f"loss ${fitted.losses.head}%.3f->${fitted.losses.last}%.3f) " +
+        f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f " +
+        f"| qerr med=${qe("median")}%.2f p95=${qe("p95")}%.2f")
+      preds
+    }
+    val mscnAvg = mscnPerSeed.transpose.map(ps => ps.sum / ps.size)
+    val (mAcc, mMae, mF1) = Estimator.evaluate(mscnAvg.zip(actuals), minBucket = 0)
+    println(f"[mscn-ens] setconv mean of ${seeds.size} seeds " +
+      f"| heldout REF-SPACE: acc=$mAcc%.3f mae=$mMae%.3f f1=$mF1%.3f")
 
     for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced)) {
       val data = labeled(set)
