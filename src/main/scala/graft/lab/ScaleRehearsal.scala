@@ -95,6 +95,10 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the reliable-CC rehearsal checkpoints to a real directory (on a
+    // cluster this is durable storage; locally a temp dir stands in)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("cc_checkpoint").toString)
 
     val scales = Seq(1L, 3L, 10L)
     val rows = scales.map { s =>
@@ -143,17 +147,45 @@ object ScaleRehearsal {
         Dedup.dupSpans(docs, "doc_id", "text", l = 20)
           .agg(sum(col("n_dup_pos"))).collect()(0).getLong(0)
       }
+      // ---- CC fixpoint under cluster-scale settings (reliable=true):
+      // the verdict-flagged cost center. Measured here: pointer-jumping
+      // ROUND COUNT (must grow ~O(log component-diameter), i.e. stay
+      // flat as n grows at constant dup density) and wall-clock, with
+      // fault-tolerant checkpoints on a real checkpoint dir — the exact
+      // configuration a 1000-executor run would use.
+      val (ccComps, ccSec) = timed {
+        val wide = Dedup.minhashSignaturesWide(docs, "doc_id", "text", k = 8, shingleN = 3)
+        val edges = Dedup.lshCandidates(Dedup.lshBandsWide(wide, "doc_id", 4, 2), "doc_id")
+        Dedup.connectedComponents(edges, "id_a", "id_b",
+          docs, "doc_id", reliable = true)
+          .select("cluster_id").distinct().count()
+      }
+      val ccRounds = Dedup.lastRounds
+      val (semRelKept, semRelSec) = timed {
+        Similarity.semanticDedup(embs, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, tau = 0.9, reliable = true)
+          .where(col("kept")).count()
+      }
+      val semRounds = Dedup.lastRounds
       (n, Cell(n, lshPairs, lshSec, "bands=4x2"),
           Cell(n, simPairs, simSec, "r=6"),
           Cell(n, srpPairs, srpSec, s"planes=$planes"),
           Cell(n, semCand, semSec, s"kept=$semKept"),
-          Cell(n, dupPos, dupSec, "l=20"))
+          Cell(n, dupPos, dupSec, "l=20"),
+          Cell(n, ccComps, ccSec, s"rounds=$ccRounds"),
+          Cell(n, semRelKept, semRelSec, s"rounds=$semRounds"))
     }
 
     println("| n | lsh_pairs | lsh_sec | sim_pairs | sim_sec | srp_pairs | srp_sec | srp_planes | sem_cand | sem_sec | sem_kept | dup_pos | dup_sec |")
     println("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
-    rows.foreach { case (n, l, h, p, sd, ds) =>
+    rows.foreach { case (n, l, h, p, sd, ds, _, _) =>
       println(f"| $n | ${l.pairs} | ${l.seconds}%.2f | ${h.pairs} | ${h.seconds}%.2f | ${p.pairs} | ${p.seconds}%.2f | ${p.knob} | ${sd.pairs} | ${sd.seconds}%.2f | ${sd.knob} | ${ds.pairs} | ${ds.seconds}%.2f |")
+    }
+    println()
+    println("| n | cc_components | cc_rounds | cc_sec | sem_kept | sem_rounds | sem_sec |  (reliable=true, real checkpoint dir)")
+    println("|---|---|---|---|---|---|---|")
+    rows.foreach { case (n, _, _, _, _, _, cc, sr) =>
+      println(f"| $n | ${cc.pairs} | ${cc.knob} | ${cc.seconds}%.2f | ${sr.pairs} | ${sr.knob} | ${sr.seconds}%.2f |")
     }
     // growth factors vs the 10× size jump (subquadratic ⇔ « 100)
     val first = rows.head; val last = rows.last
@@ -163,7 +195,9 @@ object ScaleRehearsal {
       f"sim_pairs=×${g(first._3.pairs, last._3.pairs)}%.1f " +
       f"srp_pairs=×${g(first._4.pairs, last._4.pairs)}%.1f " +
       f"sem_cand=×${g(first._5.pairs, last._5.pairs)}%.1f " +
-      f"dup_pos=×${g(first._6.pairs, last._6.pairs)}%.1f")
+      f"dup_pos=×${g(first._6.pairs, last._6.pairs)}%.1f " +
+      f"cc_sec=×${g(math.round(first._7.seconds * 1000), math.round(last._7.seconds * 1000))}%.1f " +
+      f"sem_rel_sec=×${g(math.round(first._8.seconds * 1000), math.round(last._8.seconds * 1000))}%.1f")
     spark.stop()
   }
 }

@@ -656,9 +656,14 @@ object Similarity {
     * keep rule is a map-side-combinable struct-min, not a global
     * window. Returns every input id with its cell, duplicate-group
     * label (min reachable id), centroid cosine, and a `kept` flag.
+    * `reliable` forwards to the CC fixpoint: fault-tolerant
+    * `checkpoint` (needs SparkContext.setCheckpointDir) instead of
+    * `localCheckpoint` — the cluster-scale setting, where an executor
+    * loss must not kill a multi-round lineage.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    centroidPred: Column, tau: Double): DataFrame = {
+                    centroidPred: Column, tau: Double,
+                    reliable: Boolean = false): DataFrame = {
     val corpus0 = ivfCorpus(df, vecCol)
     // persisted: feeds the centroid-cos join, BOTH sides of the
     // within-cell pair join, and the final labeling join
@@ -679,7 +684,8 @@ object Similarity {
       .where(cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")) >= tau)
       .select("id_a", "id_b")
     val labels = graft.ops.Dedup.connectedComponents(
-        edges, "id_a", "id_b", withCent.select(col("id")), "id")
+        edges, "id_a", "id_b", withCent.select(col("id")), "id",
+        reliable = reliable)
       .select(col("id"), col("cluster_id").as("group_id"))
     // least-similar-to-centroid representative: struct-min orders by
     // (cent_cos ASC, id ASC), combining map-side — ties break to the
