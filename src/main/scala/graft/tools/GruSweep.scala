@@ -2,17 +2,19 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.estimate.{Estimator, Gru, Gru4, Mscn, RelCnn, TreeLstm}
+import graft.estimate.{Estimator, Gru, Gru4, Mscn, NeoNet, RelCnn, TreeLstm}
 import graft.gen.BalancedCheckpoint
 import graft.model.ModelJson
 
 /** The neural estimator families on the band-campaign workload — all
-  * five of the reference's model shapes, trained from scratch (each
+  * of the reference's model shapes, trained from scratch (each
   * gradient-checked in its spec) instead of substituting fixed-vector
   * summary models:
   *
   *  - MSCN SetConv over the masked set matrices
   *    ([[graft.estimate.Mscn]], `dqo/estimator/others/kipf/model.py:8-48`)
+  *  - Neo flat MLP regressor over the neo bit vector
+  *    ([[graft.estimate.NeoNet]], `others/neo/v1/model.py:22-36`)
   *  - v20 four-traversal GRU regressor ([[graft.estimate.Gru4]],
   *    `dqo/estimator/gerelt/v20/model.py:94-122`)
   *  - child-sum TreeLSTM regressor ([[graft.estimate.TreeLstm]],
@@ -202,6 +204,34 @@ object GruSweep {
     val (mAcc, mMae, mF1) = Estimator.evaluate(mscnAvg.zip(actuals), minBucket = 0)
     println(f"[mscn-ens] setconv mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$mAcc%.3f mae=$mMae%.3f f1=$mF1%.3f")
+
+    // ---- Neo regressor (flat 4-layer MLP — the shape both reference
+    // Neo variants actually are) over the flat neo bit vector,
+    // smooth-L1 on log2 runtime, the reference's lr
+    val neoFeat = scala.collection.mutable.Map.empty[String, Array[Double]]
+    def nfeat(sql: String): Array[Double] =
+      neoFeat.getOrElseUpdate(sql, Estimator.featurizeWith(db, sql, "neo"))
+    (train ++ test).foreach { case (s, _) => nfeat(s) }
+    val neoDim = nfeat(train.head._1).length
+    val neoTrain = train.map { case (sql, rt) =>
+      (nfeat(sql), math.log(rt) / math.log(2)) }
+    val neoTestX = test.map { case (sql, _) => nfeat(sql) }
+    val neoPerSeed = seeds.map { seed =>
+      val t0 = System.nanoTime()
+      val fitted = NeoNet.fit(neoTrain, NeoNet.Config(inputDim = neoDim,
+        lr = 1e-3, epochs = 120, batch = 32, seed = seed))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val preds = neoTestX.map(fitted.predict)
+      val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
+      println(f"[neo1] neonet seed=$seed%4d (${sec}%.0f s, " +
+        f"loss ${fitted.losses.head}%.3f->${fitted.losses.last}%.3f) " +
+        f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+      preds
+    }
+    val neoAvg = neoPerSeed.transpose.map(ps => ps.sum / ps.size)
+    val (nAcc, nMae, nF1) = Estimator.evaluate(neoAvg.zip(actuals), minBucket = 0)
+    println(f"[neo-ens] neonet mean of ${seeds.size} seeds " +
+      f"| heldout REF-SPACE: acc=$nAcc%.3f mae=$nMae%.3f f1=$nF1%.3f")
 
     for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced)) {
       val data = labeled(set)
