@@ -128,6 +128,14 @@ object GruSweep {
     val (vAcc, vMae, vF1) = Estimator.evaluate(avg.zip(actuals), minBucket = 0)
     println(f"[v20-ens] 4-traversal mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$vAcc%.3f mae=$vMae%.3f f1=$vF1%.3f")
+    // the evaluate.py presentation artifact (confusion matrix,
+    // classification report, bucket errors, binary-split scan) for the
+    // flagship family's held-out predictions
+    graft.estimate.Report.write("/root/repo/data/band/REPORT_v20.md",
+      s"v20 4-traversal GRU ensemble — held-out (${test.size} queries)",
+      test.zip(avg).map { case ((sql, rt), predLog2) =>
+        graft.estimate.Report.ResultRow(sql.take(80), rt, math.pow(2.0, predLog2)) })
+    println("[v20-ens] report artifact: data/band/REPORT_v20.md")
 
     // ---- child-sum TreeLSTM (the reference's treelstm family), same
     // trees, same smooth-L1 log2 regression
