@@ -36,6 +36,45 @@ object Similarity {
     dotDecimal(a, b).cast("double") /
       (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
 
+  /** All-double cosine — the cheap PREFILTER twin of [[cosine]]: a
+    * plain double dot via higher-order functions (whole-stage codegen,
+    * no decimal arithmetic). Shares [[cosine]]'s denominators (the
+    * decimal norm2 columns cast to double), so the two differ ONLY in
+    * the numerator: the decimal kernel rounds each product HALF_UP at
+    * scale 12 (DecimalDot.scala:80) while the double path keeps IEEE
+    * products, giving |cosine − cosineDouble| ≤
+    * dims·0.5e-12 / (‖a‖·‖b‖) plus double-summation noise. See
+    * [[prefilterPass]] for the sound screening predicate built on this
+    * bound.
+    */
+  def cosineDouble(a: Column, b: Column, normA: Column, normB: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+
+  /** Fixed component of the screening slack — generously covers the
+    * double-side summation noise (≤ dims·2⁻⁵³ relative on |cos| ≤ 1);
+    * the decimal-side quantization term is norm-dependent and added
+    * per-pair in [[prefilterPass]]. */
+  val PrefilterMargin = 1e-6
+
+  /** Sound filter-refine screen: true unless even the worst-case
+    * decimal-vs-double divergence could not lift this pair to
+    * `threshold`. The slack is norm-aware — dims·1e-12/(‖a‖‖b‖) (2× the
+    * proven per-product rounding bound) plus [[PrefilterMargin]] — so a
+    * pair whose DECIMAL cosine reaches the threshold is NEVER dropped,
+    * for any input scale including near-zero-norm vectors, and the
+    * refined result stays bit-identical to the exact-only form.
+    */
+  def prefilterPass(va: Column, vb: Column, na: Column, nb: Column,
+                    threshold: Double): Column = {
+    val slack = lit(PrefilterMargin) +
+      size(va).cast("double") * lit(1e-12) /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    cosineDouble(va, vb, na, nb) >= lit(threshold) - slack
+  }
+
   /** Corpus with per-row squared norm attached (one pass, reusable).
     * Small single-split sources are spread across cores first — the
     * downstream scoring join inherits the corpus partitioning, and a
@@ -158,6 +197,12 @@ object Similarity {
       .withColumn("salt", explode(sequence(lit(0L), lit(S - 1L))))
     a.join(b.hint("shuffle_merge"), Seq("bucket", "salt"))
       .where(col("id_a") < col("id_b"))
+      // filter-refine: the all-double prefilter prunes the bucket-local
+      // pair bulk inside codegen; the decimal-exact kernel then CONFIRMS
+      // only the survivors. prefilterPass's norm-aware slack guarantees
+      // no true pair is dropped — the final rows are bit-identical to
+      // the exact-only form
+      .where(prefilterPass(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b"), threshold))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
@@ -681,6 +726,9 @@ object Similarity {
     // persisted assignment subtree is scanned, not broadcast-copied
     val edges = a.join(b.hint("shuffle_merge"), Seq("cell"))
       .where(col("id_a") < col("id_b"))
+      // same filter-refine as nearDupPairs: double prefilter prunes the
+      // cell-local bulk, decimal-exact confirms the survivors
+      .where(prefilterPass(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b"), tau))
       .where(cosine(col("vec_a"), col("vec_b"), col("norm2_a"), col("norm2_b")) >= tau)
       .select("id_a", "id_b")
     val labels = graft.ops.Dedup.connectedComponents(

@@ -136,11 +136,13 @@ object EventStream {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct: $steps")
     val stepEvents = events.where(col("event_type").isin(steps.map(lit): _*))
-    // event-time timeout needs a watermark in the plan; the column itself
-    // may be dropped afterwards (the watermark operator has already seen it)
+    // event-time timeout requires the WATERMARKED COLUMN to reach the
+    // stateful operator's input (Spark's analyzer rejects a watermark
+    // whose column was projected away) — so the timestamp rides along as
+    // a fourth column the state function ignores
     val timed = idleTimeout match {
       case Some(_) => withEventTime(stepEvents).withWatermark("event_time", "10 minutes")
-      case None => stepEvents
+      case None => stepEvents.withColumn("event_time", lit(null).cast("timestamp"))
     }
     val timeoutConf = idleTimeout match {
       case Some(_) => GroupStateTimeout.EventTimeTimeout()
@@ -148,11 +150,11 @@ object EventStream {
     }
     timed
       .select(col("user_id").cast("long"), col("event_type"),
-        graft.Tables.eventTimeNs(events))
-      .as[(Long, String, Long)]
+        graft.Tables.eventTimeNs(events), col("event_time"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .mapGroupsWithState(timeoutConf) {
-        (user: Long, rows: Iterator[(Long, String, Long)],
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
             val reached = state.get.stage
@@ -163,7 +165,7 @@ object EventStream {
             var st = prev.stage
             var t = prev.tNanos
             val batch = rows.toSeq.sortBy(r => (r._3, r._2))
-            batch.foreach { case (_, et, ts) =>
+            batch.foreach { case (_, et, ts, _) =>
               if (st < steps.length && et == steps(st) && ts > t) { st += 1; t = ts }
             }
             state.update(FunnelState(st, t))

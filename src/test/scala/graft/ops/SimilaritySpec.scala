@@ -137,6 +137,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids.distinct.size == ids.size)
   }
 
+  test("cosineDouble stays far inside the prefilter margin of exact cosine") {
+    import spark.implicits._
+    val rng = new Random(41)
+    // include near-zero-norm and high-dim rows — the margin contract's
+    // worst cases
+    val rows = (1 to 200).map { i =>
+      val scale = if (i % 17 == 0) 1e-4f else 1f
+      (i.toLong, Array.fill(64)((rng.nextFloat() * 2 - 1) * scale))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val n = Similarity.withNorm2(df, "embedding")
+    val a = n.select(col("vec_id").as("ia"), col("embedding").as("va"), col("norm2").as("na"))
+    val b = n.select(col("vec_id").as("ib"), col("embedding").as("vb"), col("norm2").as("nb"))
+    // per-pair: |cosDecimal − cosDouble| must stay under the norm-aware
+    // slack prefilterPass screens with (margin + dims·1e-12/(‖a‖‖b‖)) —
+    // the soundness condition for never dropping a true pair. Assert
+    // with 10× headroom.
+    val slack = lit(Similarity.PrefilterMargin) +
+      size(col("va")).cast("double") * lit(1e-12) /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    val worst = a.join(b, col("ia") < col("ib"))
+      .select((abs(
+        Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")) -
+        Similarity.cosineDouble(col("va"), col("vb"), col("na"), col("nb"))) /
+        slack).as("ratio"))
+      .agg(max(col("ratio"))).collect()(0).getDouble(0)
+    assert(worst < 0.1,
+      s"divergence reached $worst of the screening slack — soundness headroom gone")
+  }
+
   test("pqEncode self-codes codewords; pqAdcTopK == driver-side LUT reference") {
     import spark.implicits._
     val rng = new Random(31)

@@ -147,6 +147,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count(_ == "B") == 1)
   }
 
+  test("funnel idleTimeout evicts idle users and restarts them at stage 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val steps = Seq("view", "click")
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stages = EventStream.funnelStages(spark,
+      ms.toDF().toDF("user_id", "event_type", "ts"), steps,
+      idleTimeout = Some("30 minutes"))
+    val q = stages.writeStream.outputMode("update").format("memory")
+      .queryName("fidle").start()
+    try {
+      // batch 1: user 1 completes step 0; timeout armed at t+30min
+      // (timeline starts well above epoch 0 — the initial watermark)
+      ms.addData((1L, "view", ts(100000)))
+      q.processAllAvailable()
+      // batch 2: another user far in the future pushes the watermark
+      // (2h − 10min delay) past user 1's horizon — no timeout yet, the
+      // batch runs under the PREVIOUS watermark
+      ms.addData((99L, "view", ts(107200)))
+      q.processAllAvailable()
+      // batch 3: unrelated data; user 1 has no rows, watermark is now
+      // past their horizon → timeout fires, final stage re-emitted,
+      // state evicted
+      ms.addData((99L, "click", ts(107300)))
+      q.processAllAvailable()
+      // batch 4: user 1 reappears with a STEP-1 event; their state is
+      // gone, so the funnel restarts at 0 and the click cannot advance
+      ms.addData((1L, "click", ts(107400)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.sql("SELECT reached FROM fidle WHERE user_id = 1")
+      .collect().map(_.getInt(0)).toSeq
+    // rows: batch-1 progress (1), timeout emission (1), post-eviction
+    // restart (0) — the 0 proves the state was evicted, the row count
+    // proves the timeout emission happened
+    assert(u1.count(_ == 1) == 2, s"expected progress + timeout emissions, got $u1")
+    assert(u1.count(_ == 0) == 1, s"expected a post-eviction restart row, got $u1")
+    // user 99 reached both steps under the same query
+    val u99 = spark.sql("SELECT MAX(reached) FROM fidle WHERE user_id = 99")
+      .collect()(0).getInt(0)
+    assert(u99 == 2)
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val within = 24L * 3600
     val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
