@@ -96,9 +96,11 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the reliable-CC rehearsal checkpoints to a real directory (on a
-    // cluster this is durable storage; locally a temp dir stands in)
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("cc_checkpoint").toString)
+    // cluster this is durable storage; locally a temp dir stands in,
+    // deleted at exit — reliable checkpoints outlive the session by
+    // design, so nothing else cleans them up)
+    val ccCheckpointDir = java.nio.file.Files.createTempDirectory("cc_checkpoint")
+    spark.sparkContext.setCheckpointDir(ccCheckpointDir.toString)
 
     val scales = Seq(1L, 3L, 10L)
     val rows = scales.map { s =>
@@ -153,14 +155,21 @@ object ScaleRehearsal {
       // flat as n grows at constant dup density) and wall-clock, with
       // fault-tolerant checkpoints on a real checkpoint dir — the exact
       // configuration a 1000-executor run would use.
+      // edges are MATERIALIZED before the clock starts — cc_sec must
+      // time the fixpoint alone, not the minhash/banding/candidate
+      // pipeline feeding it (the first cut of this rehearsal timed both
+      // and attributed edge-generation scaling to the fixpoint)
+      val wide = Dedup.minhashSignaturesWide(docs, "doc_id", "text", k = 8, shingleN = 3)
+      val edges = Dedup.lshCandidates(Dedup.lshBandsWide(wide, "doc_id", 4, 2), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count()
       val (ccComps, ccSec) = timed {
-        val wide = Dedup.minhashSignaturesWide(docs, "doc_id", "text", k = 8, shingleN = 3)
-        val edges = Dedup.lshCandidates(Dedup.lshBandsWide(wide, "doc_id", 4, 2), "doc_id")
         Dedup.connectedComponents(edges, "id_a", "id_b",
           docs, "doc_id", reliable = true)
           .select("cluster_id").distinct().count()
       }
       val ccRounds = Dedup.lastRounds
+      edges.unpersist()
       val (semRelKept, semRelSec) = timed {
         Similarity.semanticDedup(embs, "vec_id", "embedding",
           col("vec_id") % 50 === 0, tau = 0.9, reliable = true)
@@ -199,5 +208,11 @@ object ScaleRehearsal {
       f"cc_sec=×${g(math.round(first._7.seconds * 1000), math.round(last._7.seconds * 1000))}%.1f " +
       f"sem_rel_sec=×${g(math.round(first._8.seconds * 1000), math.round(last._8.seconds * 1000))}%.1f")
     spark.stop()
+    // reliable checkpoints survive the session on purpose; this run's
+    // temp dir must not
+    val walk = java.nio.file.Files.walk(ccCheckpointDir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
   }
 }

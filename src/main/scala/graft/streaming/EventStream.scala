@@ -104,7 +104,13 @@ object EventStream {
       }.toDF()
   }
 
-  final case class FunnelState(stage: Int, tNanos: Long)
+  /** `tNanos` = time of the event that completed the current stage;
+    * `seenNanos` = newest event time EVER seen for this user — the idle
+    * clock. Kept separately: a batch of out-of-order non-advancing
+    * events must never re-arm the timeout EARLIER than an
+    * already-armed deadline. */
+  final case class FunnelState(stage: Int, tNanos: Long,
+                               seenNanos: Long = Long.MinValue)
   final case class UserFunnel(user_id: Long, reached: Int)
 
   /** Streaming conversion funnel — the ingest-time counterpart of the
@@ -168,13 +174,13 @@ object EventStream {
             batch.foreach { case (_, et, ts, _) =>
               if (st < steps.length && et == steps(st) && ts > t) { st += 1; t = ts }
             }
-            state.update(FunnelState(st, t))
+            // idle clock: newest event time ever seen (monotone across
+            // batches — an out-of-order batch must not REWIND an armed
+            // deadline and evict an active user early)
+            val seen = math.max(prev.seenNanos, batch.map(_._3).max)
+            state.update(FunnelState(st, t, seen))
             idleTimeout.foreach { horizon =>
-              // anchor on the newest event seen for this user this batch
-              // (>= watermark by construction), not `t`, which stays at
-              // MinValue until step 0 fires
-              val anchorMs = math.max(t, batch.map(_._3).max) / 1000000L
-              state.setTimeoutTimestamp(anchorMs, horizon)
+              state.setTimeoutTimestamp(seen / 1000000L, horizon)
             }
             UserFunnel(user, st)
           }

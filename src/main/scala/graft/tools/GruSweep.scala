@@ -215,7 +215,9 @@ object GruSweep {
 
     // ---- Neo regressor (flat 4-layer MLP — the shape both reference
     // Neo variants actually are) over the flat neo bit vector,
-    // smooth-L1 on log2 runtime, the reference's lr
+    // smooth-L1 on log2 runtime, at the reference's Adam lr 1e-4
+    // (neo/v1/model.py:72) with the epoch count scaled up to
+    // compensate for the smaller campaign
     val neoFeat = scala.collection.mutable.Map.empty[String, Array[Double]]
     def nfeat(sql: String): Array[Double] =
       neoFeat.getOrElseUpdate(sql, Estimator.featurizeWith(db, sql, "neo"))
@@ -227,7 +229,7 @@ object GruSweep {
     val neoPerSeed = seeds.map { seed =>
       val t0 = System.nanoTime()
       val fitted = NeoNet.fit(neoTrain, NeoNet.Config(inputDim = neoDim,
-        lr = 1e-3, epochs = 120, batch = 32, seed = seed))
+        lr = 1e-4, epochs = 600, batch = 32, seed = seed))
       val sec = (System.nanoTime() - t0) / 1e9
       val preds = neoTestX.map(fitted.predict)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
