@@ -1,0 +1,153 @@
+package graft.estimate
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Checkpoint persistence for the from-scratch neural families — the
+  * reference's save/load workflow (`torch.save` checkpoints consumed by
+  * `load_pretrained_model`, dqo/estimator/evaluate.py:108-116; Keras
+  * `model.save` in neo_tf) for models that must outlive the training
+  * session. One JSON document per model: a `kind` tag, the config
+  * fields the Params layout derives from, and the flat weight vector
+  * with exact double round-trip (Jackson emits shortest-repr doubles;
+  * `readValue` restores the identical bits — asserted in ModelIoSpec).
+  *
+  * Scope: DRIVER-side files, like the reference's checkpoints — these
+  * models train driver-side over collected campaign measurements; the
+  * corpus-scale work stays in Spark. The normalization constants that
+  * are part of a fitted model's contract ([[Mscn.Fitted]]'s label
+  * range) persist alongside the weights.
+  */
+object ModelIo {
+
+  private lazy val mapper = new ObjectMapper()
+
+  private def writeDoc(path: String, kind: String,
+                       ints: Seq[(String, Int)], doubles: Seq[(String, Double)],
+                       longs: Seq[(String, Long)], w: Array[Double]): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("kind", kind)
+    ints.foreach { case (k, v) => root.put(k, v) }
+    doubles.foreach { case (k, v) => root.put(k, v) }
+    longs.foreach { case (k, v) => root.put(k, v) }
+    val arr = root.putArray("w")
+    w.foreach(arr.add)
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, mapper.writeValueAsString(root))
+  }
+
+  private def readDoc(path: String, expectKind: String) = {
+    val root = mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    require(root.get("kind").asText() == expectKind,
+      s"checkpoint kind ${root.get("kind").asText()} != expected $expectKind")
+    root
+  }
+
+  private def weights(root: com.fasterxml.jackson.databind.JsonNode): Array[Double] = {
+    val arr = root.get("w")
+    Array.tabulate(arr.size())(arr.get(_).asDouble())
+  }
+
+  // ---- Mscn (config + label normalization + weights) -----------------
+
+  def saveMscn(path: String, f: Mscn.Fitted): Unit =
+    writeDoc(path, "mscn",
+      Seq("tableFeats" -> f.p.cfg.tableFeats, "predFeats" -> f.p.cfg.predFeats,
+        "joinFeats" -> f.p.cfg.joinFeats, "hidden" -> f.p.cfg.hidden),
+      Seq("minLog" -> f.minLog, "maxLog" -> f.maxLog), Nil, f.p.w)
+
+  def loadMscn(path: String): Mscn.Fitted = {
+    val r = readDoc(path, "mscn")
+    val cfg = Mscn.Config(r.get("tableFeats").asInt(), r.get("predFeats").asInt(),
+      r.get("joinFeats").asInt(), hidden = r.get("hidden").asInt())
+    val p = new Mscn.Params(cfg, weights(r))
+    require(p.w.length == Mscn.Params.size(cfg),
+      s"weight count ${p.w.length} != layout ${Mscn.Params.size(cfg)}")
+    Mscn.Fitted(p, r.get("minLog").asDouble(), r.get("maxLog").asDouble(), Nil)
+  }
+
+  // ---- NeoNet --------------------------------------------------------
+
+  def saveNeo(path: String, f: NeoNet.Fitted): Unit =
+    writeDoc(path, "neonet",
+      Seq("inputDim" -> f.p.cfg.inputDim, "h1" -> f.p.cfg.h1,
+        "h2" -> f.p.cfg.h2, "h3" -> f.p.cfg.h3), Nil, Nil, f.p.w)
+
+  def loadNeo(path: String): NeoNet.Fitted = {
+    val r = readDoc(path, "neonet")
+    val cfg = NeoNet.Config(r.get("inputDim").asInt(), r.get("h1").asInt(),
+      r.get("h2").asInt(), r.get("h3").asInt())
+    val p = new NeoNet.Params(cfg, weights(r))
+    require(p.w.length == NeoNet.Params.size(cfg),
+      s"weight count ${p.w.length} != layout ${NeoNet.Params.size(cfg)}")
+    NeoNet.Fitted(p, Nil)
+  }
+
+  // ---- Gru (bucket classifier) ---------------------------------------
+
+  def saveGru(path: String, f: Gru.Fitted): Unit =
+    writeDoc(path, "gru",
+      Seq("inputDim" -> f.p.cfg.inputDim, "hidden" -> f.p.cfg.hidden,
+        "classes" -> f.p.cfg.classes), Nil, Nil, f.p.w)
+
+  def loadGru(path: String): Gru.Fitted = {
+    val r = readDoc(path, "gru")
+    val cfg = Gru.Config(r.get("inputDim").asInt(), r.get("hidden").asInt(),
+      r.get("classes").asInt())
+    val p = new Gru.Params(cfg, weights(r))
+    require(p.w.length == Gru.Params.size(cfg),
+      s"weight count ${p.w.length} != layout ${Gru.Params.size(cfg)}")
+    Gru.Fitted(p, Nil)
+  }
+
+  // ---- Gru4 (v20 regressor) ------------------------------------------
+
+  def saveGru4(path: String, f: Gru4.Fitted): Unit =
+    writeDoc(path, "gru4",
+      Seq("inputDim" -> f.p.cfg.inputDim, "hidden" -> f.p.cfg.hidden,
+        "headHidden" -> f.p.cfg.headHidden), Nil, Nil, f.p.w)
+
+  def loadGru4(path: String): Gru4.Fitted = {
+    val r = readDoc(path, "gru4")
+    val cfg = Gru4.Config(r.get("inputDim").asInt(), r.get("hidden").asInt(),
+      r.get("headHidden").asInt())
+    val p = new Gru4.Params(cfg, weights(r))
+    require(p.w.length == Gru4.Params.size(cfg),
+      s"weight count ${p.w.length} != layout ${Gru4.Params.size(cfg)}")
+    Gru4.Fitted(p, Nil)
+  }
+
+  // ---- TreeLstm ------------------------------------------------------
+
+  def saveTreeLstm(path: String, f: TreeLstm.Fitted): Unit =
+    writeDoc(path, "treelstm",
+      Seq("inputDim" -> f.p.cfg.inputDim, "hidden" -> f.p.cfg.hidden),
+      Nil, Nil, f.p.w)
+
+  def loadTreeLstm(path: String): TreeLstm.Fitted = {
+    val r = readDoc(path, "treelstm")
+    val cfg = TreeLstm.Config(r.get("inputDim").asInt(), r.get("hidden").asInt())
+    val p = new TreeLstm.Params(cfg, weights(r))
+    require(p.w.length == TreeLstm.Params.size(cfg),
+      s"weight count ${p.w.length} != layout ${TreeLstm.Params.size(cfg)}")
+    TreeLstm.Fitted(p, Nil)
+  }
+
+  // ---- RelCnn --------------------------------------------------------
+
+  def saveRelCnn(path: String, f: RelCnn.Fitted): Unit =
+    writeDoc(path, "relcnn",
+      Seq("inputDim" -> f.p.cfg.inputDim, "filters" -> f.p.cfg.filters,
+        "headHidden" -> f.p.cfg.headHidden), Nil, Nil, f.p.w)
+
+  def loadRelCnn(path: String): RelCnn.Fitted = {
+    val r = readDoc(path, "relcnn")
+    val cfg = RelCnn.Config(r.get("inputDim").asInt(), r.get("filters").asInt(),
+      r.get("headHidden").asInt())
+    val p = new RelCnn.Params(cfg, weights(r))
+    require(p.w.length == RelCnn.Params.size(cfg),
+      s"weight count ${p.w.length} != layout ${RelCnn.Params.size(cfg)}")
+    RelCnn.Fitted(p, Nil)
+  }
+}

@@ -117,6 +117,8 @@ object GruSweep {
       val fitted = Gru4.fit(v20Train, Gru4.Config(inputDim = Dim, hidden = 48,
         headHidden = 32, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
       val sec = (System.nanoTime() - t0) / 1e9
+      if (seed == seeds.last)
+        graft.estimate.ModelIo.saveGru4("/root/repo/data/band/models/gru4.json", fitted)
       val preds = testTrees.map(fitted.predict)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
       println(f"[v20-1] 4-traversal seed=$seed%4d (${sec}%.0f s, " +
@@ -198,6 +200,8 @@ object GruSweep {
       val fitted = Mscn.fit(mscnTrain, Mscn.Config(tf, pf, jf, hidden = 64,
         lr = 1e-3, epochs = 60, batch = 32, seed = seed))
       val sec = (System.nanoTime() - t0) / 1e9
+      if (seed == seeds.last)
+        graft.estimate.ModelIo.saveMscn("/root/repo/data/band/models/mscn.json", fitted)
       val preds = testSets.map(fitted.predictLog2)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
       val qe = Mscn.qerrorSummary(
@@ -231,6 +235,8 @@ object GruSweep {
       val fitted = NeoNet.fit(neoTrain, NeoNet.Config(inputDim = neoDim,
         lr = 1e-4, epochs = 600, batch = 32, seed = seed))
       val sec = (System.nanoTime() - t0) / 1e9
+      if (seed == seeds.last)
+        graft.estimate.ModelIo.saveNeo("/root/repo/data/band/models/neonet.json", fitted)
       val preds = neoTestX.map(fitted.predict)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
       println(f"[neo1] neonet seed=$seed%4d (${sec}%.0f s, " +
