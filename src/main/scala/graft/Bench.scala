@@ -127,7 +127,10 @@ object Bench {
       scala.util.Try(graft.encode.Encoder.encodeQuery(db, sql)).toOption)
     val encodeQps = encoded.size / ((System.nanoTime() - te0) / 1e9)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","parse_qps":$parseQps,"encode_qps":$encodeQps}"""
+    // cpus is stamped so a capture at the local[4] default can never be
+    // mistaken for a local[32] one (the round-8 "q42 regression" was
+    // exactly that mixup)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","cpus":$cpus,"parse_qps":$parseQps,"encode_qps":$encodeQps}"""
     println(json)
     // the driver captures a TAIL of stdout, which has truncated this line
     // mid-JSON before (round-6 advice) — also persist it to a file so the
