@@ -1,0 +1,112 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.estimate.{Estimator, Gru}
+import graft.gen.BalancedCheckpoint
+import graft.model.ModelJson
+
+/** The estimator learning curve in n — the evidence behind BASELINE's
+  * "the curve is still climbing" / "plateau" claim. Trains the GRU
+  * bucket classifier (bucket-balanced, 3-seed vote — the family that
+  * carries the published-band comparison) on growing PREFIXES of the
+  * band campaign's measurement order, always scoring against the SAME
+  * CRC-byte holdout drawn from the full checkpoint, and writes the
+  * acc/F1-vs-n table as a markdown artifact.
+  *
+  * The holdout is fixed across prefixes on purpose: a per-prefix
+  * holdout would change the test set as n grows and the curve would
+  * confound data volume with test-set drift.
+  *
+  * Usage: `sbt 'runMain graft.tools.LearningCurve [checkpoint] [statsJson] [outMd]'`
+  */
+object LearningCurve {
+
+  def main(args: Array[String]): Unit = {
+    val cpPath = args.lift(0).getOrElse("/root/repo/data/band/campaign_x160_c2.cp")
+    val statsPath = args.lift(1).getOrElse("/root/repo/data/band/x160/stats.json")
+    val outMd = args.lift(2).getOrElse("/root/repo/data/band/LEARNING_CURVE.md")
+    val cp = BalancedCheckpoint.deserialize(Files.readString(Paths.get(cpPath)))
+    val db = ModelJson.fromJson(Files.readString(Paths.get(statsPath)))
+    val usable = cp.results.filter(_._2 > 0)
+    println(s"[curve] ${usable.size} measured runtimes")
+
+    def isHoldout(sql: String): Boolean = {
+      val c = new java.util.zip.CRC32(); c.update(sql.getBytes("UTF-8"))
+      (c.getValue & 0xff) < 64
+    }
+    val test = usable.filter { case (sql, _) => isHoldout(sql) }
+    val actuals = test.map { case (_, rt) => math.log(rt) / math.log(2) }
+    println(s"[curve] holdout=${test.size} (fixed across prefixes)")
+
+    val Dim = 203
+    val seqs = scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
+    def encRaw(sql: String): Array[Array[Double]] =
+      seqs.getOrElseUpdate(sql,
+        graft.encode.SetEncoders.flatMatrix(db, sql).map(_.padTo(Dim, 0.0)))
+    usable.foreach { case (s, _) => encRaw(s) }
+
+    val classes = usable.map { case (_, rt) => Estimator.runtimeBucket(rt, 0) }.max + 1
+    val seeds = Seq(42L, 7L, 1234L)
+    val fracs = Seq(0.25, 0.5, 0.75, 1.0)
+    val rows = fracs.map { frac =>
+      val prefix = usable.take(math.max(1, (usable.size * frac).toInt))
+      val train = prefix.filterNot { case (sql, _) => isHoldout(sql) }
+      // z-score over THIS prefix's train timesteps (what a campaign
+      // stopped at n would have used)
+      val (mean, std) = {
+        val sum = new Array[Double](Dim); val sq = new Array[Double](Dim)
+        var n = 0L
+        train.foreach { case (sql, _) =>
+          encRaw(sql).foreach { row =>
+            var i = 0
+            while (i < Dim) { sum(i) += row(i); sq(i) += row(i) * row(i); i += 1 }
+            n += 1
+          }
+        }
+        (sum.map(_ / n), sq.indices.map(i =>
+          math.max(1e-6, math.sqrt(sq(i) / n - (sum(i) / n) * (sum(i) / n)))).toArray)
+      }
+      def z(seq: Array[Array[Double]]): Array[Array[Double]] =
+        seq.map { row =>
+          val out = new Array[Double](Dim)
+          var i = 0
+          while (i < Dim) { out(i) = (row(i) - mean(i)) / std(i); i += 1 }
+          out
+        }
+      val byBucket = train.groupBy { case (_, rt) => Estimator.runtimeBucket(rt, 0) }
+      val cap = byBucket.values.map(_.size).max
+      val balanced = byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
+        Iterator.continually(xs).flatten.take(cap).toSeq
+      }
+      val data = balanced.map { case (sql, rt) =>
+        (z(encRaw(sql)), Estimator.runtimeBucket(rt, 0)) }
+      val testSeqs = test.map { case (sql, _) => z(encRaw(sql)) }
+      val perSeed = seeds.map { seed =>
+        val fitted = Gru.fit(data, Gru.Config(inputDim = Dim, hidden = 48,
+          classes = classes, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
+        testSeqs.map(fitted.predict)
+      }
+      val voted = perSeed.transpose.map { votes =>
+        votes.groupBy(identity).toSeq.maxBy { case (b, vs) => (vs.size, -b) }._1.toDouble
+      }
+      val (acc, mae, f1) = Estimator.evaluate(voted.zip(actuals), minBucket = 0)
+      println(f"[curve] n=${prefix.size}%5d train=${train.size}%5d " +
+        f"acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+      (prefix.size, train.size, acc, mae, f1)
+    }
+
+    val sb = new StringBuilder
+    sb ++= "# GRU bucket-classifier learning curve (band campaign)\n\n"
+    sb ++= s"Holdout fixed at ${test.size} queries (CRC byte < 64 over the full\n"
+    sb ++= "checkpoint); train = measurement-order prefix minus holdout;\n"
+    sb ++= "bucket-balanced, 3-seed vote; reference bucket space.\n\n"
+    sb ++= "| n (prefix) | train | heldout acc | heldout MAE (buckets) | heldout macro-F1 |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    rows.foreach { case (n, tr, acc, mae, f1) =>
+      sb ++= f"| $n | $tr | $acc%.3f | $mae%.3f | $f1%.3f |\n"
+    }
+    Files.writeString(Paths.get(outMd), sb.result())
+    println(s"[curve] wrote $outMd")
+  }
+}
