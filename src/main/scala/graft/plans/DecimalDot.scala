@@ -64,6 +64,52 @@ final case class DecimalDotProduct(left: Expression, right: Expression)
 }
 
 object DecimalDotProduct {
+
+  /** The contract's reference rounding: identical semantics to
+    * Cast(double -> decimal(20,12)) — shortest-repr BigDecimal,
+    * HALF_UP at scale 12, as a scaled long. Kept callable so the
+    * property test can pit the fast path against it element-wise.
+    */
+  private[plans] def scaled12Reference(p: Double): Long =
+    JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Fast path for [[scaled12Reference]] — pure long/double arithmetic,
+    * no BigDecimal, no Double.toString parse (the reference path's
+    * dominant cost; this kernel runs per ELEMENT of every similarity
+    * dot in the engine).
+    *
+    * Soundness: let v be p's shortest decimal repr (what valueOf
+    * parses; |v − p| ≤ ulp(p)/2) — the target is round-half-up
+    * (away from zero) of v·1e12. We compute y = p·1e12 in double;
+    * |y − v·1e12| ≤ ulp(y)/2 (the multiply) + 1e12·ulp(p)/2 ≈ ulp(y)
+    * (ulps scale with the product within a factor of 2), so
+    * |y − v·1e12| ≤ 3·ulp(|y|) conservatively. Round-half-up as a
+    * function of the value only jumps at half-integer boundaries, so
+    * whenever |y|'s fractional part is more than 8·ulp(|y|) away from
+    * 0.5 the fast result provably equals the reference; otherwise —
+    * near-boundary, non-finite, or |y| too large for an exact long —
+    * fall back to the reference path (which also reproduces its exact
+    * exception behavior for NaN/Inf/overflow). d − floor(d) is exact
+    * for d < 2^52, and the 8-ulp guard degrades to always-fallback
+    * beyond 2^49 where ulp ≥ 1/8.
+    */
+  private[plans] def scaled12(p: Double): Long = {
+    val y = p * 1e12
+    if (java.lang.Double.isFinite(y)) {
+      val d = Math.abs(y)
+      if (d < 4.4e15) { // < 2^52: floor/frac exact, long conversion exact
+        val f = Math.floor(d)
+        val r = d - f
+        if (Math.abs(r - 0.5) > 8 * Math.ulp(d + 1.0)) {
+          val mag = f.toLong + (if (r > 0.5) 1L else 0L)
+          return if (y < 0) -mag else mag
+        }
+      }
+    }
+    scaled12Reference(p)
+  }
+
   /** Static kernel shared by interpreted eval and generated code.
     * `aD`/`bD` select double vs float element access per side.
     */
@@ -74,11 +120,7 @@ object DecimalDotProduct {
     while (i < n) {
       val x = if (aD) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (bD) b.getDouble(i) else b.getFloat(i).toDouble
-      val p = x * y
-      // identical semantics to Cast(double -> decimal(20,12)):
-      // shortest-repr BigDecimal, HALF_UP at scale 12
-      acc += JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP)
-        .unscaledValue().longValueExact()
+      acc += scaled12(x * y)
       i += 1
     }
     Decimal(BigDecimal(JBigDecimal.valueOf(acc, 12)), 30, 12)

@@ -38,4 +38,52 @@ class DecimalDotSpec extends AnyFunSuite {
         s"id=${r.getLong(0)}: native=${r.getDecimal(1)} composed=${r.getDecimal(2)}")
     }
   }
+
+  // outcome equality: same value, or the same exception class (the
+  // reference path throws on NaN/Inf and on scaled values outside a
+  // long — the fast path must reproduce that behavior, not mask it)
+  private def sameOutcome(p: Double): Unit = {
+    val slow = scala.util.Try(DecimalDotProduct.scaled12Reference(p))
+    val fast = scala.util.Try(DecimalDotProduct.scaled12(p))
+    (slow, fast) match {
+      case (scala.util.Success(s), scala.util.Success(f)) =>
+        assert(s == f, s"p=$p: fast $f vs reference $s")
+      case (scala.util.Failure(s), scala.util.Failure(f)) =>
+        assert(f.getClass == s.getClass, s"p=$p: $f vs $s")
+      case _ => fail(s"p=$p: one path threw, the other did not: $slow vs $fast")
+    }
+  }
+
+  test("scaled12 fast path == BigDecimal reference across magnitudes") {
+    val rng = new Random(99)
+    var checked = 0L
+    // magnitude sweep: products of unit-ish embedding components live
+    // around 2^-30..2^6, but the kernel must agree with the reference
+    // everywhere — including where the reference overflows a long
+    for (e <- -60 to 48; _ <- 1 to 2000) {
+      sameOutcome((rng.nextDouble() * 2 - 1) * math.pow(2.0, e))
+      checked += 1
+    }
+    assert(checked > 200000)
+  }
+
+  test("scaled12 matches the reference exactly AT rounding boundaries") {
+    val rng = new Random(7)
+    // adversarial: values whose true scaled fraction sits at or within
+    // ulps of k + 0.5 — where the fast path must detect ambiguity and
+    // fall back rather than guess
+    (1 to 50000).foreach { _ =>
+      val k = rng.nextLong() % 4000000000000L
+      val base = (k + 0.5) / 1e12
+      for (jitter <- Seq(0.0, Math.ulp(base), -Math.ulp(base),
+        4 * Math.ulp(base), -4 * Math.ulp(base)))
+        sameOutcome(base + jitter)
+    }
+    // specials: zeros, subnormals, the fast-window edge, beyond it,
+    // long-overflow magnitudes, non-finite
+    for (p <- Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      4.3e3, -4.3e3, 4.5e3, 1e10, -1e10, 2.3e-13, -2.3e-13, 5e-13, 1.5e-12,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
+      sameOutcome(p)
+  }
 }
