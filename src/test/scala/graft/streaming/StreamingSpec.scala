@@ -192,6 +192,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(u99 == 2)
   }
 
+  test("funnel idle clock is monotone: out-of-order batch cannot rewind the deadline") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val steps = Seq("view", "click")
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stages = EventStream.funnelStages(spark,
+      ms.toDF().toDF("user_id", "event_type", "ts"), steps,
+      idleTimeout = Some("30 minutes"))
+    val q = stages.writeStream.outputMode("update").format("memory")
+      .queryName("fmono").start()
+    try {
+      // user 1's newest event is at t=100000 → deadline 100000+1800
+      ms.addData((1L, "click", ts(100000)))
+      q.processAllAvailable()
+      // an OLDER in-watermark event (wm = 100000-600 = 99400; 99500 is
+      // above it) — the buggy anchor re-armed at 99500+1800 = 101300
+      ms.addData((1L, "click", ts(99500)))
+      q.processAllAvailable()
+      // drive the watermark into (101300, 101800): 102000-600 = 101400.
+      // A rewound deadline fires here; the monotone clock must NOT.
+      ms.addData((99L, "view", ts(102000)))
+      q.processAllAvailable()
+      ms.addData((99L, "view", ts(102001)))
+      q.processAllAvailable()
+      val mid = spark.sql("SELECT COUNT(*) FROM fmono WHERE user_id = 1")
+        .collect()(0).getLong(0)
+      assert(mid == 2, s"premature eviction: expected only the 2 data rows, got $mid")
+      // past the TRUE deadline (102500-600 = 101900 > 101800) the user
+      // times out for real — the clock is late-proof, not immortal
+      ms.addData((99L, "view", ts(102500)))
+      q.processAllAvailable()
+      ms.addData((99L, "view", ts(102501)))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT COUNT(*) FROM fmono WHERE user_id = 1")
+        .collect()(0).getLong(0)
+      assert(after == 3, s"expected the timeout emission after the true deadline, got $after")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val within = 24L * 3600
     val stream = EventStream.readEvents(spark, "/root/testdata/sf0.001")
