@@ -370,20 +370,28 @@ object Dedup {
       val direct = cp(labels.join(prop, Seq("node"), "left")
         .select(col("node"), col("cluster_id").as("prev"),
           least(col("cluster_id"), col("prop_min")).as("cluster_id")))
-      // pointer jump: labels are always node ids (by induction from the
-      // identity seeding), so label(label(n)) is one more join away —
-      // each round the label chain halves, hence O(log d) rounds. The
-      // round's START label rides along as `prev`, making the
-      // convergence check a filter over the already-materialized result
-      // instead of a third join per round.
-      val next = cp(direct.as("d")
-        .join(direct.select(col("node").as("cl"), col("cluster_id").as("cl_lab")),
-          col("d.cluster_id") === col("cl"))
-        .select(col("d.node").as("node"), col("d.prev").as("prev"),
-          least(col("d.cluster_id"), col("cl_lab")).as("cluster_id")))
-      converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
       rounds += 1
-      labels = next.drop("prev")
+      if (direct.where(col("cluster_id") =!= col("prev")).isEmpty) {
+        // propagation fixpoint: for every edge both endpoints already
+        // carry the same label (label(u) ≤ label(v) in both directions),
+        // so the pointer jump is provably the identity — skip the final
+        // round's jump join + checkpoint entirely
+        converged = true
+        labels = direct.drop("prev")
+      } else {
+        // pointer jump: labels are always node ids (by induction from
+        // the identity seeding), so label(label(n)) is one more join
+        // away — each round the label chain halves, hence O(log d)
+        // rounds. No convergence check here: the next iteration's
+        // propagation step performs it on its already-materialized
+        // result.
+        val next = cp(direct.as("d")
+          .join(direct.select(col("node").as("cl"), col("cluster_id").as("cl_lab")),
+            col("d.cluster_id") === col("cl"))
+          .select(col("d.node").as("node"),
+            least(col("d.cluster_id"), col("cl_lab")).as("cluster_id")))
+        labels = next
+      }
     }
     lastRoundsTL.set(rounds)
     labels.select(col("node").as(idCol), col("cluster_id"))
