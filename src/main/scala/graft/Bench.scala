@@ -129,8 +129,12 @@ object Bench {
 
     // cpus is stamped so a capture at the local[4] default can never be
     // mistaken for a local[32] one (the round-8 "q42 regression" was
-    // exactly that mixup)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","cpus":$cpus,"parse_qps":$parseQps,"encode_qps":$encodeQps}"""
+    // exactly that mixup). The env value is a raw master string — "*"
+    // (local[*]) is legitimate — so non-numeric values are quoted to
+    // keep the artifact valid JSON
+    val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
+      .getOrElse("\"" + cpus + "\"")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","cpus":$cpusJson,"parse_qps":$parseQps,"encode_qps":$encodeQps}"""
     println(json)
     // the driver captures a TAIL of stdout, which has truncated this line
     // mid-JSON before (round-6 advice) — also persist it to a file so the

@@ -23,12 +23,15 @@ object ModelIo {
 
   private def writeDoc(path: String, kind: String,
                        ints: Seq[(String, Int)], doubles: Seq[(String, Double)],
-                       longs: Seq[(String, Long)], w: Array[Double]): Unit = {
+                       w: Array[Double],
+                       arrays: Seq[(String, Array[Double])] = Nil): Unit = {
     val root = mapper.createObjectNode()
     root.put("kind", kind)
     ints.foreach { case (k, v) => root.put(k, v) }
     doubles.foreach { case (k, v) => root.put(k, v) }
-    longs.foreach { case (k, v) => root.put(k, v) }
+    arrays.foreach { case (k, vs) =>
+      val a = root.putArray(k); vs.foreach(a.add)
+    }
     val arr = root.putArray("w")
     w.foreach(arr.add)
     val p = java.nio.file.Paths.get(path)
@@ -55,7 +58,7 @@ object ModelIo {
     writeDoc(path, "mscn",
       Seq("tableFeats" -> f.p.cfg.tableFeats, "predFeats" -> f.p.cfg.predFeats,
         "joinFeats" -> f.p.cfg.joinFeats, "hidden" -> f.p.cfg.hidden),
-      Seq("minLog" -> f.minLog, "maxLog" -> f.maxLog), Nil, f.p.w)
+      Seq("minLog" -> f.minLog, "maxLog" -> f.maxLog), f.p.w)
 
   def loadMscn(path: String): Mscn.Fitted = {
     val r = readDoc(path, "mscn")
@@ -72,7 +75,7 @@ object ModelIo {
   def saveNeo(path: String, f: NeoNet.Fitted): Unit =
     writeDoc(path, "neonet",
       Seq("inputDim" -> f.p.cfg.inputDim, "h1" -> f.p.cfg.h1,
-        "h2" -> f.p.cfg.h2, "h3" -> f.p.cfg.h3), Nil, Nil, f.p.w)
+        "h2" -> f.p.cfg.h2, "h3" -> f.p.cfg.h3), Nil, f.p.w)
 
   def loadNeo(path: String): NeoNet.Fitted = {
     val r = readDoc(path, "neonet")
@@ -89,7 +92,7 @@ object ModelIo {
   def saveGru(path: String, f: Gru.Fitted): Unit =
     writeDoc(path, "gru",
       Seq("inputDim" -> f.p.cfg.inputDim, "hidden" -> f.p.cfg.hidden,
-        "classes" -> f.p.cfg.classes), Nil, Nil, f.p.w)
+        "classes" -> f.p.cfg.classes), Nil, f.p.w)
 
   def loadGru(path: String): Gru.Fitted = {
     val r = readDoc(path, "gru")
@@ -103,19 +106,36 @@ object ModelIo {
 
   // ---- Gru4 (v20 regressor) ------------------------------------------
 
-  def saveGru4(path: String, f: Gru4.Fitted): Unit =
+  /** `norm`: the train-split per-dimension (mean, std) the sequences
+    * were z-scored with — REQUIRED for a checkpoint meant to predict in
+    * a later session (weights fitted on z-scored inputs are garbage on
+    * raw features; [[loadGru4Norm]] returns them alongside the model).
+    */
+  def saveGru4(path: String, f: Gru4.Fitted,
+               norm: Option[(Array[Double], Array[Double])] = None): Unit =
     writeDoc(path, "gru4",
       Seq("inputDim" -> f.p.cfg.inputDim, "hidden" -> f.p.cfg.hidden,
-        "headHidden" -> f.p.cfg.headHidden), Nil, Nil, f.p.w)
+        "headHidden" -> f.p.cfg.headHidden), Nil, f.p.w,
+      norm.map { case (m, sd) => Seq("norm_mean" -> m, "norm_std" -> sd) }
+        .getOrElse(Nil))
 
-  def loadGru4(path: String): Gru4.Fitted = {
+  def loadGru4(path: String): Gru4.Fitted = loadGru4Norm(path)._1
+
+  /** Model plus the persisted z-score constants (None on a checkpoint
+    * saved without them). Callers predicting in a fresh session must
+    * apply (x − mean) / std per dimension before the forward pass.
+    */
+  def loadGru4Norm(path: String): (Gru4.Fitted, Option[(Array[Double], Array[Double])]) = {
     val r = readDoc(path, "gru4")
     val cfg = Gru4.Config(r.get("inputDim").asInt(), r.get("hidden").asInt(),
       r.get("headHidden").asInt())
     val p = new Gru4.Params(cfg, weights(r))
     require(p.w.length == Gru4.Params.size(cfg),
       s"weight count ${p.w.length} != layout ${Gru4.Params.size(cfg)}")
-    Gru4.Fitted(p, Nil)
+    def arr(k: String): Option[Array[Double]] = Option(r.get(k))
+      .map(a => Array.tabulate(a.size())(a.get(_).asDouble()))
+    val norm = for (m <- arr("norm_mean"); sd <- arr("norm_std")) yield (m, sd)
+    (Gru4.Fitted(p, Nil), norm)
   }
 
   // ---- TreeLstm ------------------------------------------------------
@@ -123,7 +143,7 @@ object ModelIo {
   def saveTreeLstm(path: String, f: TreeLstm.Fitted): Unit =
     writeDoc(path, "treelstm",
       Seq("inputDim" -> f.p.cfg.inputDim, "hidden" -> f.p.cfg.hidden),
-      Nil, Nil, f.p.w)
+      Nil, f.p.w)
 
   def loadTreeLstm(path: String): TreeLstm.Fitted = {
     val r = readDoc(path, "treelstm")
@@ -139,7 +159,7 @@ object ModelIo {
   def saveRelCnn(path: String, f: RelCnn.Fitted): Unit =
     writeDoc(path, "relcnn",
       Seq("inputDim" -> f.p.cfg.inputDim, "filters" -> f.p.cfg.filters,
-        "headHidden" -> f.p.cfg.headHidden), Nil, Nil, f.p.w)
+        "headHidden" -> f.p.cfg.headHidden), Nil, f.p.w)
 
   def loadRelCnn(path: String): RelCnn.Fitted = {
     val r = readDoc(path, "relcnn")

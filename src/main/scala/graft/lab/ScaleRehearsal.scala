@@ -101,6 +101,7 @@ object ScaleRehearsal {
     // design, so nothing else cleans them up)
     val ccCheckpointDir = java.nio.file.Files.createTempDirectory("cc_checkpoint")
     spark.sparkContext.setCheckpointDir(ccCheckpointDir.toString)
+    try {
 
     val scales = Seq(1L, 3L, 10L)
     val rows = scales.map { s =>
@@ -208,11 +209,14 @@ object ScaleRehearsal {
       f"cc_sec=×${g(math.round(first._7.seconds * 1000), math.round(last._7.seconds * 1000))}%.1f " +
       f"sem_rel_sec=×${g(math.round(first._8.seconds * 1000), math.round(last._8.seconds * 1000))}%.1f")
     spark.stop()
-    // reliable checkpoints survive the session on purpose; this run's
-    // temp dir must not
-    val walk = java.nio.file.Files.walk(ccCheckpointDir)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close()
+    } finally {
+      // reliable checkpoints survive the session on purpose; this run's
+      // temp dir must not — clean up on failure paths too (a crashed
+      // 10x row would otherwise leak every round's checkpoint files)
+      val walk = java.nio.file.Files.walk(ccCheckpointDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }

@@ -108,7 +108,14 @@ object EventStream {
     * `seenNanos` = newest event time EVER seen for this user — the idle
     * clock. Kept separately: a batch of out-of-order non-advancing
     * events must never re-arm the timeout EARLIER than an
-    * already-armed deadline. */
+    * already-armed deadline.
+    *
+    * Streaming-checkpoint compatibility: adding `seenNanos` (round 8)
+    * changed this state encoder's schema, so a funnel query restarted
+    * from a durable checkpoint written by the 2-field version fails
+    * with a state-schema mismatch and must restart fresh (the default
+    * value only applies to NEW state, not to already-persisted rows).
+    */
   final case class FunnelState(stage: Int, tNanos: Long,
                                seenNanos: Long = Long.MinValue)
   final case class UserFunnel(user_id: Long, reached: Int)

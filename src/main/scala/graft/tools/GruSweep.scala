@@ -40,10 +40,7 @@ object GruSweep {
     val usable = cp.results.filter(_._2 > 0)
     println(s"[gru] ${usable.size} measured runtimes from $cpPath")
 
-    val (test, train) = usable.partition { case (sql, _) =>
-      val c = new java.util.zip.CRC32(); c.update(sql.getBytes("UTF-8"))
-      (c.getValue & 0xff) < 64
-    }
+    val (test, train) = usable.partition { case (sql, _) => SweepKit.isHoldout(sql) }
     println(s"[gru] train=${train.size} heldout=${test.size}")
 
     val Dim = 203
@@ -54,28 +51,10 @@ object GruSweep {
     (train ++ test).foreach { case (s, _) => enc(s) }
 
     // z-score per dimension over TRAIN timesteps only
-    val (mean, std) = {
-      val sum = new Array[Double](Dim); val sq = new Array[Double](Dim)
-      var n = 0L
-      train.foreach { case (sql, _) =>
-        enc(sql).foreach { row =>
-          var i = 0
-          while (i < Dim) { sum(i) += row(i); sq(i) += row(i) * row(i); i += 1 }
-          n += 1
-        }
-      }
-      val m = sum.map(_ / n)
-      val s = sq.indices.map(i =>
-        math.max(1e-6, math.sqrt(sq(i) / n - m(i) * m(i)))).toArray
-      (m, s)
-    }
-    def z(seq: Array[Array[Double]]): Array[Array[Double]] =
-      seq.map { row =>
-        val out = new Array[Double](Dim)
-        var i = 0
-        while (i < Dim) { out(i) = (row(i) - mean(i)) / std(i); i += 1 }
-        out
-      }
+    // (cancellation-safe variance + the holdout/balance/vote
+    // conventions all live in SweepKit, shared with LearningCurve)
+    val (mean, std) = SweepKit.zStats(train, Dim, enc)
+    val z = SweepKit.zApply(mean, std) _
 
     val classes = usable.map { case (_, rt) => Estimator.runtimeBucket(rt, 0) }.max + 1
     def labeled(set: Seq[(String, Double)]): Seq[(Array[Array[Double]], Int)] =
@@ -83,20 +62,12 @@ object GruSweep {
 
     // bucket-balanced cyclic oversampling (training set only), the
     // BandRetrain/MlpSweep convention
-    val byBucket = train.groupBy { case (_, rt) => Estimator.runtimeBucket(rt, 0) }
-    val cap = byBucket.values.map(_.size).max
-    val balanced = byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
-      Iterator.continually(xs).flatten.take(cap).toSeq
-    }
+    val balanced = SweepKit.balance(train)
 
     val actuals = test.map { case (_, rt) => math.log(rt) / math.log(2) }
     val testSeqs = test.map { case (sql, _) => z(enc(sql)) }
-    def score(bucketsPerSeed: Seq[Seq[Int]]): (Double, Double, Double) = {
-      val voted = bucketsPerSeed.transpose.map { votes =>
-        votes.groupBy(identity).toSeq.maxBy { case (b, vs) => (vs.size, -b) }._1.toDouble
-      }
-      Estimator.evaluate(voted.zip(actuals), minBucket = 0)
-    }
+    def score(bucketsPerSeed: Seq[Seq[Int]]): (Double, Double, Double) =
+      Estimator.evaluate(SweepKit.vote(bucketsPerSeed).zip(actuals), minBucket = 0)
 
     // ---- v20 architecture: four traversal GRUs + tanh head, smooth-L1
     // regression on log2 runtime (the reference's own loss/label space) —
@@ -118,7 +89,10 @@ object GruSweep {
         headHidden = 32, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
       val sec = (System.nanoTime() - t0) / 1e9
       if (seed == seeds.last)
-        graft.estimate.ModelIo.saveGru4("/root/repo/data/band/models/gru4.json", fitted)
+        // the z-score constants ride along: without them a later
+        // session would feed raw features to z-fitted weights
+        graft.estimate.ModelIo.saveGru4("/root/repo/data/band/models/gru4.json",
+          fitted, Some((mean, std)))
       val preds = testTrees.map(fitted.predict)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
       println(f"[v20-1] 4-traversal seed=$seed%4d (${sec}%.0f s, " +

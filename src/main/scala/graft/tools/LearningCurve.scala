@@ -31,11 +31,7 @@ object LearningCurve {
     val usable = cp.results.filter(_._2 > 0)
     println(s"[curve] ${usable.size} measured runtimes")
 
-    def isHoldout(sql: String): Boolean = {
-      val c = new java.util.zip.CRC32(); c.update(sql.getBytes("UTF-8"))
-      (c.getValue & 0xff) < 64
-    }
-    val test = usable.filter { case (sql, _) => isHoldout(sql) }
+    val test = usable.filter { case (sql, _) => SweepKit.isHoldout(sql) }
     val actuals = test.map { case (_, rt) => math.log(rt) / math.log(2) }
     println(s"[curve] holdout=${test.size} (fixed across prefixes)")
 
@@ -51,34 +47,13 @@ object LearningCurve {
     val fracs = Seq(0.25, 0.5, 0.75, 1.0)
     val rows = fracs.map { frac =>
       val prefix = usable.take(math.max(1, (usable.size * frac).toInt))
-      val train = prefix.filterNot { case (sql, _) => isHoldout(sql) }
+      val train = prefix.filterNot { case (sql, _) => SweepKit.isHoldout(sql) }
       // z-score over THIS prefix's train timesteps (what a campaign
-      // stopped at n would have used)
-      val (mean, std) = {
-        val sum = new Array[Double](Dim); val sq = new Array[Double](Dim)
-        var n = 0L
-        train.foreach { case (sql, _) =>
-          encRaw(sql).foreach { row =>
-            var i = 0
-            while (i < Dim) { sum(i) += row(i); sq(i) += row(i) * row(i); i += 1 }
-            n += 1
-          }
-        }
-        (sum.map(_ / n), sq.indices.map(i =>
-          math.max(1e-6, math.sqrt(sq(i) / n - (sum(i) / n) * (sum(i) / n)))).toArray)
-      }
-      def z(seq: Array[Array[Double]]): Array[Array[Double]] =
-        seq.map { row =>
-          val out = new Array[Double](Dim)
-          var i = 0
-          while (i < Dim) { out(i) = (row(i) - mean(i)) / std(i); i += 1 }
-          out
-        }
-      val byBucket = train.groupBy { case (_, rt) => Estimator.runtimeBucket(rt, 0) }
-      val cap = byBucket.values.map(_.size).max
-      val balanced = byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
-        Iterator.continually(xs).flatten.take(cap).toSeq
-      }
+      // stopped at n would have used) — SweepKit's cancellation-safe
+      // variance, shared with GruSweep
+      val (mean, std) = SweepKit.zStats(train, Dim, encRaw)
+      val z = SweepKit.zApply(mean, std) _
+      val balanced = SweepKit.balance(train)
       val data = balanced.map { case (sql, rt) =>
         (z(encRaw(sql)), Estimator.runtimeBucket(rt, 0)) }
       val testSeqs = test.map { case (sql, _) => z(encRaw(sql)) }
@@ -87,10 +62,8 @@ object LearningCurve {
           classes = classes, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
         testSeqs.map(fitted.predict)
       }
-      val voted = perSeed.transpose.map { votes =>
-        votes.groupBy(identity).toSeq.maxBy { case (b, vs) => (vs.size, -b) }._1.toDouble
-      }
-      val (acc, mae, f1) = Estimator.evaluate(voted.zip(actuals), minBucket = 0)
+      val (acc, mae, f1) =
+        Estimator.evaluate(SweepKit.vote(perSeed).zip(actuals), minBucket = 0)
       println(f"[curve] n=${prefix.size}%5d train=${train.size}%5d " +
         f"acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
       (prefix.size, train.size, acc, mae, f1)

@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft.estimate.Estimator
+
+/** The band-sweep conventions shared by [[GruSweep]] and
+  * [[LearningCurve]] (and anything else scoring against the campaign):
+  * the CRC-byte holdout predicate, per-dimension z-score statistics
+  * with a CANCELLATION-SAFE variance (the naive sq/n − mean² can go
+  * slightly negative for constant non-dyadic columns; sqrt of that is
+  * NaN and would silently poison every normalized vector), the
+  * bucket-balanced cyclic oversampler, and the seed-vote. One home so
+  * the learning-curve artifact can never desynchronize from the sweep
+  * it explains.
+  */
+private[tools] object SweepKit {
+
+  /** Held-out iff the SQL's CRC32 low byte < 64 (≈25%). */
+  def isHoldout(sql: String): Boolean = {
+    val c = new java.util.zip.CRC32(); c.update(sql.getBytes("UTF-8"))
+    (c.getValue & 0xff) < 64
+  }
+
+  /** Per-dimension mean/std over all timesteps of the train split's
+    * sequences; variance clamped at 0 before the sqrt, floor 1e-6. */
+  def zStats(train: Seq[(String, Double)], dim: Int,
+             enc: String => Array[Array[Double]]): (Array[Double], Array[Double]) = {
+    val sum = new Array[Double](dim); val sq = new Array[Double](dim)
+    var n = 0L
+    train.foreach { case (sql, _) =>
+      enc(sql).foreach { row =>
+        var i = 0
+        while (i < dim) { sum(i) += row(i); sq(i) += row(i) * row(i); i += 1 }
+        n += 1
+      }
+    }
+    val mean = sum.map(_ / n)
+    val std = sq.indices.map { i =>
+      math.max(1e-6, math.sqrt(math.max(0.0, sq(i) / n - mean(i) * mean(i))))
+    }.toArray
+    (mean, std)
+  }
+
+  def zApply(mean: Array[Double], std: Array[Double])(
+      seq: Array[Array[Double]]): Array[Array[Double]] =
+    seq.map { row =>
+      val out = new Array[Double](mean.length)
+      var i = 0
+      while (i < mean.length) { out(i) = (row(i) - mean(i)) / std(i); i += 1 }
+      out
+    }
+
+  /** Bucket-balanced cyclic oversampling to the largest bucket's size
+    * (training set only). */
+  def balance(train: Seq[(String, Double)]): Seq[(String, Double)] = {
+    val byBucket = train.groupBy { case (_, rt) => Estimator.runtimeBucket(rt, 0) }
+    val cap = byBucket.values.map(_.size).max
+    byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
+      Iterator.continually(xs).flatten.take(cap).toSeq
+    }
+  }
+
+  /** Per-example majority vote across seeds; ties to the SMALLER bucket. */
+  def vote(bucketsPerSeed: Seq[Seq[Int]]): Seq[Double] =
+    bucketsPerSeed.transpose.map { votes =>
+      votes.groupBy(identity).toSeq.maxBy { case (b, vs) => (vs.size, -b) }._1.toDouble
+    }
+}

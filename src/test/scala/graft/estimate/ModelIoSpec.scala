@@ -53,10 +53,19 @@ class ModelIoSpec extends AnyFunSuite {
     }
     val g4 = Gru4.fit(trees.zipWithIndex.map { case (t, i) => (t, i * 0.2) },
       Gru4.Config(inputDim = 4, hidden = 4, headHidden = 4, epochs = 2, seed = 7L))
-    ModelIo.saveGru4(s"$dir/g4.json", g4)
-    val g42 = ModelIo.loadGru4(s"$dir/g4.json")
+    // gru4 persists the z-score constants its inputs were normalized
+    // with (predictions in a fresh session are garbage without them)
+    val mean = Array.tabulate(4)(_ * 0.1)
+    val std = Array.tabulate(4)(i => 1.0 + i * 0.01)
+    ModelIo.saveGru4(s"$dir/g4.json", g4, Some((mean, std)))
+    val (g42, norm) = ModelIo.loadGru4Norm(s"$dir/g4.json")
     assert(g42.p.w.toSeq == g4.p.w.toSeq)
+    assert(norm.exists { case (m, sd) =>
+      m.toSeq == mean.toSeq && sd.toSeq == std.toSeq })
     trees.foreach(t => assert(g42.predict(t) == g4.predict(t)))
+    // a norm-less checkpoint loads with norm = None
+    ModelIo.saveGru4(s"$dir/g4b.json", g4)
+    assert(ModelIo.loadGru4Norm(s"$dir/g4b.json")._2.isEmpty)
 
     val tl = TreeLstm.fit(trees.zipWithIndex.map { case (t, i) => (t, i * 0.2) },
       TreeLstm.Config(inputDim = 4, hidden = 4, epochs = 2, seed = 7L))
