@@ -348,7 +348,11 @@ object Dedup {
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .join(nodeSet.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(nodeSet.select(col("node").as("dst")), Seq("dst"), "left_semi"))
-    var labels = cp(nodeSet.withColumn("cluster_id", col("node")))
+    // the identity seeding is a trivial projection of the ALREADY
+    // checkpointed nodeSet — round 1's two consumers recompute a
+    // column-alias, not a subtree, so materializing it separately would
+    // only add a barrier
+    var labels = nodeSet.withColumn("cluster_id", col("node"))
     // fixpoint = no label changed this round (a changed-row count, NOT a
     // sum of labels: label sums overflow Long for 60-bit hash ids, and
     // an empty corpus sums to NULL)
