@@ -57,8 +57,14 @@ object GruSweep {
     val z = SweepKit.zApply(mean, std) _
 
     val classes = usable.map { case (_, rt) => Estimator.runtimeBucket(rt, 0) }.max + 1
+    // z-applied sequences cached by SQL so balanced/augmented
+    // oversampling shares references instead of re-materializing a
+    // fresh normalized copy per duplicate
+    val zSeqs = scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
+    def zenc(sql: String): Array[Array[Double]] =
+      zSeqs.getOrElseUpdate(sql, z(enc(sql)))
     def labeled(set: Seq[(String, Double)]): Seq[(Array[Array[Double]], Int)] =
-      set.map { case (sql, rt) => (z(enc(sql)), Estimator.runtimeBucket(rt, 0)) }
+      set.map { case (sql, rt) => (zenc(sql), Estimator.runtimeBucket(rt, 0)) }
 
     // bucket-balanced cyclic oversampling (training set only), the
     // BandRetrain/MlpSweep convention
@@ -223,7 +229,19 @@ object GruSweep {
     println(f"[neo-ens] neonet mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$nAcc%.3f mae=$nMae%.3f f1=$nF1%.3f")
 
-    for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced)) {
+    // ---- tpch_aug analog: the reference's best gerelt F1 (0.754,
+    // BASELINE.md model table) comes from the AUGMENTED dataset, so the
+    // flagship classifier also gets an augmented-train row. z-score
+    // constants stay those of the unaugmented train split: all three
+    // rows then share one feature space, and permutations only reorder
+    // rows/subtrees so the per-dimension moments barely move.
+    val augmented = SweepKit.augment(train, db, limit = 8,
+      holdout = test.map(_._1).toSet)
+    println(s"[gru] augmented train=${augmented.size} " +
+      s"(tpch_aug analog, ${train.size} originals, permutation limit 8)")
+
+    for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced,
+                             "augmented" -> SweepKit.balance(augmented))) {
       val data = labeled(set)
       val perSeed = seeds.map { seed =>
         val t0 = System.nanoTime()

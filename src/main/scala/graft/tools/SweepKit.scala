@@ -49,6 +49,27 @@ private[tools] object SweepKit {
       out
     }
 
+  /** The `tpch_aug` analog (BASELINE.md's model table credits the
+    * reference's best gerelt F1 0.754 to the AUGMENTED dataset):
+    * expand each TRAIN query into up to `limit` join-commute /
+    * predicate-order permutations ([[graft.ir.TreeOps.permutations]],
+    * the D2 machinery `Workloads.augment` runs distributed) carrying
+    * the same runtime label. The holdout never enters; any permuted
+    * string that is byte-identical to a held-out query's SQL is
+    * dropped (the generator can emit permutation-equal near-
+    * duplicates, and training on an exact holdout string would
+    * memorize that point). Unparseable inputs fall back to themselves.
+    */
+  def augment(train: Seq[(String, Double)], db: graft.model.DbModel,
+              limit: Int, holdout: Set[String]): Seq[(String, Double)] =
+    train.flatMap { case (sql, rt) =>
+      scala.util.Try {
+        graft.ir.TreeOps.permutations(
+            graft.ir.Frontend.parseSql(sql, Some(db)), limit)
+          .map(p => (graft.ir.TreeOps.toQuery(p).toSql(pretty = false), rt))
+      }.getOrElse(Seq((sql, rt)))
+    }.distinct.filterNot { case (sql, _) => holdout.contains(sql) }
+
   /** Bucket-balanced cyclic oversampling to the largest bucket's size
     * (training set only). */
   def balance(train: Seq[(String, Double)]): Seq[(String, Double)] = {
