@@ -241,7 +241,10 @@ object Mscn {
 
   /** The notebook's print_qerror summary over (predictedSeconds,
     * actualSeconds): ratio q-error max(p/a, a/p) at the median / p90 /
-    * p95 / p99 / max / mean.
+    * p95 / p99 / max / mean. Percentiles use numpy's default linear
+    * interpolation between adjacent order statistics (the notebook
+    * calls np.percentile) — a nearest-rank ceil index would overstate
+    * p90/p95/p99 on small holdouts.
     */
   def qerrorSummary(pred: Seq[(Double, Double)]): Map[String, Double] = {
     require(pred.nonEmpty, "no predictions")
@@ -249,8 +252,12 @@ object Mscn {
       val (lo, hi) = (math.min(p, a), math.max(p, a))
       hi / math.max(lo, 1e-9)
     }.sorted
-    def pct(q: Double): Double =
-      qe(math.min(qe.size - 1, math.ceil(q * qe.size).toInt - 1).max(0))
+    def pct(q: Double): Double = {
+      val pos = q * (qe.size - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.min(qe.size - 1, lo + 1)
+      qe(lo) + (pos - lo) * (qe(hi) - qe(lo))
+    }
     Map("median" -> pct(0.5), "p90" -> pct(0.9), "p95" -> pct(0.95),
       "p99" -> pct(0.99), "max" -> qe.last, "mean" -> qe.sum / qe.size)
   }

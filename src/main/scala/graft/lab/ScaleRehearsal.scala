@@ -78,6 +78,19 @@ object ScaleRehearsal {
   def planesFor(n: Long, targetBucket: Long = 60L): Int =
     math.max(3, (math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).ceil.toInt)
 
+  /** Planted chain graph: ids 0..n-1 tiled into disjoint chains of
+    * `chainLen` CONSECUTIVE ids (component diameter = chainLen − 1,
+    * the worst case for label propagation), one edge per consecutive
+    * pair — generated distributed, no driver loop. The component count
+    * is exactly ceil(n / chainLen), which the rehearsal asserts so a
+    * wrong fixpoint can never pass as a fast one.
+    */
+  def chainEdges(spark: SparkSession, n: Long, chainLen: Long): DataFrame =
+    spark.range(n).toDF("id_a")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .where(col("id_a") % chainLen =!= (chainLen - 1) && col("id_a") + 1 < n)
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+
   final case class Cell(n: Long, pairs: Long, seconds: Double, knob: String)
 
   private def timed(body: => Long): (Long, Double) = {
@@ -208,6 +221,32 @@ object ScaleRehearsal {
       f"dup_pos=×${g(first._6.pairs, last._6.pairs)}%.1f " +
       f"cc_sec=×${g(math.round(first._7.seconds * 1000), math.round(last._7.seconds * 1000))}%.1f " +
       f"sem_rel_sec=×${g(math.round(first._8.seconds * 1000), math.round(last._8.seconds * 1000))}%.1f")
+
+    // ---- CC round growth vs component DIAMETER (the O(log d) claim
+    // itself). The near-dup rows above hold cluster diameter constant
+    // while n grows — they prove rounds flat in n, not the log-d law.
+    // Planted worst-case chains of diameter 2^k at several n measure
+    // it directly: pointer jumping halves the label chain each round,
+    // so DOUBLING the diameter must cost ~ONE more round, never 2×.
+    println()
+    println("| n | chain diameter d | log2(d) | cc_components | cc_rounds | cc_sec |  (reliable=true, real checkpoint dir)")
+    println("|---|---|---|---|---|---|")
+    for (n <- Seq(2000L, 6000L, 20000L); d <- Seq(16L, 64L, 256L)) {
+      val nodes = spark.range(n).toDF("node_id")
+      val edges = chainEdges(spark, n, d + 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count()
+      val (comps, sec) = timed {
+        Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "node_id",
+          reliable = true).select("cluster_id").distinct().count()
+      }
+      val rounds = Dedup.lastRounds
+      edges.unpersist()
+      val expected = (n + d) / (d + 1) // ceil(n / chainLen)
+      require(comps == expected,
+        s"chain fixpoint wrong: $comps components, expected $expected (n=$n d=$d)")
+      println(f"| $n | $d | ${(math.log(d.toDouble) / math.log(2)).round} | $comps | $rounds | $sec%.2f |")
+    }
     spark.stop()
     } finally {
       // reliable checkpoints survive the session on purpose; this run's

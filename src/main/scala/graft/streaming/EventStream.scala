@@ -86,21 +86,52 @@ object EventStream {
   /** Stateful per-user running aggregate via mapGroupsWithState —
     * the custom-state streaming pattern (SURVEY steering: KeyValue
     * GroupedDataset.mapGroupsWithState).
+    *
+    * State bound: without `idleTimeout` state is one aggregate per
+    * DISTINCT user ever seen — O(|users|) forever, fine for bounded
+    * user populations, unbounded for open-world ids. Passing
+    * `idleTimeout` (e.g. `"30 days"`) watermarks the stream and evicts
+    * a user whose newest event is older than the watermark minus the
+    * horizon, emitting their final aggregate on the way out; a user who
+    * reappears later restarts from zero — the same idle-eviction trade
+    * as [[funnelStages]]. `lastNanos` is already the monotone max of
+    * every event time seen, so it doubles as the idle clock (an
+    * out-of-order batch can never rewind an armed deadline).
     */
-  def userSessions(spark: SparkSession, events: DataFrame): DataFrame = {
+  def userSessions(spark: SparkSession, events: DataFrame,
+                   idleTimeout: Option[String] = None): DataFrame = {
     import spark.implicits._
-    events.select(col("user_id").cast("long"), col("value").cast("double"),
-        graft.Tables.eventTimeNs(events))
-      .as[(Long, Double, Long)]
+    // event-time timeout needs the watermarked column to reach the
+    // stateful operator's input (see funnelStages for the same rule)
+    val timed = idleTimeout match {
+      case Some(_) => withEventTime(events).withWatermark("event_time", "10 minutes")
+      case None => events.withColumn("event_time", lit(null).cast("timestamp"))
+    }
+    val timeoutConf = idleTimeout match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
+    timed.select(col("user_id").cast("long"), col("value").cast("double"),
+        graft.Tables.eventTimeNs(events), col("event_time"))
+      .as[(Long, Double, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Double, Long)],
+      .mapGroupsWithState(timeoutConf) {
+        (user: Long, rows: Iterator[(Long, Double, Long, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[SessionState]) =>
-          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          var c = prev.count; var s = prev.sum; var last = prev.lastNanos
-          rows.foreach { r => c += 1; s += r._2; last = math.max(last, r._3) }
-          state.update(SessionState(c, s, last))
-          UserSession(user, c, s)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            UserSession(user, last.count, last.sum)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var c = prev.count; var s = prev.sum; var last = prev.lastNanos
+            rows.foreach { r => c += 1; s += r._2; last = math.max(last, r._3) }
+            state.update(SessionState(c, s, last))
+            idleTimeout.foreach { horizon =>
+              state.setTimeoutTimestamp(last / 1000000L, horizon)
+            }
+            UserSession(user, c, s)
+          }
       }.toDF()
   }
 
@@ -110,14 +141,31 @@ object EventStream {
     * events must never re-arm the timeout EARLIER than an
     * already-armed deadline.
     *
-    * Streaming-checkpoint compatibility: adding `seenNanos` (round 8)
-    * changed this state encoder's schema, so a funnel query restarted
-    * from a durable checkpoint written by the 2-field version fails
-    * with a state-schema mismatch and must restart fresh (the default
-    * value only applies to NEW state, not to already-persisted rows).
+    * Streaming-checkpoint compatibility: the PERSISTED form is a
+    * length-versioned `Array[Long]` (`toPersisted`/`fromPersisted`),
+    * not this case class — a case-class state encoder bakes its field
+    * list into the checkpoint's state schema, so adding a field (as
+    * round 8's `seenNanos` did) fails any restart from an older durable
+    * checkpoint with a state-schema mismatch. An `array<bigint>` column
+    * keeps ONE schema whatever fields are appended: the decoder reads
+    * by position and defaults what a shorter (older) row doesn't carry,
+    * so a funnel restarted from a 2-field-era checkpoint resumes with
+    * `seenNanos = Long.MinValue` (the next batch re-arms the idle clock
+    * from its own events) instead of crashing.
     */
   final case class FunnelState(stage: Int, tNanos: Long,
-                               seenNanos: Long = Long.MinValue)
+                               seenNanos: Long = Long.MinValue) {
+    def toPersisted: Array[Long] = Array(stage.toLong, tNanos, seenNanos)
+  }
+
+  object FunnelState {
+    /** Length-versioned decode: v1 rows are (stage, tNanos), v2 appends
+      * seenNanos. Unknown FUTURE fields (longer arrays) are ignored so a
+      * rollback also restarts cleanly. */
+    def fromPersisted(a: Array[Long]): FunnelState =
+      FunnelState(a(0).toInt, a(1),
+        if (a.length >= 3) a(2) else Long.MinValue)
+  }
   final case class UserFunnel(user_id: Long, reached: Int)
 
   /** Streaming conversion funnel — the ingest-time counterpart of the
@@ -168,13 +216,14 @@ object EventStream {
       .groupByKey(_._1)
       .mapGroupsWithState(timeoutConf) {
         (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
-         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+         state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
           if (state.hasTimedOut) {
-            val reached = state.get.stage
+            val reached = FunnelState.fromPersisted(state.get).stage
             state.remove()
             UserFunnel(user, reached)
           } else {
-            val prev = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val prev = state.getOption.map(FunnelState.fromPersisted)
+              .getOrElse(FunnelState(0, Long.MinValue))
             var st = prev.stage
             var t = prev.tNanos
             val batch = rows.toSeq.sortBy(r => (r._3, r._2))
@@ -185,7 +234,7 @@ object EventStream {
             // batches — an out-of-order batch must not REWIND an armed
             // deadline and evict an active user early)
             val seen = math.max(prev.seenNanos, batch.map(_._3).max)
-            state.update(FunnelState(st, t, seen))
+            state.update(FunnelState(st, t, seen).toPersisted)
             idleTimeout.foreach { horizon =>
               state.setTimeoutTimestamp(seen / 1000000L, horizon)
             }

@@ -28,13 +28,25 @@ import graft.model.ModelJson
   * as BandRetrain/MlpSweep, so numbers drop into the README parity
   * table unchanged.
   *
-  * Usage: `sbt 'runMain graft.tools.GruSweep [checkpoint] [statsJson]'`
+  * Every family's held-out predictions are rendered as a
+  * [[graft.estimate.Report]] artifact (`REPORT_<family>.md` — the
+  * reference logs per-family evaluate.py artifacts,
+  * `dqo/estimator/evaluate.py:17-106`). Model checkpoints and reports
+  * land under `outDir` — DERIVED from the input checkpoint's directory
+  * unless overridden, so a sweep against some other checkpoint never
+  * silently overwrites the repo's committed artifacts.
+  *
+  * Usage: `sbt 'runMain graft.tools.GruSweep [checkpoint] [statsJson] [outDir]'`
   */
 object GruSweep {
 
   def main(args: Array[String]): Unit = {
     val cpPath = args.lift(0).getOrElse("/root/repo/data/band/campaign_x160_c2.cp")
     val statsPath = args.lift(1).getOrElse("/root/repo/data/band/x160/stats.json")
+    val outDir = args.lift(2).getOrElse(
+      Option(Paths.get(cpPath).toAbsolutePath.getParent)
+        .map(_.toString).getOrElse("."))
+    Files.createDirectories(Paths.get(s"$outDir/models"))
     val cp = BalancedCheckpoint.deserialize(Files.readString(Paths.get(cpPath)))
     val db = ModelJson.fromJson(Files.readString(Paths.get(statsPath)))
     val usable = cp.results.filter(_._2 > 0)
@@ -75,6 +87,17 @@ object GruSweep {
     def score(bucketsPerSeed: Seq[Seq[Int]]): (Double, Double, Double) =
       Estimator.evaluate(SweepKit.vote(bucketsPerSeed).zip(actuals), minBucket = 0)
 
+    // the evaluate.py presentation artifact (confusion matrix,
+    // classification report, bucket errors, binary-split scan), one per
+    // family, over that family's held-out log2 predictions
+    def report(family: String, what: String, predsLog2: Seq[Double]): Unit = {
+      graft.estimate.Report.write(s"$outDir/REPORT_$family.md",
+        s"$what — held-out (${test.size} queries)",
+        test.zip(predsLog2).map { case ((sql, rt), predLog2) =>
+          graft.estimate.Report.ResultRow(sql.take(80), rt, math.pow(2.0, predLog2)) })
+      println(s"[$family] report artifact: $outDir/REPORT_$family.md")
+    }
+
     // ---- v20 architecture: four traversal GRUs + tanh head, smooth-L1
     // regression on log2 runtime (the reference's own loss/label space) —
     // trees from the parent-linked encoder form, same z-scored vectors
@@ -97,7 +120,7 @@ object GruSweep {
       if (seed == seeds.last)
         // the z-score constants ride along: without them a later
         // session would feed raw features to z-fitted weights
-        graft.estimate.ModelIo.saveGru4("/root/repo/data/band/models/gru4.json",
+        graft.estimate.ModelIo.saveGru4(s"$outDir/models/gru4.json",
           fitted, Some((mean, std)))
       val preds = testTrees.map(fitted.predict)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
@@ -110,14 +133,7 @@ object GruSweep {
     val (vAcc, vMae, vF1) = Estimator.evaluate(avg.zip(actuals), minBucket = 0)
     println(f"[v20-ens] 4-traversal mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$vAcc%.3f mae=$vMae%.3f f1=$vF1%.3f")
-    // the evaluate.py presentation artifact (confusion matrix,
-    // classification report, bucket errors, binary-split scan) for the
-    // flagship family's held-out predictions
-    graft.estimate.Report.write("/root/repo/data/band/REPORT_v20.md",
-      s"v20 4-traversal GRU ensemble — held-out (${test.size} queries)",
-      test.zip(avg).map { case ((sql, rt), predLog2) =>
-        graft.estimate.Report.ResultRow(sql.take(80), rt, math.pow(2.0, predLog2)) })
-    println("[v20-ens] report artifact: data/band/REPORT_v20.md")
+    report("v20", "v20 4-traversal GRU ensemble", avg)
 
     // ---- child-sum TreeLSTM (the reference's treelstm family), same
     // trees, same smooth-L1 log2 regression
@@ -137,6 +153,7 @@ object GruSweep {
     val (tAcc, tMae, tF1) = Estimator.evaluate(tlAvg.zip(actuals), minBucket = 0)
     println(f"[tl-ens] treelstm mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$tAcc%.3f mae=$tMae%.3f f1=$tF1%.3f")
+    report("treelstm", "child-sum TreeLSTM ensemble", tlAvg)
 
     // ---- relcnn (conv over the node matrix), same sequences, same
     // smooth-L1 log2 regression
@@ -159,6 +176,7 @@ object GruSweep {
     val (cAcc, cMae, cF1) = Estimator.evaluate(cnnAvg.zip(actuals), minBucket = 0)
     println(f"[cnn-ens] relcnn mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$cAcc%.3f mae=$cMae%.3f f1=$cF1%.3f")
+    report("relcnn", "relcnn convolutional ensemble", cnnAvg)
 
     // ---- MSCN SetConv over the raw binary set matrices (no z-score —
     // the reference feeds the 0/1 encodings directly), trained with the
@@ -181,7 +199,7 @@ object GruSweep {
         lr = 1e-3, epochs = 60, batch = 32, seed = seed))
       val sec = (System.nanoTime() - t0) / 1e9
       if (seed == seeds.last)
-        graft.estimate.ModelIo.saveMscn("/root/repo/data/band/models/mscn.json", fitted)
+        graft.estimate.ModelIo.saveMscn(s"$outDir/models/mscn.json", fitted)
       val preds = testSets.map(fitted.predictLog2)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
       val qe = Mscn.qerrorSummary(
@@ -196,6 +214,7 @@ object GruSweep {
     val (mAcc, mMae, mF1) = Estimator.evaluate(mscnAvg.zip(actuals), minBucket = 0)
     println(f"[mscn-ens] setconv mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$mAcc%.3f mae=$mMae%.3f f1=$mF1%.3f")
+    report("mscn", "MSCN SetConv ensemble", mscnAvg)
 
     // ---- Neo regressor (flat 4-layer MLP — the shape both reference
     // Neo variants actually are) over the flat neo bit vector,
@@ -216,7 +235,7 @@ object GruSweep {
         lr = 1e-4, epochs = 600, batch = 32, seed = seed))
       val sec = (System.nanoTime() - t0) / 1e9
       if (seed == seeds.last)
-        graft.estimate.ModelIo.saveNeo("/root/repo/data/band/models/neonet.json", fitted)
+        graft.estimate.ModelIo.saveNeo(s"$outDir/models/neonet.json", fitted)
       val preds = neoTestX.map(fitted.predict)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
       println(f"[neo1] neonet seed=$seed%4d (${sec}%.0f s, " +
@@ -228,6 +247,7 @@ object GruSweep {
     val (nAcc, nMae, nF1) = Estimator.evaluate(neoAvg.zip(actuals), minBucket = 0)
     println(f"[neo-ens] neonet mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$nAcc%.3f mae=$nMae%.3f f1=$nF1%.3f")
+    report("neonet", "Neo flat-MLP ensemble", neoAvg)
 
     // ---- tpch_aug analog: the reference's best gerelt F1 (0.754,
     // BASELINE.md model table) comes from the AUGMENTED dataset, so the
@@ -258,6 +278,12 @@ object GruSweep {
       val (acc, mae, f1) = score(perSeed)
       println(f"[vote] $label%-8s h=48 seeds=${seeds.size} " +
         f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+      // the flagship band-comparison family (augmented = the tpch_aug
+      // analog the reference's published 0.754 comes from) gets the
+      // evaluate.py artifact too; voted buckets stand in for log2 preds
+      if (label == "augmented")
+        report("gru", "GRU bucket classifier, augmented train, 3-seed vote",
+          SweepKit.vote(perSeed))
     }
   }
 }

@@ -137,4 +137,16 @@ class MscnSpec extends AnyFunSuite {
     assert(s.preds.map(_(0)).toSeq == Seq(6.0))
     assert(s.joins.isEmpty)
   }
+
+  test("qerrorSummary percentiles interpolate linearly (numpy default)") {
+    // q-errors are exactly 1..5: actual=1, predicted=k (both orders hit
+    // the same ratio, pinning the max(p/a, a/p) symmetry too)
+    val pred = Seq((1.0, 1.0), (2.0, 1.0), (1.0, 3.0), (4.0, 1.0), (1.0, 5.0))
+    val qe = Mscn.qerrorSummary(pred)
+    assert(qe("median") == 3.0)
+    // np.percentile([1,2,3,4,5], 90) = 4.6 — nearest-rank ceil would say 5
+    assert(math.abs(qe("p90") - 4.6) < 1e-12, s"p90=${qe("p90")}")
+    assert(math.abs(qe("p95") - 4.8) < 1e-12, s"p95=${qe("p95")}")
+    assert(qe("max") == 5.0 && qe("mean") == 3.0)
+  }
 }

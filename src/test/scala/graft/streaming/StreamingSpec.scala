@@ -294,4 +294,56 @@ class StreamingSpec extends AnyFunSuite {
     val sumCounts = rows.map(_.getAs[Long]("n_events")).sum
     assert(sumCounts == static.count())
   }
+
+  test("userSessions idleTimeout evicts idle users and restarts them from zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ms = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val sessions = EventStream.userSessions(spark,
+      ms.toDF().toDF("user_id", "value", "ts"),
+      idleTimeout = Some("30 minutes"))
+    val q = sessions.writeStream.outputMode("update").format("memory")
+      .queryName("sidle").start()
+    try {
+      // batch 1: user 1 aggregates two events; deadline t+30min
+      ms.addData((1L, 1.0, ts(100000)), (1L, 2.0, ts(100000)))
+      q.processAllAvailable()
+      // batch 2: a far-future user pushes the watermark (2h − 10min
+      // delay) past user 1's horizon — this batch still runs under the
+      // PREVIOUS watermark, so no timeout yet
+      ms.addData((99L, 1.0, ts(107200)))
+      q.processAllAvailable()
+      // batch 3: unrelated data; user 1 has no rows and the watermark is
+      // past their horizon → timeout fires, final aggregate re-emitted,
+      // state evicted (state size stays bounded by the active users)
+      ms.addData((99L, 1.0, ts(107300)))
+      q.processAllAvailable()
+      // batch 4: user 1 reappears — their state is gone, the running
+      // aggregate restarts from zero
+      ms.addData((1L, 5.0, ts(107400)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.sql("SELECT n_events, total_value FROM sidle WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // rows: batch-1 aggregate, timeout emission (same values), then the
+    // post-eviction restart at count 1 — the restart proves eviction,
+    // the duplicate (2, 3.0) row proves the timeout emission happened
+    assert(u1.count(_ == ((2L, 3.0))) == 2, s"expected aggregate + timeout emissions, got $u1")
+    assert(u1.count(_ == ((1L, 5.0))) == 1, s"expected a post-eviction restart row, got $u1")
+  }
+
+  test("funnel state codec: length-versioned decode accepts 2-field-era rows") {
+    // v2 round-trip
+    val v2 = EventStream.FunnelState(3, 42L, 99L)
+    assert(EventStream.FunnelState.fromPersisted(v2.toPersisted) == v2)
+    // a 2-field (pre-seenNanos) persisted row decodes with the default
+    // idle clock instead of crashing the restart
+    val v1 = EventStream.FunnelState.fromPersisted(Array(2L, 17L))
+    assert(v1 == EventStream.FunnelState(2, 17L, Long.MinValue))
+    // a longer FUTURE row is readable by this decoder too (rollbacks)
+    val v3 = EventStream.FunnelState.fromPersisted(Array(1L, 2L, 3L, 4L))
+    assert(v3 == EventStream.FunnelState(1, 2L, 3L))
+  }
 }
