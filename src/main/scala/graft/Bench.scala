@@ -76,8 +76,14 @@ object Bench {
         // sub-second queries sit at the scheduler/GC noise floor where a
         // single stray run can triple the reported spread (round-5 judge
         // re-run: q22 spread 3.57 on a 0.51 s median) — give them 5
-        // samples instead of 3 so one outlier can't own the median
-        val samples = if (warm < 1.0) 5 else 3
+        // samples instead of 3 so one outlier can't own the median.
+        // The shuffle-heavy LSH family gets 5 too: its many small
+        // shuffle stages make it the most contention-sensitive group in
+        // the suite (both the r6 and r8 "regressions" that clean re-runs
+        // discharged as session noise were concentrated here)
+        val shuffleHeavy = Set("q31_minhash_sig", "q32_lsh_candidates",
+          "q33_ngram_jaccard", "q109_edit_distance")
+        val samples = if (warm < 1.0 || shuffleHeavy(name)) 5 else 3
         val runs = Seq.fill(samples)(once())
         if (runs.exists(_ < 0)) (-1.0, -1.0)
         else {
