@@ -23,6 +23,21 @@ import graft.model.StatsCollector
   */
 object Campaign {
 
+  /** Crash-safe checkpoint write: serialize to a temp sibling, then
+    * atomically rename over the target. A plain `Files.writeString`
+    * truncates first, so a kill (or a concurrent reader) mid-write
+    * could tear the ONLY copy of hours of measured runtimes — the
+    * exact artifact the incremental checkpointing exists to protect.
+    * With the rename, readers and restarts always see a complete
+    * serialization: either the previous one or the new one.
+    */
+  private[lab] def saveCheckpoint(p: java.nio.file.Path, text: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, text)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   final case class Result(nMeasured: Int, nTrain: Int, nTest: Int,
                           trainAcc: Double, trainMae: Double, trainF1: Double,
                           testAcc: Double, testMae: Double, testF1: Double,
@@ -68,7 +83,7 @@ object Campaign {
     var genRef: BalancedQueryGen = null
     val runner: String => Double = sql => {
       cpPath.foreach(p => if (genRef != null)
-        Files.writeString(p, genRef.checkpoint.serialize))
+        saveCheckpoint(p, genRef.checkpoint.serialize))
       executor.time(sql)
     }
     val gen = cpPath.filter(Files.exists(_)) match {
@@ -83,7 +98,7 @@ object Campaign {
     genRef = gen
     val measured = gen.generate(n)
     cpPath.foreach { p =>
-      Files.writeString(p, gen.checkpoint.serialize)
+      saveCheckpoint(p, gen.checkpoint.serialize)
       println(s"[campaign] checkpoint saved to $p")
     }
     println(s"[campaign] measured ${measured.size} runs; bucket counts: " +

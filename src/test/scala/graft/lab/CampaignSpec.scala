@@ -30,4 +30,17 @@ class CampaignSpec extends AnyFunSuite {
     assert(r.trainMae >= 0.0 && !r.trainMae.isNaN)
     assert(r.trainF1 >= 0.0 && r.trainF1 <= 1.0)
   }
+
+  test("checkpoint save is atomic: rename over target, no temp left behind") {
+    val dir = java.nio.file.Files.createTempDirectory("cpsave")
+    val p = dir.resolve("campaign.cp")
+    Campaign.saveCheckpoint(p, "first")
+    assert(java.nio.file.Files.readString(p) == "first")
+    Campaign.saveCheckpoint(p, "second")
+    assert(java.nio.file.Files.readString(p) == "second",
+      "save must replace the existing checkpoint")
+    assert(!java.nio.file.Files.exists(dir.resolve("campaign.cp.tmp")),
+      "temp sibling must be renamed away, not accumulated")
+    java.nio.file.Files.delete(p); java.nio.file.Files.delete(dir)
+  }
 }
