@@ -52,6 +52,22 @@ object ModelIo {
     Array.tabulate(arr.size())(arr.get(_).asDouble())
   }
 
+  // Per-dimension z-score constants ride along with every model whose
+  // inputs were normalized at fit time — weights fitted on z-scored
+  // sequences are garbage on raw features, so the constants are part of
+  // the fitted contract, not an external detail (the same rule
+  // Mscn.Fitted applies to its label range).
+  private def normArrays(norm: Option[(Array[Double], Array[Double])]) =
+    norm.map { case (m, sd) => Seq("norm_mean" -> m, "norm_std" -> sd) }
+      .getOrElse(Nil)
+
+  private def readNorm(r: com.fasterxml.jackson.databind.JsonNode)
+      : Option[(Array[Double], Array[Double])] = {
+    def arr(k: String): Option[Array[Double]] = Option(r.get(k))
+      .map(a => Array.tabulate(a.size())(a.get(_).asDouble()))
+    for (m <- arr("norm_mean"); sd <- arr("norm_std")) yield (m, sd)
+  }
+
   // ---- Mscn (config + label normalization + weights) -----------------
 
   def saveMscn(path: String, f: Mscn.Fitted): Unit =
@@ -89,19 +105,22 @@ object ModelIo {
 
   // ---- Gru (bucket classifier) ---------------------------------------
 
-  def saveGru(path: String, f: Gru.Fitted): Unit =
+  def saveGru(path: String, f: Gru.Fitted,
+              norm: Option[(Array[Double], Array[Double])] = None): Unit =
     writeDoc(path, "gru",
       Seq("inputDim" -> f.p.cfg.inputDim, "hidden" -> f.p.cfg.hidden,
-        "classes" -> f.p.cfg.classes), Nil, f.p.w)
+        "classes" -> f.p.cfg.classes), Nil, f.p.w, normArrays(norm))
 
-  def loadGru(path: String): Gru.Fitted = {
+  def loadGru(path: String): Gru.Fitted = loadGruNorm(path)._1
+
+  def loadGruNorm(path: String): (Gru.Fitted, Option[(Array[Double], Array[Double])]) = {
     val r = readDoc(path, "gru")
     val cfg = Gru.Config(r.get("inputDim").asInt(), r.get("hidden").asInt(),
       r.get("classes").asInt())
     val p = new Gru.Params(cfg, weights(r))
     require(p.w.length == Gru.Params.size(cfg),
       s"weight count ${p.w.length} != layout ${Gru.Params.size(cfg)}")
-    Gru.Fitted(p, Nil)
+    (Gru.Fitted(p, Nil), readNorm(r))
   }
 
   // ---- Gru4 (v20 regressor) ------------------------------------------
@@ -115,9 +134,7 @@ object ModelIo {
                norm: Option[(Array[Double], Array[Double])] = None): Unit =
     writeDoc(path, "gru4",
       Seq("inputDim" -> f.p.cfg.inputDim, "hidden" -> f.p.cfg.hidden,
-        "headHidden" -> f.p.cfg.headHidden), Nil, f.p.w,
-      norm.map { case (m, sd) => Seq("norm_mean" -> m, "norm_std" -> sd) }
-        .getOrElse(Nil))
+        "headHidden" -> f.p.cfg.headHidden), Nil, f.p.w, normArrays(norm))
 
   def loadGru4(path: String): Gru4.Fitted = loadGru4Norm(path)._1
 
@@ -132,42 +149,45 @@ object ModelIo {
     val p = new Gru4.Params(cfg, weights(r))
     require(p.w.length == Gru4.Params.size(cfg),
       s"weight count ${p.w.length} != layout ${Gru4.Params.size(cfg)}")
-    def arr(k: String): Option[Array[Double]] = Option(r.get(k))
-      .map(a => Array.tabulate(a.size())(a.get(_).asDouble()))
-    val norm = for (m <- arr("norm_mean"); sd <- arr("norm_std")) yield (m, sd)
-    (Gru4.Fitted(p, Nil), norm)
+    (Gru4.Fitted(p, Nil), readNorm(r))
   }
 
   // ---- TreeLstm ------------------------------------------------------
 
-  def saveTreeLstm(path: String, f: TreeLstm.Fitted): Unit =
+  def saveTreeLstm(path: String, f: TreeLstm.Fitted,
+                   norm: Option[(Array[Double], Array[Double])] = None): Unit =
     writeDoc(path, "treelstm",
       Seq("inputDim" -> f.p.cfg.inputDim, "hidden" -> f.p.cfg.hidden),
-      Nil, f.p.w)
+      Nil, f.p.w, normArrays(norm))
 
-  def loadTreeLstm(path: String): TreeLstm.Fitted = {
+  def loadTreeLstm(path: String): TreeLstm.Fitted = loadTreeLstmNorm(path)._1
+
+  def loadTreeLstmNorm(path: String): (TreeLstm.Fitted, Option[(Array[Double], Array[Double])]) = {
     val r = readDoc(path, "treelstm")
     val cfg = TreeLstm.Config(r.get("inputDim").asInt(), r.get("hidden").asInt())
     val p = new TreeLstm.Params(cfg, weights(r))
     require(p.w.length == TreeLstm.Params.size(cfg),
       s"weight count ${p.w.length} != layout ${TreeLstm.Params.size(cfg)}")
-    TreeLstm.Fitted(p, Nil)
+    (TreeLstm.Fitted(p, Nil), readNorm(r))
   }
 
   // ---- RelCnn --------------------------------------------------------
 
-  def saveRelCnn(path: String, f: RelCnn.Fitted): Unit =
+  def saveRelCnn(path: String, f: RelCnn.Fitted,
+                 norm: Option[(Array[Double], Array[Double])] = None): Unit =
     writeDoc(path, "relcnn",
       Seq("inputDim" -> f.p.cfg.inputDim, "filters" -> f.p.cfg.filters,
-        "headHidden" -> f.p.cfg.headHidden), Nil, f.p.w)
+        "headHidden" -> f.p.cfg.headHidden), Nil, f.p.w, normArrays(norm))
 
-  def loadRelCnn(path: String): RelCnn.Fitted = {
+  def loadRelCnn(path: String): RelCnn.Fitted = loadRelCnnNorm(path)._1
+
+  def loadRelCnnNorm(path: String): (RelCnn.Fitted, Option[(Array[Double], Array[Double])]) = {
     val r = readDoc(path, "relcnn")
     val cfg = RelCnn.Config(r.get("inputDim").asInt(), r.get("filters").asInt(),
       r.get("headHidden").asInt())
     val p = new RelCnn.Params(cfg, weights(r))
     require(p.w.length == RelCnn.Params.size(cfg),
       s"weight count ${p.w.length} != layout ${RelCnn.Params.size(cfg)}")
-    RelCnn.Fitted(p, Nil)
+    (RelCnn.Fitted(p, Nil), readNorm(r))
   }
 }

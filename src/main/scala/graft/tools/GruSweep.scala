@@ -142,6 +142,9 @@ object GruSweep {
       val fitted = TreeLstm.fit(v20Train, TreeLstm.Config(inputDim = Dim,
         hidden = 48, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
       val sec = (System.nanoTime() - t0) / 1e9
+      if (seed == seeds.last)
+        graft.estimate.ModelIo.saveTreeLstm(s"$outDir/models/treelstm.json",
+          fitted, Some((mean, std)))
       val preds = testTrees.map(fitted.predict)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
       println(f"[tl-1] treelstm seed=$seed%4d (${sec}%.0f s, " +
@@ -165,6 +168,9 @@ object GruSweep {
         filters = 64, headHidden = 32, lr = 2e-3, epochs = 30, batch = 32,
         seed = seed))
       val sec = (System.nanoTime() - t0) / 1e9
+      if (seed == seeds.last)
+        graft.estimate.ModelIo.saveRelCnn(s"$outDir/models/relcnn.json",
+          fitted, Some((mean, std)))
       val preds = testSeqs.map(fitted.predict)
       val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
       println(f"[cnn-1] relcnn seed=$seed%4d (${sec}%.0f s, " +
@@ -268,6 +274,12 @@ object GruSweep {
         val fitted = Gru.fit(data, Gru.Config(inputDim = Dim, hidden = 48,
           classes = classes, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
         val sec = (System.nanoTime() - t0) / 1e9
+        // persist the flagship band-comparison classifier (augmented
+        // train) with its z-score constants, completing the six-family
+        // checkpoint set alongside gru4/treelstm/relcnn/mscn/neonet
+        if (label == "augmented" && seed == seeds.last)
+          graft.estimate.ModelIo.saveGru(s"$outDir/models/gru.json",
+            fitted, Some((mean, std)))
         val preds = testSeqs.map(fitted.predict)
         val (acc, mae, f1) = score(Seq(preds))
         println(f"[gru1] $label%-8s h=48 seed=$seed%4d (${sec}%.0f s, " +
@@ -280,10 +292,22 @@ object GruSweep {
         f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
       // the flagship band-comparison family (augmented = the tpch_aug
       // analog the reference's published 0.754 comes from) gets the
-      // evaluate.py artifact too; voted buckets stand in for log2 preds
-      if (label == "augmented")
-        report("gru", "GRU bucket classifier, augmented train, 3-seed vote",
-          SweepKit.vote(perSeed))
+      // evaluate.py artifact too; voted buckets stand in for log2 preds.
+      // TRUE runtimes are clamped into the same reference bucket space
+      // the classifier votes in (<=1 s -> bucket 0, partitioner.py:40-46)
+      // — rendered raw, every sub-second query would land in a negative
+      // true bucket no ref-space classifier can emit, and the summary
+      // table would contradict the REF-SPACE metrics above
+      if (label == "augmented") {
+        val voted = SweepKit.vote(perSeed)
+        graft.estimate.Report.write(s"$outDir/REPORT_gru.md",
+          s"GRU bucket classifier, augmented train, 3-seed vote — held-out " +
+            s"(${test.size} queries; reference bucket space, <=1 s -> bucket 0)",
+          test.zip(voted).map { case ((sql, rt), predLog2) =>
+            graft.estimate.Report.ResultRow(sql.take(80),
+              math.max(1.0, rt), math.pow(2.0, predLog2)) })
+        println(s"[gru] report artifact: $outDir/REPORT_gru.md")
+      }
     }
   }
 }

@@ -47,6 +47,7 @@ class ModelIoSpec extends AnyFunSuite {
     val gru2 = ModelIo.loadGru(s"$dir/g.json")
     assert(gru2.p.w.toSeq == gru.p.w.toSeq)
     seqs.foreach(s => assert(gru2.predict(s) == gru.predict(s)))
+    assert(ModelIo.loadGruNorm(s"$dir/g.json")._2.isEmpty)
 
     val trees = (1 to 8).map { i =>
       Gru4.fromParents(Array(-1, 0, 0), Array.tabulate(3)(j => vec(4, i * 20 + j)))
@@ -69,14 +70,20 @@ class ModelIoSpec extends AnyFunSuite {
 
     val tl = TreeLstm.fit(trees.zipWithIndex.map { case (t, i) => (t, i * 0.2) },
       TreeLstm.Config(inputDim = 4, hidden = 4, epochs = 2, seed = 7L))
-    ModelIo.saveTreeLstm(s"$dir/tl.json", tl)
-    assert(ModelIo.loadTreeLstm(s"$dir/tl.json").p.w.toSeq == tl.p.w.toSeq)
+    // the norm-constants contract now covers every z-scored-input family
+    ModelIo.saveTreeLstm(s"$dir/tl.json", tl, Some((mean, std)))
+    val (tl2, tlNorm) = ModelIo.loadTreeLstmNorm(s"$dir/tl.json")
+    assert(tl2.p.w.toSeq == tl.p.w.toSeq)
+    assert(tlNorm.exists { case (m, sd) =>
+      m.toSeq == mean.toSeq && sd.toSeq == std.toSeq })
 
     val cnn = RelCnn.fit(seqs.zipWithIndex.map { case (s, i) => (s, i * 0.2) },
       RelCnn.Config(inputDim = 4, filters = 6, headHidden = 4, epochs = 2, seed = 7L))
-    ModelIo.saveRelCnn(s"$dir/c.json", cnn)
-    val cnn2 = ModelIo.loadRelCnn(s"$dir/c.json")
+    ModelIo.saveRelCnn(s"$dir/c.json", cnn, Some((mean, std)))
+    val (cnn2, cnnNorm) = ModelIo.loadRelCnnNorm(s"$dir/c.json")
     assert(cnn2.p.w.toSeq == cnn.p.w.toSeq)
+    assert(cnnNorm.exists { case (m, sd) =>
+      m.toSeq == mean.toSeq && sd.toSeq == std.toSeq })
     seqs.foreach(s => assert(cnn2.predict(s) == cnn.predict(s)))
   }
 
