@@ -39,9 +39,14 @@ object ModelIo {
     java.nio.file.Files.writeString(p, mapper.writeValueAsString(root))
   }
 
-  private def readDoc(path: String, expectKind: String) = {
-    val root = mapper.readTree(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  private def readDoc(path: String, expectKind: String) =
+    readDocText(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)), expectKind)
+
+  // text-level entry so a checkpoint shipped as a broadcast string
+  // ([[Scoring]]) parses identically to one read from disk
+  private def readDocText(text: String, expectKind: String) = {
+    val root = mapper.readTree(text)
     require(root.get("kind").asText() == expectKind,
       s"checkpoint kind ${root.get("kind").asText()} != expected $expectKind")
     root
@@ -113,8 +118,16 @@ object ModelIo {
 
   def loadGru(path: String): Gru.Fitted = loadGruNorm(path)._1
 
-  def loadGruNorm(path: String): (Gru.Fitted, Option[(Array[Double], Array[Double])]) = {
-    val r = readDoc(path, "gru")
+  def loadGruNorm(path: String): (Gru.Fitted, Option[(Array[Double], Array[Double])]) =
+    loadGruNormFromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  /** Parse a GRU checkpoint from its JSON TEXT — the executor-side
+    * entry: [[Scoring.scoreWorkload]] broadcasts the checkpoint as a
+    * string so tasks never read the driver's filesystem. */
+  def loadGruNormFromJson(json: String)
+      : (Gru.Fitted, Option[(Array[Double], Array[Double])]) = {
+    val r = readDocText(json, "gru")
     val cfg = Gru.Config(r.get("inputDim").asInt(), r.get("hidden").asInt(),
       r.get("classes").asInt())
     val p = new Gru.Params(cfg, weights(r))

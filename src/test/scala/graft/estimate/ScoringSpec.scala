@@ -1,0 +1,84 @@
+package graft.estimate
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+
+/** Distributed workload scoring must reproduce the driver-side
+  * encode→z-score→predict pipeline exactly, keep unparseable rows
+  * (bucket −1) instead of dropping them, and stay shuffle-free — the
+  * whole point of the broadcast-checkpoint design.
+  */
+class ScoringSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def col(name: String, t: DType) = ColumnModel(name, t,
+    Some(ColumnStats(1000, 0, 100, index = false,
+      if (t == DType.Str) None else Some(NumericStats(1, 50, 100, 1, 0, 0)),
+      if (t == DType.Str) Some(StringStats(NumericStats(1, 5, 9, 1, 0, 0),
+        NumericStats(1, 2, 3, 0, 0, 0))) else None)))
+
+  private val db = DbModel(Seq(
+    TableModel("ta", Seq(col("id", DType.Number), col("x", DType.Float))),
+    TableModel("tb", Seq(col("id", DType.Number), col("y", DType.Float)))))
+
+  private val sqls = Seq(
+    "SELECT MIN(ta.x) FROM ta WHERE ta.id > 10",
+    "SELECT MIN(tb.y) FROM tb WHERE tb.id < 5",
+    "SELECT MIN(ta.x) FROM ta, tb WHERE ta.id = tb.id",
+    "SELECT MIN(ta.id) FROM ta WHERE ta.x > 2")
+  private val labels = Seq(0, 2, 1, 0)
+
+  test("scoreWorkload matches driver-side predictions, keeps bad rows, no shuffle") {
+    val Dim = 203
+    def enc(sql: String): Array[Array[Double]] =
+      graft.encode.SetEncoders.flatMatrix(db, sql).map(_.padTo(Dim, 0.0))
+
+    // per-dimension train-timestep moments, like the sweep's z-score
+    val steps = sqls.flatMap(enc)
+    val mean = Array.tabulate(Dim)(i => steps.map(_(i)).sum / steps.size)
+    val std = Array.tabulate(Dim) { i =>
+      val v = steps.map(r => math.pow(r(i) - mean(i), 2)).sum / steps.size
+      math.max(1e-6, math.sqrt(v))
+    }
+    def z(seq: Array[Array[Double]]): Array[Array[Double]] =
+      seq.map(r => Array.tabulate(Dim)(i => (r(i) - mean(i)) / std(i)))
+
+    val fitted = Gru.fit(sqls.map(s => (z(enc(s)), 0)).zip(labels).map {
+      case ((seq, _), label) => (seq, label) },
+      Gru.Config(inputDim = Dim, hidden = 8, classes = 3,
+        lr = 5e-3, epochs = 5, batch = 2, seed = 42L))
+
+    val dir = java.nio.file.Files.createTempDirectory("scoring").toString
+    ModelIo.saveGru(s"$dir/gru.json", fitted, Some((mean, std)))
+    val modelJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/gru.json"))
+    val statsJson = ModelJson.toJson(db)
+
+    import spark.implicits._
+    val workload = (sqls :+ "SELECT MIN(nope.z) FROM nope").toDF("sql")
+    val scored = Scoring.scoreWorkload(spark, workload, "sql",
+      modelJson, statsJson)
+
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"),
+      "scoring must be a narrow map — no shuffle")
+
+    val rows = scored.collect().map(r =>
+      r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    sqls.foreach { s =>
+      val expected = fitted.predict(z(enc(s)))
+      assert(rows(s)._1 == expected, s"bucket mismatch for $s")
+      assert(rows(s)._2 == math.pow(2.0, expected))
+    }
+    val (badBucket, badEst) = rows("SELECT MIN(nope.z) FROM nope")
+    assert(badBucket == -1, "unbindable SQL must keep its row with bucket -1")
+    assert(badEst.isNaN)
+  }
+}
