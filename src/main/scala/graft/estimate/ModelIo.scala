@@ -155,8 +155,15 @@ object ModelIo {
     * saved without them). Callers predicting in a fresh session must
     * apply (x − mean) / std per dimension before the forward pass.
     */
-  def loadGru4Norm(path: String): (Gru4.Fitted, Option[(Array[Double], Array[Double])]) = {
-    val r = readDoc(path, "gru4")
+  def loadGru4Norm(path: String): (Gru4.Fitted, Option[(Array[Double], Array[Double])]) =
+    loadGru4NormFromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  /** JSON-text variant for executor-side parsing of a broadcast
+    * checkpoint ([[Scoring.scoreWorkloadV20]]). */
+  def loadGru4NormFromJson(json: String)
+      : (Gru4.Fitted, Option[(Array[Double], Array[Double])]) = {
+    val r = readDocText(json, "gru4")
     val cfg = Gru4.Config(r.get("inputDim").asInt(), r.get("hidden").asInt(),
       r.get("headHidden").asInt())
     val p = new Gru4.Params(cfg, weights(r))

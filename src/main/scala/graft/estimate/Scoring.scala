@@ -69,4 +69,44 @@ object Scoring {
       }
       .toDF(sqlCol, "bucket", "est_seconds")
   }
+
+  /** Score `workload`'s `sqlCol` with a persisted v20 four-traversal
+    * GRU REGRESSOR ([[ModelIo.saveGru4]] — the reference's flagship
+    * model shape, gerelt/v20/model.py:94-122): continuous
+    * `log2_seconds` plus its exponentiation `est_seconds`, over the
+    * parent-linked tree encoding. Same broadcast-text /
+    * parse-once-per-partition / shuffle-free shape as
+    * [[scoreWorkload]]; unbindable SQL keeps its row with NaNs.
+    */
+  def scoreWorkloadV20(spark: SparkSession, workload: DataFrame, sqlCol: String,
+                       modelJson: String, statsJson: String): DataFrame = {
+    import spark.implicits._
+    val bModel = spark.sparkContext.broadcast(modelJson)
+    val bStats = spark.sparkContext.broadcast(statsJson)
+    workload.select(col(sqlCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val (model, norm) = ModelIo.loadGru4NormFromJson(bModel.value)
+          val db = graft.model.ModelJson.fromJson(bStats.value)
+          val dim = model.p.cfg.inputDim
+          it.map { sql =>
+            val log2 = scala.util.Try {
+              val (parents, vecs) =
+                graft.encode.SetEncoders.treeWithParents(db, sql)
+              val padded = vecs.map(_.padTo(dim, 0.0))
+              val z = norm match {
+                case Some((m, sd)) => padded.map { row =>
+                  Array.tabulate(dim)(i => (row(i) - m(i)) / sd(i))
+                }
+                case None => padded
+              }
+              model.predict(Gru4.fromParents(parents, z))
+            }.getOrElse(Double.NaN)
+            (sql, log2, math.pow(2.0, log2))
+          }
+        }
+      }
+      .toDF(sqlCol, "log2_seconds", "est_seconds")
+  }
 }

@@ -44,7 +44,9 @@ object LearningCurve {
 
     val classes = usable.map { case (_, rt) => Estimator.runtimeBucket(rt, 0) }.max + 1
     val seeds = Seq(42L, 7L, 1234L)
-    val fracs = Seq(0.25, 0.5, 0.75, 1.0)
+    // six points, not four: the plateau-vs-climbing verdict rides on
+    // the last segments' slope, so sample them more densely
+    val fracs = (1 to 6).map(_ / 6.0)
     val rows = fracs.map { frac =>
       val prefix = usable.take(math.max(1, (usable.size * frac).toInt))
       val train = prefix.filterNot { case (sql, _) => SweepKit.isHoldout(sql) }

@@ -81,4 +81,35 @@ class ScoringSpec extends AnyFunSuite {
     assert(badBucket == -1, "unbindable SQL must keep its row with bucket -1")
     assert(badEst.isNaN)
   }
+
+  test("scoreWorkloadV20 regressor matches driver-side tree predictions") {
+    val Dim = 203
+    def tree(sql: String): Gru4.Tree = {
+      val (parents, vecs) = graft.encode.SetEncoders.treeWithParents(db, sql)
+      Gru4.fromParents(parents, vecs.map(_.padTo(Dim, 0.0)))
+    }
+    val fitted = Gru4.fit(sqls.map(tree).zip(Seq(0.0, 2.0, 1.0, 0.5)),
+      Gru4.Config(inputDim = Dim, hidden = 8, headHidden = 8,
+        lr = 5e-3, epochs = 5, batch = 2, seed = 42L))
+
+    val dir = java.nio.file.Files.createTempDirectory("scoring4").toString
+    ModelIo.saveGru4(s"$dir/gru4.json", fitted, norm = None)
+    val modelJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/gru4.json"))
+
+    import spark.implicits._
+    val workload = (sqls :+ "SELECT MIN(nope.z) FROM nope").toDF("sql")
+    val scored = Scoring.scoreWorkloadV20(spark, workload, "sql",
+      modelJson, ModelJson.toJson(db))
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    val rows = scored.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    sqls.foreach { s =>
+      val expected = fitted.predict(tree(s))
+      assert(rows(s)._1 == expected, s"log2 mismatch for $s")
+      assert(rows(s)._2 == math.pow(2.0, expected))
+    }
+    assert(rows("SELECT MIN(nope.z) FROM nope")._1.isNaN)
+  }
 }
