@@ -21,8 +21,19 @@ import graft.model.StatsCollector
   * execution — so measured runtimes occupy the positive log2 buckets and
   * the reported metrics are comparable to the published band.
   *
-  * Usage: `sbt 'runMain graft.lab.BandCampaign [baseSfDir] [factor] [n] [workDir]'`
+  * Usage: `sbt 'runMain graft.lab.BandCampaign [baseSfDir] [factor] [n] [workDir] [seed]'`
   * The scaled parquet is cached under workDir and reused across runs.
+  *
+  * `seed` (default 42) selects an INDEPENDENT generator stream with its
+  * own checkpoint file (`campaign_x<f>_c<cpus>_s<seed>.cp` for non-42
+  * seeds; the historical un-suffixed name for 42, so existing campaign
+  * checkpoints keep resuming). Streams with different seeds draw
+  * disjoint splitmix64 seed sequences, so several measurement JVMs can
+  * run side by side — each still gets its full local[cpus] compute
+  * budget on an idle host — and their checkpoints are merged for
+  * training by [[graft.tools.CheckpointMerge]] (dedup by SQL text; the
+  * CRC-byte holdout hashes the SQL, not the stream, so the split stays
+  * stable across any merge order).
   */
 object BandCampaign {
 
@@ -46,6 +57,7 @@ object BandCampaign {
     val factor = args.lift(1).map(_.toDouble).getOrElse(40.0)
     val n = args.lift(2).map(_.toInt).getOrElse(48)
     val workDir = args.lift(3).getOrElse("/tmp/graft_band")
+    val seed = args.lift(4).map(_.toLong).getOrElse(42L)
     // the MEASUREMENT compute budget. Shrinking it is the second lever
     // (after `factor`) for pushing runtimes into the reference's 1-256 s
     // band: the reference measured a single Postgres backend, so a
@@ -90,9 +102,12 @@ object BandCampaign {
     // The checkpoint is keyed on the core count too: measured runtimes
     // are only comparable within one compute budget, so a 2-core
     // campaign must never resume from 32-core measurements.
+    val cpName =
+      if (seed == 42L) s"campaign_x${factor.toInt}_c$cpus.cp"
+      else s"campaign_x${factor.toInt}_c${cpus}_s$seed.cp"
     val r = Campaign.runOnModel(spark, db, n,
-      checkpointPath = Some(s"$workDir/campaign_x${factor.toInt}_c$cpus.cp"),
-      timeoutSec = 300)
+      checkpointPath = Some(s"$workDir/$cpName"),
+      timeoutSec = 300, seed = seed)
 
     val positive = r.runtimes.count(_ >= 1.0)
     val buckets = r.runtimes.map(rt =>

@@ -72,7 +72,7 @@ object Campaign {
     */
   def runOnModel(spark: SparkSession, db: graft.model.DbModel, n: Int,
                  checkpointPath: Option[String] = None,
-                 timeoutSec: Int = 60): Result = {
+                 timeoutSec: Int = 60, seed: Long = 42L): Result = {
     println(s"[campaign] balanced generation of $n measured queries")
     val executor = new Executor(spark, timeoutSec = timeoutSec)
     val cpPath = checkpointPath.map(Paths.get(_))
@@ -93,7 +93,7 @@ object Campaign {
           BalancedCheckpoint.deserialize(Files.readString(p)),
           db, runner, maxStepsPerGen = 15)
       case None =>
-        new BalancedQueryGen(db, runner, maxStepsPerGen = 15, seed = 42L)
+        new BalancedQueryGen(db, runner, maxStepsPerGen = 15, seed = seed)
     }
     genRef = gen
     val measured = gen.generate(n)

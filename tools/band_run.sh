@@ -1,0 +1,21 @@
+#!/bin/bash
+# Launch a graft main class directly against the compiled classes +
+# the image's Spark jars (same JVM flags build.sbt uses for `run`),
+# without holding an sbt server per process — the band campaign runs
+# several measurement JVMs side by side.
+# Usage: band_run.sh <mainClass> [args...]
+set -u
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" "$@"
