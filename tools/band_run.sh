@@ -5,7 +5,9 @@
 # several measurement JVMs side by side.
 # Usage: band_run.sh <mainClass> [args...]
 set -u
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# GRAFT_CLASSES: point long-running JVMs at a snapshot of the compiled
+# classes so a recompile mid-measurement can't serve a torn class mix.
+CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
