@@ -112,7 +112,7 @@ object GruSweep {
       (tree(sql), math.log(rt) / math.log(2)) }
     val testTrees = test.map { case (sql, _) => tree(sql) }
     val seeds = Seq(42L, 7L, 1234L)
-    val v20PerSeed = seeds.map { seed =>
+    val v20PerSeed = SweepKit.parSeeds(seeds) { seed =>
       val t0 = System.nanoTime()
       val fitted = Gru4.fit(v20Train, Gru4.Config(inputDim = Dim, hidden = 48,
         headHidden = 32, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
@@ -137,7 +137,7 @@ object GruSweep {
 
     // ---- child-sum TreeLSTM (the reference's treelstm family), same
     // trees, same smooth-L1 log2 regression
-    val tlPerSeed = seeds.map { seed =>
+    val tlPerSeed = SweepKit.parSeeds(seeds) { seed =>
       val t0 = System.nanoTime()
       val fitted = TreeLstm.fit(v20Train, TreeLstm.Config(inputDim = Dim,
         hidden = 48, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
@@ -162,7 +162,7 @@ object GruSweep {
     // smooth-L1 log2 regression
     val cnnTrain = train.map { case (sql, rt) =>
       (z(enc(sql)), math.log(rt) / math.log(2)) }
-    val cnnPerSeed = seeds.map { seed =>
+    val cnnPerSeed = SweepKit.parSeeds(seeds) { seed =>
       val t0 = System.nanoTime()
       val fitted = RelCnn.fit(cnnTrain, RelCnn.Config(inputDim = Dim,
         filters = 64, headHidden = 32, lr = 2e-3, epochs = 30, batch = 32,
@@ -199,7 +199,7 @@ object GruSweep {
     val mscnTrain = train.map { case (sql, rt) => (msets(sql), rt) }
     val testSets = test.map { case (sql, _) => msets(sql) }
     val actualSecs = test.map(_._2)
-    val mscnPerSeed = seeds.map { seed =>
+    val mscnPerSeed = SweepKit.parSeeds(seeds) { seed =>
       val t0 = System.nanoTime()
       val fitted = Mscn.fit(mscnTrain, Mscn.Config(tf, pf, jf, hidden = 64,
         lr = 1e-3, epochs = 60, batch = 32, seed = seed))
@@ -235,7 +235,7 @@ object GruSweep {
     val neoTrain = train.map { case (sql, rt) =>
       (nfeat(sql), math.log(rt) / math.log(2)) }
     val neoTestX = test.map { case (sql, _) => nfeat(sql) }
-    val neoPerSeed = seeds.map { seed =>
+    val neoPerSeed = SweepKit.parSeeds(seeds) { seed =>
       val t0 = System.nanoTime()
       val fitted = NeoNet.fit(neoTrain, NeoNet.Config(inputDim = neoDim,
         lr = 1e-4, epochs = 600, batch = 32, seed = seed))
@@ -269,7 +269,7 @@ object GruSweep {
     for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced,
                              "augmented" -> SweepKit.balance(augmented))) {
       val data = labeled(set)
-      val perSeed = seeds.map { seed =>
+      val perSeed = SweepKit.parSeeds(seeds) { seed =>
         val t0 = System.nanoTime()
         val fitted = Gru.fit(data, Gru.Config(inputDim = Dim, hidden = 48,
           classes = classes, lr = 2e-3, epochs = 30, batch = 32, seed = seed))

@@ -59,7 +59,7 @@ object LearningCurve {
       val data = balanced.map { case (sql, rt) =>
         (z(encRaw(sql)), Estimator.runtimeBucket(rt, 0)) }
       val testSeqs = test.map { case (sql, _) => z(encRaw(sql)) }
-      val perSeed = seeds.map { seed =>
+      val perSeed = SweepKit.parSeeds(seeds) { seed =>
         val fitted = Gru.fit(data, Gru.Config(inputDim = Dim, hidden = 48,
           classes = classes, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
         testSeqs.map(fitted.predict)

@@ -70,7 +70,7 @@ object MlpSweep {
     val seeds = Seq(42L, 7L, 1234L)
     for ((label, set) <- Seq("plain" -> train, "balanced" -> balanced);
          hidden <- hiddens) {
-      val perSeed = seeds.map { seed =>
+      val perSeed = SweepKit.parSeeds(seeds) { seed =>
         val m = Estimator.trainMlpOnFeatures(spark,
           set.map { case (sql, rt) => (fz(sql), rt) }, hidden = hidden, seed = seed)
         test.map { case (sql, _) => m.predictBucket(fz(sql)) }

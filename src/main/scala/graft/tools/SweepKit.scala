@@ -80,6 +80,28 @@ private[tools] object SweepKit {
     }
   }
 
+  /** Run the per-seed ensemble fits concurrently, results in seed
+    * order. Each fit is a pure function of (data, seed) — the
+    * `graft.estimate` trainers hold no object-level state and draw from
+    * a local Random seeded by cfg.seed — so platform-threading them
+    * changes wall-clock only, never a result. The first failure (OOM in
+    * a fit, say) is rethrown after all threads settle so a sweep never
+    * reports a partial ensemble as complete.
+    */
+  def parSeeds[A](seeds: Seq[Long])(f: Long => A): Seq[A] = {
+    val out = new Array[Any](seeds.size)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val ts = seeds.zipWithIndex.map { case (s, i) =>
+      val t = new Thread(() =>
+        try out(i) = f(s)
+        catch { case e: Throwable => err.compareAndSet(null, e) })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    if (err.get != null) throw err.get
+    out.toSeq.map(_.asInstanceOf[A])
+  }
+
   /** Per-example majority vote across seeds; ties to the SMALLER bucket. */
   def vote(bucketsPerSeed: Seq[Seq[Int]]): Seq[Double] =
     bucketsPerSeed.transpose.map { votes =>
