@@ -146,6 +146,14 @@ object SetEncoders {
       .flatMap(t => t.columns.map(c => s"${t.name}::${c.name}"))
       .zipWithIndex.toMap
     val tCount = tablesMap.size
+    // join-free queries never index tablesMap below, so bind-check the
+    // relation set explicitly — an unknown table must fail encoding
+    // (the reference indexes its table map and KeyErrors), not score
+    // silently as an all-zero vector downstream ([[graft.estimate.Scoring]]
+    // turns the failure into the row's NaN marker)
+    q.relations.foreach { rel =>
+      require(tablesMap.contains(rel.name), s"unknown table ${rel.name}")
+    }
 
     val joined = q.joins.map { j =>
       val (a, b) = (tablesMap(j.left.table.name), tablesMap(j.right.table.name))

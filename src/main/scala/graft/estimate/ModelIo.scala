@@ -39,9 +39,14 @@ object ModelIo {
     java.nio.file.Files.writeString(p, mapper.writeValueAsString(root))
   }
 
-  private def readDoc(path: String, expectKind: String) =
-    readDocText(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(path)), expectKind)
+  /** The `kind` tag of a checkpoint document — lets a caller holding
+    * only the JSON text ([[Scoring]]'s broadcast string) dispatch to
+    * the right family loader without a trial parse per family. */
+  def kindOf(json: String): String = {
+    val k = mapper.readTree(json).get("kind")
+    require(k != null, "checkpoint JSON has no kind tag")
+    k.asText()
+  }
 
   // text-level entry so a checkpoint shipped as a broadcast string
   // ([[Scoring]]) parses identically to one read from disk
@@ -81,8 +86,11 @@ object ModelIo {
         "joinFeats" -> f.p.cfg.joinFeats, "hidden" -> f.p.cfg.hidden),
       Seq("minLog" -> f.minLog, "maxLog" -> f.maxLog), f.p.w)
 
-  def loadMscn(path: String): Mscn.Fitted = {
-    val r = readDoc(path, "mscn")
+  def loadMscn(path: String): Mscn.Fitted = loadMscnFromJson(
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  def loadMscnFromJson(json: String): Mscn.Fitted = {
+    val r = readDocText(json, "mscn")
     val cfg = Mscn.Config(r.get("tableFeats").asInt(), r.get("predFeats").asInt(),
       r.get("joinFeats").asInt(), hidden = r.get("hidden").asInt())
     val p = new Mscn.Params(cfg, weights(r))
@@ -98,8 +106,11 @@ object ModelIo {
       Seq("inputDim" -> f.p.cfg.inputDim, "h1" -> f.p.cfg.h1,
         "h2" -> f.p.cfg.h2, "h3" -> f.p.cfg.h3), Nil, f.p.w)
 
-  def loadNeo(path: String): NeoNet.Fitted = {
-    val r = readDoc(path, "neonet")
+  def loadNeo(path: String): NeoNet.Fitted = loadNeoFromJson(
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  def loadNeoFromJson(json: String): NeoNet.Fitted = {
+    val r = readDocText(json, "neonet")
     val cfg = NeoNet.Config(r.get("inputDim").asInt(), r.get("h1").asInt(),
       r.get("h2").asInt(), r.get("h3").asInt())
     val p = new NeoNet.Params(cfg, weights(r))
@@ -182,8 +193,13 @@ object ModelIo {
 
   def loadTreeLstm(path: String): TreeLstm.Fitted = loadTreeLstmNorm(path)._1
 
-  def loadTreeLstmNorm(path: String): (TreeLstm.Fitted, Option[(Array[Double], Array[Double])]) = {
-    val r = readDoc(path, "treelstm")
+  def loadTreeLstmNorm(path: String): (TreeLstm.Fitted, Option[(Array[Double], Array[Double])]) =
+    loadTreeLstmNormFromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  def loadTreeLstmNormFromJson(json: String)
+      : (TreeLstm.Fitted, Option[(Array[Double], Array[Double])]) = {
+    val r = readDocText(json, "treelstm")
     val cfg = TreeLstm.Config(r.get("inputDim").asInt(), r.get("hidden").asInt())
     val p = new TreeLstm.Params(cfg, weights(r))
     require(p.w.length == TreeLstm.Params.size(cfg),
@@ -201,8 +217,13 @@ object ModelIo {
 
   def loadRelCnn(path: String): RelCnn.Fitted = loadRelCnnNorm(path)._1
 
-  def loadRelCnnNorm(path: String): (RelCnn.Fitted, Option[(Array[Double], Array[Double])]) = {
-    val r = readDoc(path, "relcnn")
+  def loadRelCnnNorm(path: String): (RelCnn.Fitted, Option[(Array[Double], Array[Double])]) =
+    loadRelCnnNormFromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  def loadRelCnnNormFromJson(json: String)
+      : (RelCnn.Fitted, Option[(Array[Double], Array[Double])]) = {
+    val r = readDocText(json, "relcnn")
     val cfg = RelCnn.Config(r.get("inputDim").asInt(), r.get("filters").asInt(),
       r.get("headHidden").asInt())
     val p = new RelCnn.Params(cfg, weights(r))

@@ -25,9 +25,13 @@ class ScoringSpec extends AnyFunSuite {
       if (t == DType.Str) Some(StringStats(NumericStats(1, 5, 9, 1, 0, 0),
         NumericStats(1, 2, 3, 0, 0, 0))) else None)))
 
+  // three tables: a 2-table schema has exactly one joinable pair, so
+  // the MSCN join-id encoding would be zero bits wide (bitsFor(1) = 0)
+  // — a degenerate shape no real schema produces
   private val db = DbModel(Seq(
     TableModel("ta", Seq(col("id", DType.Number), col("x", DType.Float))),
-    TableModel("tb", Seq(col("id", DType.Number), col("y", DType.Float)))))
+    TableModel("tb", Seq(col("id", DType.Number), col("y", DType.Float))),
+    TableModel("tc", Seq(col("id", DType.Number), col("z", DType.Float)))))
 
   private val sqls = Seq(
     "SELECT MIN(ta.x) FROM ta WHERE ta.id > 10",
@@ -111,5 +115,76 @@ class ScoringSpec extends AnyFunSuite {
       assert(rows(s)._2 == math.pow(2.0, expected))
     }
     assert(rows("SELECT MIN(nope.z) FROM nope")._1.isNaN)
+  }
+
+  test("scoreWorkloadAny serves every persisted family through one surface") {
+    val Dim = 203
+    val dir = java.nio.file.Files.createTempDirectory("scoringAny").toString
+    val statsJson = ModelJson.toJson(db)
+    def flat(sql: String): Array[Array[Double]] =
+      graft.encode.SetEncoders.flatMatrix(db, sql).map(_.padTo(Dim, 0.0))
+    def tree(sql: String): Gru4.Tree = {
+      val (parents, vecs) = graft.encode.SetEncoders.treeWithParents(db, sql)
+      Gru4.fromParents(parents, vecs.map(_.padTo(Dim, 0.0)))
+    }
+    val log2s = Seq(0.0, 2.0, 1.0, 0.5)
+
+    // one tiny fitted checkpoint per remaining family (gru/gru4 have
+    // dedicated tests above) — norm deliberately None so the test
+    // isolates the kind dispatch, not the z-score plumbing (which the
+    // gru test covers)
+    ModelIo.saveTreeLstm(s"$dir/treelstm.json",
+      TreeLstm.fit(sqls.map(tree).zip(log2s),
+        TreeLstm.Config(inputDim = Dim, hidden = 6,
+          lr = 5e-3, epochs = 3, batch = 2, seed = 42L)), norm = None)
+    ModelIo.saveRelCnn(s"$dir/relcnn.json",
+      RelCnn.fit(sqls.map(s => (flat(s), 0.0)).zip(log2s).map {
+        case ((x, _), y) => (x, y) },
+        RelCnn.Config(inputDim = Dim, filters = 4, headHidden = 4,
+          lr = 5e-3, epochs = 3, batch = 2, seed = 42L)), norm = None)
+    val mscnEnc = sqls.map(s => graft.encode.SetEncoders.encodeMscn(db, s))
+    val (tf, pf, jf) = (mscnEnc.head.tables.head.length,
+      mscnEnc.head.predicates.head.length,
+      math.max(1, mscnEnc.head.joins.headOption.map(_.length).getOrElse(1)))
+    ModelIo.saveMscn(s"$dir/mscn.json",
+      Mscn.fit(mscnEnc.map(Mscn.sets).zip(Seq(1.0, 4.0, 2.0, 1.5)),
+        Mscn.Config(tf, pf, jf, hidden = 8,
+          lr = 1e-3, epochs = 3, batch = 2, seed = 42L)))
+    val neoDim = Estimator.featurizeWith(db, sqls.head, "neo").length
+    ModelIo.saveNeo(s"$dir/neonet.json",
+      NeoNet.fit(sqls.map(s => (Estimator.featurizeWith(db, s, "neo"), 0.0))
+        .zip(log2s).map { case ((x, _), y) => (x, y) },
+        NeoNet.Config(inputDim = neoDim,
+          lr = 1e-4, epochs = 3, batch = 2, seed = 42L)))
+
+    import spark.implicits._
+    val workload = (sqls :+ "SELECT MIN(nope.z) FROM nope").toDF("sql")
+    for (family <- Seq("treelstm", "relcnn", "mscn", "neonet")) {
+      val modelJson = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/$family.json"))
+      val scored = Scoring.scoreWorkloadAny(spark, workload, "sql",
+        modelJson, statsJson)
+      assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"$family scoring must stay a narrow map")
+      val rows = scored.collect().map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val local = Scoring.predictorFor(modelJson, statsJson)
+      sqls.foreach { s =>
+        assert(rows(s)._1 == local(s), s"$family log2 mismatch for $s")
+        assert(rows(s)._2 == math.pow(2.0, local(s)))
+      }
+      assert(rows("SELECT MIN(nope.z) FROM nope")._1.isNaN,
+        s"$family must keep unbindable rows")
+    }
+
+    // the narrow entries refuse a checkpoint of the wrong family
+    val tlJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/treelstm.json"))
+    intercept[IllegalArgumentException] {
+      Scoring.scoreWorkload(spark, workload, "sql", tlJson, statsJson)
+    }
+    intercept[IllegalArgumentException] {
+      Scoring.scoreWorkloadV20(spark, workload, "sql", tlJson, statsJson)
+    }
   }
 }
