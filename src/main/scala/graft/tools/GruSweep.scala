@@ -271,13 +271,19 @@ object GruSweep {
     // round, while the larger run answers "is 48 hidden units the
     // binding constraint at this n?" without disturbing that protocol
     val balAug = SweepKit.balance(augmented)
+    // the flagship classifier votes over 5 seeds (regressor families
+    // stay at 3 for curve comparability): parSeeds fits them
+    // concurrently so the wider vote costs no wall-clock, and near the
+    // published band's edge the extra two members cut the vote's
+    // seed-to-seed spread below the margin being measured
+    val clsSeeds = seeds ++ Seq(99L, 2025L)
     for ((label, set, hidden, epochs) <-
            Seq(("plain", train, 48, 30), ("balanced", balanced, 48, 30),
                ("balanced", balanced, 64, 45),
                ("augmented", balAug, 48, 30),
                ("augmented", balAug, 64, 45))) {
       val data = labeled(set)
-      val perSeed = SweepKit.parSeeds(seeds) { seed =>
+      val perSeed = SweepKit.parSeeds(clsSeeds) { seed =>
         val t0 = System.nanoTime()
         val fitted = Gru.fit(data, Gru.Config(inputDim = Dim, hidden = hidden,
           classes = classes, lr = 2e-3, epochs = epochs, batch = 32, seed = seed))
@@ -286,7 +292,7 @@ object GruSweep {
         // train, curve-protocol capacity) with its z-score constants,
         // completing the six-family checkpoint set alongside
         // gru4/treelstm/relcnn/mscn/neonet
-        if (label == "augmented" && hidden == 48 && seed == seeds.last)
+        if (label == "augmented" && hidden == 48 && seed == clsSeeds.last)
           graft.estimate.ModelIo.saveGru(s"$outDir/models/gru.json",
             fitted, Some((mean, std)))
         val preds = testSeqs.map(fitted.predict)
@@ -297,7 +303,7 @@ object GruSweep {
         preds
       }
       val (acc, mae, f1) = score(perSeed)
-      println(f"[vote] $label%-8s h=$hidden e=$epochs seeds=${seeds.size} " +
+      println(f"[vote] $label%-8s h=$hidden e=$epochs seeds=${clsSeeds.size} " +
         f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
       // the flagship band-comparison family (augmented = the tpch_aug
       // analog the reference's published 0.754 comes from) gets the
