@@ -19,10 +19,13 @@ private[estimate] object AdamTrainer {
 
   /** Trains `w` in place; `lossGrad(example, g)` must ACCUMULATE the
     * example's gradient into `g` and return its loss. Returns per-epoch
-    * mean losses.
+    * mean losses. `onEpoch(e)` fires after epoch `e` (1-based) has been
+    * applied to `w` — the hook validation-based checkpoint selection
+    * reads the in-place weights through ([[Gru.fitValSelected]]).
     */
   def run[E](data: Seq[E], w: Array[Double], opt: Opt,
-             lossGrad: (E, Array[Double]) => Double): Seq[Double] = {
+             lossGrad: (E, Array[Double]) => Double,
+             onEpoch: Int => Unit = _ => ()): Seq[Double] = {
     val n = w.length
     val g = new Array[Double](n)
     val m = new Array[Double](n)
@@ -32,7 +35,7 @@ private[estimate] object AdamTrainer {
     var step = 0
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     val idx = data.indices.toArray
-    for (_ <- 1 to opt.epochs) {
+    for (epoch <- 1 to opt.epochs) {
       var i = idx.length - 1
       while (i > 0) {
         val j = rnd.nextInt(i + 1)
@@ -79,6 +82,7 @@ private[estimate] object AdamTrainer {
         off = end
       }
       losses += epochLoss / idx.length
+      onEpoch(epoch)
     }
     losses.toSeq
   }

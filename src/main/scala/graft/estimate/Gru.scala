@@ -230,4 +230,44 @@ object Gru {
       { case ((seq, label), g) => lossAndGrad(p, seq, label, g) })
     Fitted(p, losses)
   }
+
+  /** Like [[fit]] but keeps the weights of the EPOCH whose macro-F1 on
+    * `valSet` is best, not the last epoch's — the reference's
+    * validation-checkpoint selection (its lightning runs score val each
+    * epoch and load the best checkpoint back; the saved artifacts are
+    * NAMED by those val metrics,
+    * dqo/estimator/gerelt/v15/logs/tpch_aug/.../val_results_*_acc_*_f1_*.png,
+    * consumed by evaluate.py's load_pretrained_model). `valSet` must be
+    * carved from TRAINING data — selecting on the test holdout would
+    * leak it. Returns the best-epoch model plus (bestEpoch, bestValF1);
+    * ties keep the earlier epoch. Determinism: the training trajectory
+    * is [[fit]]'s bit-for-bit (same AdamTrainer stream — the epoch hook
+    * only reads weights), so for a fixed seed the selected epoch is
+    * reproducible.
+    */
+  def fitValSelected(data: Seq[(Array[Array[Double]], Int)], cfg: Config,
+                     valSet: Seq[(Array[Array[Double]], Int)])
+      : (Fitted, Int, Double) = {
+    require(data.nonEmpty, "no training data")
+    require(valSet.nonEmpty, "empty validation set")
+    val p = Params(cfg)
+    val probe = Fitted(p, Nil)
+    val bestW = new Array[Double](p.w.length)
+    var bestF1 = -1.0
+    var bestEpoch = 0
+    val losses = AdamTrainer.run[(Array[Array[Double]], Int)](data, p.w,
+      AdamTrainer.Opt(cfg.lr, cfg.epochs, cfg.batch, cfg.seed, cfg.clip),
+      { case ((seq, label), g) => lossAndGrad(p, seq, label, g) },
+      onEpoch = { epoch =>
+        val pairs = valSet.map { case (seq, label) =>
+          (probe.predict(seq).toDouble, label.toDouble) }
+        val (_, _, f1) = Estimator.evaluate(pairs, minBucket = 0)
+        if (f1 > bestF1) {
+          bestF1 = f1; bestEpoch = epoch
+          System.arraycopy(p.w, 0, bestW, 0, p.w.length)
+        }
+      })
+    System.arraycopy(bestW, 0, p.w, 0, p.w.length)
+    (Fitted(p, losses), bestEpoch, bestF1)
+  }
 }

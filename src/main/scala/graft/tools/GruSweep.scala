@@ -271,23 +271,46 @@ object GruSweep {
     // round, while the larger run answers "is 48 hidden units the
     // binding constraint at this n?" without disturbing that protocol
     val balAug = SweepKit.balance(augmented)
+    // the capacity rows additionally select the BEST-VALIDATION epoch
+    // instead of the last (Gru.fitValSelected — the reference's
+    // lightning val-checkpoint selection): their training set excludes
+    // a ~10% CRC-band validation carve (disjoint from the holdout by
+    // construction), and the carve is taken from the RAW train split
+    // before balancing/augmenting so no oversampled or permuted copy of
+    // a validation query leaks into training
+    val (valRaw, fitRaw) = train.partition { case (sql, _) => SweepKit.isVal(sql) }
+    val valData = labeled(valRaw)
+    println(s"[gru] val carve for best-epoch rows: ${valRaw.size} " +
+      s"(fit train ${fitRaw.size})")
+    val balancedSel = SweepKit.balance(fitRaw)
+    val balAugSel = SweepKit.balance(SweepKit.augment(fitRaw, db, limit = 8,
+      holdout = (test.map(_._1) ++ valRaw.map(_._1)).toSet))
     // the flagship classifier votes over 5 seeds (regressor families
     // stay at 3 for curve comparability): parSeeds fits them
     // concurrently so the wider vote costs no wall-clock, and near the
     // published band's edge the extra two members cut the vote's
     // seed-to-seed spread below the margin being measured
     val clsSeeds = seeds ++ Seq(99L, 2025L)
-    for ((label, set, hidden, epochs) <-
-           Seq(("plain", train, 48, 30), ("balanced", balanced, 48, 30),
-               ("balanced", balanced, 64, 45),
-               ("augmented", balAug, 48, 30),
-               ("augmented", balAug, 64, 45))) {
+    for ((label, set, hidden, epochs, valSel) <-
+           Seq(("plain", train, 48, 30, false),
+               ("balanced", balanced, 48, 30, false),
+               ("balanced", balancedSel, 64, 45, true),
+               ("augmented", balAug, 48, 30, false),
+               ("augmented", balAugSel, 64, 45, true))) {
       val data = labeled(set)
       val perSeed = SweepKit.parSeeds(clsSeeds) { seed =>
         val t0 = System.nanoTime()
-        val fitted = Gru.fit(data, Gru.Config(inputDim = Dim, hidden = hidden,
-          classes = classes, lr = 2e-3, epochs = epochs, batch = 32, seed = seed))
+        val cfg = Gru.Config(inputDim = Dim, hidden = hidden,
+          classes = classes, lr = 2e-3, epochs = epochs, batch = 32, seed = seed)
+        val (fitted, bestEp) =
+          if (valSel) {
+            val (f, ep, valF1) = Gru.fitValSelected(data, cfg, valData)
+            println(f"[gru1] $label%-8s h=$hidden seed=$seed%4d " +
+              f"best epoch $ep/${epochs} (val f1=$valF1%.3f)")
+            (f, ep)
+          } else (Gru.fit(data, cfg), epochs)
         val sec = (System.nanoTime() - t0) / 1e9
+        require(bestEp >= 1, s"val selection never improved on init (seed $seed)")
         // persist the flagship band-comparison classifier (augmented
         // train, curve-protocol capacity) with its z-score constants,
         // completing the six-family checkpoint set alongside

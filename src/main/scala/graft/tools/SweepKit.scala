@@ -20,6 +20,17 @@ private[tools] object SweepKit {
     (c.getValue & 0xff) < 64
   }
 
+  /** Validation carve for best-epoch checkpoint selection
+    * ([[graft.estimate.Gru.fitValSelected]]): the next CRC-byte band
+    * above the holdout's — [64, 90), ~10% of the population — so it is
+    * disjoint from the test holdout BY CONSTRUCTION and as stable
+    * across checkpoint growth/merges as the holdout itself. */
+  def isVal(sql: String): Boolean = {
+    val c = new java.util.zip.CRC32(); c.update(sql.getBytes("UTF-8"))
+    val b = c.getValue & 0xff
+    b >= 64 && b < 90
+  }
+
   /** Per-dimension mean/std over all timesteps of the train split's
     * sequences; variance clamped at 0 before the sqrt, floor 1e-6. */
   def zStats(train: Seq[(String, Double)], dim: Int,

@@ -86,4 +86,29 @@ class GruSpec extends AnyFunSuite {
       Gru.fit(Seq((Array.empty[Array[Double]], 0)), cfg)
     }
   }
+
+  test("fitValSelected returns the weights of the reported best epoch") {
+    val data = tinyData(11L, n = 40, len = 5, dim = 4, classes = 3)
+    val (train, valSet) = data.splitAt(30)
+    val cfg = Gru.Config(inputDim = 4, hidden = 6, classes = 3,
+      lr = 1e-2, epochs = 8, batch = 4, seed = 13L)
+    val (fitted, bestEpoch, bestF1) = Gru.fitValSelected(train, cfg, valSet)
+    assert(bestEpoch >= 1 && bestEpoch <= cfg.epochs)
+    // invariant: re-scoring the returned weights on the val set
+    // reproduces exactly the F1 the selection reports
+    val pairs = valSet.map { case (s, l) => (fitted.predict(s).toDouble, l.toDouble) }
+    val (_, _, f1) = Estimator.evaluate(pairs, minBucket = 0)
+    assert(f1 == bestF1, s"returned weights score $f1, selection reported $bestF1")
+    // selection cannot do worse on val than plain last-epoch training
+    // (identical trajectory, so the last epoch is one of its candidates)
+    val last = Gru.fit(train, cfg)
+    val lastPairs = valSet.map { case (s, l) => (last.predict(s).toDouble, l.toDouble) }
+    val (_, _, lastF1) = Estimator.evaluate(lastPairs, minBucket = 0)
+    assert(bestF1 >= lastF1)
+    // determinism: same seed, same selected epoch and weights
+    val (again, epochAgain, f1Again) = Gru.fitValSelected(train, cfg, valSet)
+    assert(epochAgain == bestEpoch && f1Again == bestF1)
+    assert(again.p.w.toSeq == fitted.p.w.toSeq)
+    intercept[IllegalArgumentException] { Gru.fitValSelected(train, cfg, Nil) }
+  }
 }
