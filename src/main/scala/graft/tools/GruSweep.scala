@@ -22,7 +22,7 @@ import graft.model.ModelJson
   *  - relcnn convolutional regressor ([[graft.estimate.RelCnn]],
   *    `dqo/estimator/relcnn/v1/model.py`)
   *  - single-GRU bucket classifier over the flat traversal sequence
-  *    ([[graft.estimate.Gru]]), plain and bucket-balanced, 3-seed vote
+  *    ([[graft.estimate.Gru]]), plain and bucket-balanced, 5-seed vote
   *
   * Same checkpoint, same CRC-byte holdout, same reference bucket space
   * as BandRetrain/MlpSweep, so numbers drop into the README parity
@@ -339,7 +339,7 @@ object GruSweep {
       if (label == "augmented" && hidden == 48) {
         val voted = SweepKit.vote(perSeed)
         graft.estimate.Report.write(s"$outDir/REPORT_gru.md",
-          s"GRU bucket classifier, augmented train, 3-seed vote — held-out " +
+          s"GRU bucket classifier, augmented train, ${clsSeeds.size}-seed vote — held-out " +
             s"(${test.size} queries; reference bucket space, <=1 s -> bucket 0)",
           test.zip(voted).map { case ((sql, rt), predLog2) =>
             graft.estimate.Report.ResultRow(sql.take(80),
