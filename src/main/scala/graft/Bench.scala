@@ -80,10 +80,17 @@ object Bench {
         // The shuffle-heavy LSH family gets 5 too: its many small
         // shuffle stages make it the most contention-sensitive group in
         // the suite (both the r6 and r8 "regressions" that clean re-runs
-        // discharged as session noise were concentrated here)
-        val shuffleHeavy = Set("q31_minhash_sig", "q32_lsh_candidates",
-          "q33_ngram_jaccard", "q109_edit_distance")
-        val samples = if (warm < 1.0 || shuffleHeavy(name)) 5 else 3
+        // discharged as session noise were concentrated here).
+        // The real-codec multimodal family likewise: per-image/per-frame
+        // decode inside mapPartitions is JIT/GC-sensitive enough that a
+        // same-HEAD idle double re-run (round 10) moved q75 1.66<->3.17 s
+        // and q97 3.08<->4.48 s between runs with within-run spreads of
+        // the same size — 3 samples let one outlier own the median.
+        val noisy = Set("q31_minhash_sig", "q32_lsh_candidates",
+          "q33_ngram_jaccard", "q109_edit_distance",
+          "q75_image_decode", "q96_audio_decode", "q97_video_decode",
+          "q102_image_resize", "q116_image_flip")
+        val samples = if (warm < 1.0 || noisy(name)) 5 else 3
         val runs = Seq.fill(samples)(once())
         if (runs.exists(_ < 0)) (-1.0, -1.0)
         else {

@@ -156,16 +156,30 @@ object Gru {
 
   /** Cross-entropy loss and full-parameter gradient for one example.
     * Gradient ACCUMULATES into `g` (caller zeroes between batches).
+    *
+    * `weight` scales BOTH the loss and its gradient (weighted
+    * cross-entropy): loss = -w·log p_label, and since every parameter
+    * gradient is linear in dLogits, scaling dLogits by w scales the
+    * whole gradient exactly — the class-weighting lever for the
+    * tail-starved runtime buckets (the reference's data_module gets the
+    * same effect by balanced SAMPLING, dqo/estimator/gerelt/
+    * data_module.py:15-70; weighting reweights the loss with zero extra
+    * wall-clock instead of duplicating rows). Verified against finite
+    * differences in GruSpec alongside the unweighted check.
     */
   def lossAndGrad(p: Params, seq: Array[Array[Double]], label: Int,
-                  g: Array[Double]): Double = {
+                  g: Array[Double], weight: Double = 1.0): Double = {
     import p.cfg._
     val f = forward(p, seq)
     val T = seq.length
-    val loss = -math.log(math.max(f.probs(label), 1e-12))
+    val loss = -weight * math.log(math.max(f.probs(label), 1e-12))
     // head
     val dLogits = f.probs.clone()
     dLogits(label) -= 1.0
+    if (weight != 1.0) {
+      var i = 0
+      while (i < dLogits.length) { dLogits(i) *= weight; i += 1 }
+    }
     addOuter(g, p.offWo, p.offBo, dLogits, f.hs(T))
     val dh = new Array[Double](hidden)
     addTMatVec(p.w, p.offWo, classes, hidden, dLogits, dh)
@@ -247,17 +261,33 @@ object Gru {
     */
   def fitValSelected(data: Seq[(Array[Array[Double]], Int)], cfg: Config,
                      valSet: Seq[(Array[Array[Double]], Int)])
+      : (Fitted, Int, Double) =
+    fitValSelectedWeighted(data.map { case (s, l) => (s, l, 1.0) }, cfg, valSet)
+
+  /** [[fitValSelected]] with a per-example loss weight (third tuple
+    * element) — inverse-class-frequency weights give the tail buckets
+    * gradient mass without oversampling's duplicated rows. With all
+    * weights 1.0 the trajectory is [[fitValSelected]]'s bit-for-bit
+    * (same AdamTrainer stream, same epoch hook).
+    */
+  def fitValSelectedWeighted(data: Seq[(Array[Array[Double]], Int, Double)],
+                             cfg: Config,
+                             valSet: Seq[(Array[Array[Double]], Int)])
       : (Fitted, Int, Double) = {
     require(data.nonEmpty, "no training data")
     require(valSet.nonEmpty, "empty validation set")
+    // epochs == 0 would silently return an all-zero model: onEpoch never
+    // fires, bestW stays zero-filled, and the final arraycopy would
+    // overwrite the seeded init with zeros
+    require(cfg.epochs >= 1, s"epochs must be >= 1, got ${cfg.epochs}")
     val p = Params(cfg)
     val probe = Fitted(p, Nil)
     val bestW = new Array[Double](p.w.length)
     var bestF1 = -1.0
     var bestEpoch = 0
-    val losses = AdamTrainer.run[(Array[Array[Double]], Int)](data, p.w,
+    val losses = AdamTrainer.run[(Array[Array[Double]], Int, Double)](data, p.w,
       AdamTrainer.Opt(cfg.lr, cfg.epochs, cfg.batch, cfg.seed, cfg.clip),
-      { case ((seq, label), g) => lossAndGrad(p, seq, label, g) },
+      { case ((seq, label, wt), g) => lossAndGrad(p, seq, label, g, wt) },
       onEpoch = { epoch =>
         val pairs = valSet.map { case (seq, label) =>
           (probe.predict(seq).toDouble, label.toDouble) }

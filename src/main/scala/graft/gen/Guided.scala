@@ -195,16 +195,27 @@ final class BalancedQueryGen(
     BalancedCheckpoint(seed, iterations, produced, counts.toSeq, results.toSeq, lastSql)
 }
 
-/** Serializable in-flight state of a [[BalancedQueryGen]] campaign. */
+/** Serializable in-flight state of a [[BalancedQueryGen]] campaign.
+  *
+  * `budget` identifies the COMPUTE BUDGET the runtimes were measured
+  * under (e.g. `"x160_c2"` — scale factor and core count): runtime
+  * labels are only comparable within one budget, and before this field
+  * that invariant lived solely in the checkpoint's FILENAME, so a
+  * rename could silently mix incomparable labels. [[graft.tools
+  * .CheckpointMerge]] refuses to merge checkpoints whose recorded
+  * budgets differ. Absent on pre-round-10 files (decoded as None).
+  */
 final case class BalancedCheckpoint(
     seed: Long, iterations: Int, produced: Int,
-    counts: Seq[Long], results: Seq[(String, Double)], lastSql: Option[String]) {
+    counts: Seq[Long], results: Seq[(String, Double)], lastSql: Option[String],
+    budget: Option[String] = None) {
 
   /** One line per measured query, runtime TAB sql, after a header —
     * the reference's one-SQL-per-line file with the counters prepended.
     */
   def serialize: String = {
-    val header = s"seed=$seed\titerations=$iterations\tproduced=$produced"
+    val header = s"seed=$seed\titerations=$iterations\tproduced=$produced" +
+      budget.map(b => s"\tbudget=$b").getOrElse("")
     val countsLine = counts.mkString(",")
     val inflight = lastSql.getOrElse("")
     (Seq(header, countsLine, inflight) ++
@@ -227,7 +238,7 @@ object BalancedCheckpoint {
       (sql, rt.toDouble)
     }
     BalancedCheckpoint(kv("seed").toLong, kv("iterations").toInt,
-      kv("produced").toInt, counts, results, lastSql)
+      kv("produced").toInt, counts, results, lastSql, kv.get("budget"))
   }
 
   /** Rebuild a campaign mid-flight: counters, measured population and the
@@ -238,6 +249,13 @@ object BalancedCheckpoint {
   def restore(cp: BalancedCheckpoint, db: DbModel, runner: String => Double,
               partitioner: Log2Partitioner = new Log2Partitioner(),
               patience: Int = 10, maxStepsPerGen: Int = 100): BalancedQueryGen = {
+    // a merged checkpoint (CheckpointMerge stamps iterations = -1) is
+    // TRAINING-ONLY: its results are a concatenation of several streams,
+    // so resuming with the header's seed would continue a seed stream
+    // that matches no campaign — refuse instead of silently generating
+    require(cp.iterations >= 0,
+      "checkpoint is not resumable (iterations < 0 marks a merged, " +
+        "training-only checkpoint)")
     val gen = new BalancedQueryGen(db, runner, partitioner, patience,
       maxStepsPerGen, cp.seed)
     cp.counts.zipWithIndex.foreach { case (c, i) => gen.counts(i) = c }

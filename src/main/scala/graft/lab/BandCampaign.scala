@@ -40,7 +40,7 @@ object BandCampaign {
   val tables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
-  private def session(cores: String): SparkSession = {
+  private[lab] def session(cores: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -52,23 +52,16 @@ object BandCampaign {
     s
   }
 
-  def main(args: Array[String]): Unit = {
-    val baseSfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val factor = args.lift(1).map(_.toDouble).getOrElse(40.0)
-    val n = args.lift(2).map(_.toInt).getOrElse(48)
-    val workDir = args.lift(3).getOrElse("/tmp/graft_band")
-    val seed = args.lift(4).map(_.toLong).getOrElse(42L)
-    // the MEASUREMENT compute budget. Shrinking it is the second lever
-    // (after `factor`) for pushing runtimes into the reference's 1-256 s
-    // band: the reference measured a single Postgres backend, so a
-    // query's compute budget there was a couple of cores, not 32.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** Phase 1 (full parallelism): synthesize the `factor`× database and
+    * cache its exact stats model — campaign PREP, not the thing being
+    * measured, so it runs on all cores whatever the measurement budget.
+    * Idempotent: reruns at any compute budget skip straight to the
+    * measurement phase. Returns the scaled directory. Shared with
+    * [[TailCampaign]] so both campaign shapes measure the same world.
+    */
+  private[lab] def ensureScaled(baseSfDir: String, factor: Double,
+                                workDir: String): String = {
     val scaledDir = s"$workDir/x${factor.toInt}"
-
-    // ---- phase 1 (full parallelism): synthesize + model ------------
-    // Data generation and stats collection are campaign PREP, not the
-    // thing being measured — run them on all cores and cache the model
-    // as JSON so reruns at any compute budget skip straight to phase 2.
     if (!Files.exists(Paths.get(s"$scaledDir/stats.json"))) {
       val prep = session("32")
       graft.Tables.registerAll(prep, baseSfDir)
@@ -89,14 +82,37 @@ object BandCampaign {
       prep.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     } else println(s"[band] reusing cached stats at $scaledDir/stats.json")
+    scaledDir
+  }
+
+  /** Register the scaled tables as views on `spark` and return the
+    * cached stats model (phase-2 setup, shared with [[TailCampaign]]).
+    */
+  private[lab] def openScaled(spark: SparkSession,
+                              scaledDir: String): graft.model.DbModel = {
+    tables.foreach(t =>
+      spark.read.parquet(s"$scaledDir/$t.parquet").createOrReplaceTempView(t))
+    StatsCollector.collect(spark, scaledDir, tables,
+      cachePath = Some(s"$scaledDir/stats.json"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseSfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toDouble).getOrElse(40.0)
+    val n = args.lift(2).map(_.toInt).getOrElse(48)
+    val workDir = args.lift(3).getOrElse("/tmp/graft_band")
+    val seed = args.lift(4).map(_.toLong).getOrElse(42L)
+    // the MEASUREMENT compute budget. Shrinking it is the second lever
+    // (after `factor`) for pushing runtimes into the reference's 1-256 s
+    // band: the reference measured a single Postgres backend, so a
+    // query's compute budget there was a couple of cores, not 32.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaledDir = ensureScaled(baseSfDir, factor, workDir)
 
     // ---- phase 2 (budgeted): measure + train -----------------------
     println(s"[band] measurement session: local[$cpus]")
     val spark = session(cpus)
-    tables.foreach(t =>
-      spark.read.parquet(s"$scaledDir/$t.parquet").createOrReplaceTempView(t))
-    val db = StatsCollector.collect(spark, scaledDir, tables,
-      cachePath = Some(s"$scaledDir/stats.json"))
+    val db = openScaled(spark, scaledDir)
 
     // 4. balanced campaign against real execution in the scaled world.
     // The checkpoint is keyed on the core count too: measured runtimes
@@ -107,7 +123,8 @@ object BandCampaign {
       else s"campaign_x${factor.toInt}_c${cpus}_s$seed.cp"
     val r = Campaign.runOnModel(spark, db, n,
       checkpointPath = Some(s"$workDir/$cpName"),
-      timeoutSec = 300, seed = seed)
+      timeoutSec = 300, seed = seed,
+      budget = Some(s"x${factor.toInt}_c$cpus"))
 
     val positive = r.runtimes.count(_ >= 1.0)
     val buckets = r.runtimes.map(rt =>

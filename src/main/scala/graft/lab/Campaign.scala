@@ -72,18 +72,20 @@ object Campaign {
     */
   def runOnModel(spark: SparkSession, db: graft.model.DbModel, n: Int,
                  checkpointPath: Option[String] = None,
-                 timeoutSec: Int = 60, seed: Long = 42L): Result = {
+                 timeoutSec: Int = 60, seed: Long = 42L,
+                 budget: Option[String] = None): Result = {
     println(s"[campaign] balanced generation of $n measured queries")
     val executor = new Executor(spark, timeoutSec = timeoutSec)
     val cpPath = checkpointPath.map(Paths.get(_))
     // checkpoint INCREMENTALLY (before each new measurement) so a long
     // campaign killed mid-flight loses at most the in-flight query, not
     // hours of measured runtimes; `genRef` is assigned right after the
-    // generator is built below
+    // generator is built below. The caller's compute budget rides in
+    // the header so CheckpointMerge can verify label comparability.
     var genRef: BalancedQueryGen = null
     val runner: String => Double = sql => {
       cpPath.foreach(p => if (genRef != null)
-        saveCheckpoint(p, genRef.checkpoint.serialize))
+        saveCheckpoint(p, genRef.checkpoint.copy(budget = budget).serialize))
       executor.time(sql)
     }
     val gen = cpPath.filter(Files.exists(_)) match {
@@ -98,7 +100,7 @@ object Campaign {
     genRef = gen
     val measured = gen.generate(n)
     cpPath.foreach { p =>
-      saveCheckpoint(p, gen.checkpoint.serialize)
+      saveCheckpoint(p, gen.checkpoint.copy(budget = budget).serialize)
       println(s"[campaign] checkpoint saved to $p")
     }
     println(s"[campaign] measured ${measured.size} runs; bucket counts: " +
@@ -157,6 +159,35 @@ object Campaign {
     }
     Result(usable.size, train.size, test.size, tAcc, tMae, tF1, hAcc, hMae, hF1,
       gen.counts.toSeq, usable.map(_._2), rAcc, rMae, rF1)
+  }
+
+  /** Close the campaign's own loop: stamp a SERVED estimator
+    * checkpoint's predictions onto a measured workload and return the
+    * per-query drift — the engine-side analog of the reference's
+    * estimate.py batch-applying predictions to workload CSVs and X3's
+    * rerun drift report (dqo/lab/query_executor.py:206-290, which
+    * re-times logged queries and compares against the logged runtime;
+    * here the comparison is prediction vs measurement instead).
+    *
+    * Output columns: `sql`, `runtime_sec` (measured), `log2_seconds` /
+    * `est_seconds` (the checkpoint's prediction,
+    * [[graft.estimate.Scoring.scoreWorkloadAny]] — distributed,
+    * broadcast-text checkpoints, zero collects), and `drift_log2` =
+    * |predicted − actual| in log2 space (the band's MAE unit; measured
+    * runtimes are floored at 1 ms so a degenerate zero can't produce an
+    * infinite drift).
+    */
+  def driftReport(spark: SparkSession, measured: Seq[(String, Double)],
+                  modelJson: String, statsJson: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val workload = measured.toDF("sql", "runtime_sec")
+    graft.estimate.Scoring.scoreWorkloadAny(spark, workload, "sql",
+        modelJson, statsJson)
+      .join(workload, "sql")
+      .withColumn("drift_log2",
+        abs(col("log2_seconds") -
+          log(2.0, greatest(col("runtime_sec"), lit(1e-3)))))
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,202 @@
+package graft.lab
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+import scala.util.Try
+
+import graft.gen.{BalancedCheckpoint, GuidedQueryGen, Log2Partitioner}
+import graft.model.DbModel
+
+/** Active-sampling campaign for the RUNTIME TAIL (the 32–256 s log2
+  * buckets that gate estimator macro-F1 parity — BandCampaign's
+  * population holds thousands of sub-second measurements but only tens
+  * above 64 s, because every measured candidate costs its own runtime).
+  *
+  * The balanced campaign's guided control loop (guided.py:119-177)
+  * EXECUTES every mutation step to decide narrow/broaden — so steering
+  * a query from 0.5 s up into the band burns minutes of measurement
+  * wall-clock on labels the population doesn't need. This campaign
+  * replaces the step runner with the SERVED v20 regressor
+  * ([[graft.estimate.Scoring.predictorFor]]): mutations are steered by
+  * predicted runtime at ~1 ms per step, and the real executor is
+  * invoked only when the prediction lands inside the screen band —
+  * active sampling, turning "every candidate costs its runtime" into
+  * "only probable-tail candidates do". Every REAL measurement is
+  * recorded whatever bucket it truly lands in (a mispredicted 8 s query
+  * is still a valid label); surrogate estimates are never recorded.
+  *
+  * Checkpoint format is [[BalancedCheckpoint]] with the compute budget
+  * stamped, so [[graft.tools.CheckpointMerge]] folds tail streams into
+  * the main population under the same comparability check, and the
+  * CRC-byte holdout assigns their queries stably. Labels use the same
+  * run-twice-keep-2nd executor protocol and 300 s timeout as
+  * [[BandCampaign]] at the same local[cpus] budget — mergeable by
+  * construction.
+  *
+  * Usage: `TailCampaign [baseSfDir] [factor] [n] [workDir] [seed] [lo] [hi] [modelJson]`
+  * — hunts runtimes in [lo, hi] seconds until `n` records exist,
+  * resuming from its per-(seed, band) checkpoint.
+  */
+object TailCampaign {
+
+  /** splitmix64 over (campaign seed, iteration) — the same
+    * deterministic per-iteration seed stream [[graft.gen
+    * .BalancedQueryGen]] draws, so independent tail streams with
+    * different seeds explore disjoint generator sequences and a
+    * kill+resume continues the stream instead of replaying it.
+    */
+  private def seedFor(seed: Long, i: Int): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The hunting core, separated from Spark so the spec can drive it
+    * with a synthetic surrogate and a fake executor.
+    *
+    * Screen-band invariant: `screenLo <= lo && screenHi >= hi` is
+    * REQUIRED so a surrogate estimate handed back to the guided loop
+    * can never itself land inside the target band — the only values the
+    * loop can score as a hit are real measurements. `screenLo < lo`
+    * widens the measurement trigger below the band floor on purpose:
+    * the surrogate underestimates roughly half the time (log2-MAE
+    * ~0.5), so a candidate predicted at lo/2 is worth measuring.
+    *
+    * A failed or timed-out measurement returns `screenHi * 2` to the
+    * loop (steer DOWN — at this scale a timeout means too slow, and
+    * broadening a timed-out query would walk further into timeout
+    * territory) and records nothing.
+    */
+  final class Hunter(db: DbModel,
+                     surrogateSec: String => Double,
+                     measure: String => Double,
+                     val lo: Double, val hi: Double,
+                     val screenLo: Double, val screenHi: Double,
+                     seed: Long,
+                     preMeasure: String => Unit = _ => (),
+                     postRecord: (String, Double) => Unit = (_, _) => ()) {
+    require(screenLo <= lo && screenHi >= hi,
+      s"screen band [$screenLo, $screenHi] must contain target band [$lo, $hi]")
+
+    /** Real measurements only, in measurement order (the checkpoint's
+      * results). Also the cross-generator memo: a SQL string some
+      * earlier generator already paid to measure is never re-executed.
+      */
+    val measured: mutable.LinkedHashMap[String, Double] =
+      mutable.LinkedHashMap.empty[String, Double]
+    var iterations = 0
+    var screenedOut = 0L // candidates the surrogate rejected — free steps
+    var measureCalls = 0L
+
+    private val runner: String => Double = sql =>
+      measured.getOrElse(sql, {
+        val est = Try(surrogateSec(sql)).getOrElse(Double.NaN)
+        if (est.isNaN) { screenedOut += 1; 0.0 } // unencodable: broaden
+        else if (est < screenLo || est > screenHi) { screenedOut += 1; est }
+        else {
+          preMeasure(sql)
+          measureCalls += 1
+          val rt = Try(measure(sql)).getOrElse(-1.0)
+          if (rt > 0) { measured.put(sql, rt); postRecord(sql, rt); rt }
+          else screenHi * 2
+        }
+      })
+
+    /** One guided-generator episode: random start, surrogate-steered
+      * mutations toward [lo, hi], stop at the first REAL measurement
+      * that lands in-band (stopEarly) or after `maxSteps`.
+      */
+    def runOne(maxSteps: Int = 60): Unit = {
+      val gen = new GuidedQueryGen(db, runner, (lo, hi), stopEarly = true,
+        maxSteps = maxSteps, seed = seedFor(seed, iterations))
+      iterations += 1
+      Try(gen.guide())
+      ()
+    }
+
+    def checkpoint(budget: Option[String]): BalancedCheckpoint = {
+      val part = new Log2Partitioner()
+      val counts = Array.fill(part.k)(0L)
+      measured.valuesIterator.foreach(rt =>
+        counts(math.min(part.partition(rt), counts.length - 1)) += 1)
+      BalancedCheckpoint(seed, iterations, measured.size, counts.toSeq,
+        measured.toSeq, lastSql = None, budget = budget)
+    }
+
+    def restore(cp: BalancedCheckpoint): Unit = {
+      require(cp.iterations >= 0, "merged checkpoint is not resumable")
+      iterations = cp.iterations
+      measured.clear()
+      cp.results.foreach { case (sql, rt) => measured.put(sql, rt) }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseSfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toDouble).getOrElse(160.0)
+    val n = args.lift(2).map(_.toInt).getOrElse(Int.MaxValue)
+    val workDir = args.lift(3).getOrElse("/tmp/graft_band")
+    val seed = args.lift(4).map(_.toLong).getOrElse(50L)
+    val lo = args.lift(5).map(_.toDouble).getOrElse(32.0)
+    val hi = args.lift(6).map(_.toDouble).getOrElse(256.0)
+    val modelJson = args.lift(7).getOrElse("/root/repo/data/band/models/gru4.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "2")
+    val budget = Some(s"x${factor.toInt}_c$cpus")
+
+    val scaledDir = BandCampaign.ensureScaled(baseSfDir, factor, workDir)
+    println(s"[tail] measurement session: local[$cpus], band [$lo, $hi] s")
+    val spark = BandCampaign.session(cpus)
+    val db = BandCampaign.openScaled(spark, scaledDir)
+
+    val predictLog2 = graft.estimate.Scoring.predictorFor(
+      Files.readString(Paths.get(modelJson)),
+      Files.readString(Paths.get(s"$scaledDir/stats.json")))
+    val executor = new Executor(spark, timeoutSec = 300)
+
+    val cpPath = Paths.get(s"$workDir/tail_x${factor.toInt}_c${cpus}_s${seed}" +
+      s"_b${lo.toInt}_${hi.toInt}.cp")
+    var hunterRef: Hunter = null
+    def save(): Unit = if (hunterRef != null)
+      Campaign.saveCheckpoint(cpPath, hunterRef.checkpoint(budget).serialize)
+
+    val hunter = new Hunter(db,
+      surrogateSec = sql => math.pow(2.0, predictLog2(sql)),
+      measure = executor.time,
+      lo = lo, hi = hi, screenLo = lo / 2, screenHi = math.max(hi, 280.0),
+      seed = seed,
+      // incremental checkpoint BEFORE each measurement: a kill loses at
+      // most the in-flight query, and the saved file is always a
+      // complete serialization (Campaign.saveCheckpoint's atomic rename)
+      preMeasure = _ => save(),
+      postRecord = (sql, rt) => {
+        save()
+        println(f"[tail s$seed] RECORD ${hunterRef.measured.size}%5d " +
+          f"rt=$rt%7.1f s :: ${sql.take(110)}")
+      })
+    hunterRef = hunter
+
+    if (Files.exists(cpPath)) {
+      val cp = BalancedCheckpoint.deserialize(Files.readString(cpPath))
+      require(cp.budget.forall(budget.contains),
+        s"checkpoint budget ${cp.budget} does not match this run's $budget")
+      hunter.restore(cp)
+      println(s"[tail s$seed] resumed from $cpPath: " +
+        s"${hunter.measured.size} records, iteration ${hunter.iterations}")
+    }
+
+    while (hunter.measured.size < n) {
+      hunter.runOne(maxSteps = 60)
+      if (hunter.iterations % 25 == 0) {
+        save()
+        println(s"[tail s$seed] iter=${hunter.iterations} " +
+          s"records=${hunter.measured.size} screened-out=${hunter.screenedOut} " +
+          s"measure-calls=${hunter.measureCalls} counts=" +
+          hunter.checkpoint(budget).counts.mkString(","))
+      }
+    }
+    save()
+    spark.stop()
+  }
+}

@@ -80,7 +80,32 @@ object EventStream {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .select(col("window.start").as("window_start"), col("approx_users"))
 
-  final case class SessionState(count: Long, sum: Double, lastNanos: Long)
+  /** Streaming-checkpoint compatibility: like [[FunnelState]], the
+    * PERSISTED form is a length-versioned `Array[Long]`, not this case
+    * class — a case-class state encoder bakes its field list into the
+    * checkpoint's state schema, so appending a field would fail any
+    * restart from an older durable checkpoint with a state-schema
+    * mismatch. `sum` is a Double carried as its IEEE-754 bit pattern
+    * (`doubleToLongBits` — exact round-trip, no precision loss).
+    */
+  final case class SessionState(count: Long, sum: Double, lastNanos: Long) {
+    def toPersisted: Array[Long] =
+      Array(count, java.lang.Double.doubleToLongBits(sum), lastNanos)
+  }
+
+  object SessionState {
+    /** Length-versioned decode: fields appended after `lastNanos` in a
+      * future era default when a shorter (older) row doesn't carry
+      * them; longer (newer) rows than this decoder knows are read by
+      * position and the extra entries ignored, so a rollback restarts
+      * cleanly too. `lastNanos` defaults to Long.MinValue — the next
+      * batch re-arms the idle clock from its own events.
+      */
+    def fromPersisted(a: Array[Long]): SessionState =
+      SessionState(a(0), java.lang.Double.longBitsToDouble(a(1)),
+        if (a.length >= 3) a(2) else Long.MinValue)
+  }
+
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double)
 
   /** Stateful per-user running aggregate via mapGroupsWithState —
@@ -117,16 +142,17 @@ object EventStream {
       .groupByKey(_._1)
       .mapGroupsWithState(timeoutConf) {
         (user: Long, rows: Iterator[(Long, Double, Long, java.sql.Timestamp)],
-         state: org.apache.spark.sql.streaming.GroupState[SessionState]) =>
+         state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
           if (state.hasTimedOut) {
-            val last = state.get
+            val last = SessionState.fromPersisted(state.get)
             state.remove()
             UserSession(user, last.count, last.sum)
           } else {
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val prev = state.getOption.map(SessionState.fromPersisted)
+              .getOrElse(SessionState(0L, 0.0, 0L))
             var c = prev.count; var s = prev.sum; var last = prev.lastNanos
             rows.foreach { r => c += 1; s += r._2; last = math.max(last, r._3) }
-            state.update(SessionState(c, s, last))
+            state.update(SessionState(c, s, last).toPersisted)
             idleTimeout.foreach { horizon =>
               state.setTimeoutTimestamp(last / 1000000L, horizon)
             }

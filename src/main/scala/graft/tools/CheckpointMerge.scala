@@ -25,6 +25,19 @@ import graft.gen.{BalancedCheckpoint, Log2Partitioner}
 object CheckpointMerge {
 
   def merge(cps: Seq[BalancedCheckpoint]): BalancedCheckpoint = {
+    // runtimes are only comparable within ONE compute budget (scale
+    // factor + core count, BandCampaign's checkpoint naming) — before
+    // the header carried it, that invariant lived solely in filenames,
+    // so a merge could silently mix a c2 and a c32 population. Refuse
+    // when recorded budgets differ; warn when a pre-round-10 input
+    // carries none (nothing to check against).
+    val budgets = cps.flatMap(_.budget).distinct
+    require(budgets.size <= 1,
+      s"refusing to merge checkpoints from different compute budgets: " +
+        budgets.mkString(", "))
+    if (cps.exists(_.budget.isEmpty) && budgets.nonEmpty)
+      System.err.println("[merge] WARNING: some inputs carry no budget " +
+        s"header; assuming they match ${budgets.head}")
     val seen = scala.collection.mutable.HashSet.empty[String]
     val merged = cps.flatMap(_.results).filter { case (sql, _) => seen.add(sql) }
     val part = new Log2Partitioner()
@@ -33,7 +46,8 @@ object CheckpointMerge {
       counts(math.min(part.partition(rt), counts.length - 1)) += 1
     }
     BalancedCheckpoint(cps.head.seed, iterations = -1,
-      produced = merged.size, counts.toSeq, merged, lastSql = None)
+      produced = merged.size, counts.toSeq, merged, lastSql = None,
+      budget = budgets.headOption)
   }
 
   def main(args: Array[String]): Unit = {

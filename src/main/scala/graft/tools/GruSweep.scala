@@ -347,5 +347,49 @@ object GruSweep {
         println(s"[gru] report artifact: $outDir/REPORT_gru.md")
       }
     }
+
+    // ---- tail-weighted row: the two zero-new-wall-clock levers the
+    // balanced rows don't use — (a) PER-BUCKET permutation augmentation
+    // (a tail measurement that cost minutes of wall-clock expands into
+    // up to 16 free rows at its label; the 5k-strong sub-second bucket
+    // stays at ~1), and (b) inverse-frequency class weights in the loss
+    // (SweepKit.classWeights -> Gru.fitValSelectedWeighted) instead of
+    // cyclic oversampling, so rare buckets get gradient mass without
+    // hundreds of duplicated copies of the same 12 rows. Val-selected
+    // epoch, same carve and holdout as the capacity rows.
+    val tailAug = SweepKit.augmentPerBucket(fitRaw, db, capLimit = 16,
+      holdout = (test.map(_._1) ++ valRaw.map(_._1)).toSet)
+    val tailLabeled = tailAug.map { case (sql, rt) =>
+      (zenc(sql), Estimator.runtimeBucket(rt, 0)) }
+    val cw = SweepKit.classWeights(tailLabeled.map(_._2), classes, cap = 10.0)
+    println(s"[gru] tailweight train=${tailAug.size} (from ${fitRaw.size}) " +
+      s"class weights=${cw.map(w => f"$w%.2f").mkString(",")}")
+    val tailData = tailLabeled.map { case (s, l) => (s, l, cw(l)) }
+    val tailPerSeed = SweepKit.parSeeds(clsSeeds) { seed =>
+      val t0 = System.nanoTime()
+      val cfg = Gru.Config(inputDim = Dim, hidden = 64,
+        classes = classes, lr = 2e-3, epochs = 45, batch = 32, seed = seed)
+      val (fitted, bestEp, valF1) = Gru.fitValSelectedWeighted(tailData, cfg, valData)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(bestEp >= 1, s"val selection never improved on init (seed $seed)")
+      val preds = testSeqs.map(fitted.predict)
+      val (acc, mae, f1) = score(Seq(preds))
+      println(f"[gru1] tailweight h=64 e=45 seed=$seed%4d (${sec}%.0f s, " +
+        f"best epoch $bestEp, val f1=$valF1%.3f) " +
+        f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+      preds
+    }
+    val (twAcc, twMae, twF1) = score(tailPerSeed)
+    println(f"[vote] tailweight h=64 e=45 seeds=${clsSeeds.size} " +
+      f"| heldout REF-SPACE: acc=$twAcc%.3f mae=$twMae%.3f f1=$twF1%.3f")
+    val twVoted = SweepKit.vote(tailPerSeed)
+    graft.estimate.Report.write(s"$outDir/REPORT_tailweight.md",
+      s"GRU bucket classifier, per-bucket-augmented train + class-weighted " +
+        s"loss, ${clsSeeds.size}-seed vote — held-out (${test.size} queries; " +
+        "reference bucket space, <=1 s -> bucket 0)",
+      test.zip(twVoted).map { case ((sql, rt), predLog2) =>
+        graft.estimate.Report.ResultRow(sql.take(80),
+          math.max(1.0, rt), math.pow(2.0, predLog2)) })
+    println(s"[gru] report artifact: $outDir/REPORT_tailweight.md")
   }
 }

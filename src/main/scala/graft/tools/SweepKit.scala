@@ -81,6 +81,40 @@ private[tools] object SweepKit {
       }.getOrElse(Seq((sql, rt)))
     }.distinct.filterNot { case (sql, _) => holdout.contains(sql) }
 
+  /** [[augment]] with a PER-BUCKET permutation limit: a bucket with few
+    * measurements gets a higher limit (up to `capLimit`), the majority
+    * bucket stays near 1 — so a single 200 s measurement (hours of
+    * wall-clock to obtain) expands into up to `capLimit` free training
+    * rows at the same label while the plentiful sub-second population
+    * is left alone. limit(b) = clamp(round(maxCount / count_b), 1,
+    * capLimit). Same holdout-exclusion rule as [[augment]].
+    */
+  def augmentPerBucket(train: Seq[(String, Double)], db: graft.model.DbModel,
+                       capLimit: Int, holdout: Set[String])
+      : Seq[(String, Double)] = {
+    val byBucket = train.groupBy { case (_, rt) => Estimator.runtimeBucket(rt, 0) }
+    val maxN = byBucket.values.map(_.size).max
+    byBucket.toSeq.sortBy(_._1).flatMap { case (_, xs) =>
+      val limit = math.max(1,
+        math.min(capLimit, math.round(maxN.toDouble / xs.size).toInt))
+      augment(xs, db, limit, holdout)
+    }
+  }
+
+  /** Inverse-frequency class weights for the weighted cross-entropy
+    * ([[graft.estimate.Gru.fitValSelectedWeighted]]): w_b = n / (K·n_b),
+    * capped at `cap` so a near-empty tail bucket cannot hand a handful
+    * of examples the whole gradient budget (uncapped, 12 examples in a
+    * 7,000-row population would weigh ×90 each and single examples
+    * would dominate every batch they appear in). Empty classes get 0.
+    */
+  def classWeights(labels: Seq[Int], classes: Int, cap: Double): Array[Double] = {
+    val counts = new Array[Int](classes)
+    labels.foreach(l => counts(l) += 1)
+    val n = labels.size.toDouble
+    counts.map(c => if (c == 0) 0.0 else math.min(cap, n / (classes * c)))
+  }
+
   /** Bucket-balanced cyclic oversampling to the largest bucket's size
     * (training set only). */
   def balance(train: Seq[(String, Double)]): Seq[(String, Double)] = {

@@ -110,5 +110,66 @@ class GruSpec extends AnyFunSuite {
     assert(epochAgain == bestEpoch && f1Again == bestF1)
     assert(again.p.w.toSeq == fitted.p.w.toSeq)
     intercept[IllegalArgumentException] { Gru.fitValSelected(train, cfg, Nil) }
+    // epochs == 0 would silently return an all-zero model (onEpoch never
+    // fires, the final arraycopy overwrites the seeded init) — refuse
+    intercept[IllegalArgumentException] {
+      Gru.fitValSelected(train, cfg.copy(epochs = 0), valSet)
+    }
+  }
+
+  test("weighted loss gradient matches finite differences and scales exactly") {
+    val cfg = Gru.Config(inputDim = 3, hidden = 4, classes = 3, seed = 6L)
+    val p = Gru.Params(cfg)
+    val rnd = new scala.util.Random(123)
+    val seq = Array.fill(5)(Array.fill(3)(rnd.nextDouble() * 2 - 1))
+    val label = 1
+    val w = 3.7
+    // analytic weighted gradient
+    val g = new Array[Double](Gru.Params.size(cfg))
+    val loss = Gru.lossAndGrad(p, seq, label, g, w)
+    // (1) exact linearity: weighted loss/grad == weight × unweighted —
+    // the property that makes inverse-frequency weighting equivalent to
+    // fractional oversampling
+    val g1 = new Array[Double](g.length)
+    val loss1 = Gru.lossAndGrad(p, seq, label, g1)
+    assert(math.abs(loss - w * loss1) < 1e-12)
+    g.indices.foreach { i =>
+      assert(math.abs(g(i) - w * g1(i)) < 1e-12,
+        s"grad[$i] not scaled: ${g(i)} vs ${w * g1(i)}")
+    }
+    // (2) finite differences of the WEIGHTED loss on a probe inside
+    // every tensor region (the spec-pinned check for the weighted path)
+    val eps = 1e-6
+    val regions = Seq(p.offWz, p.offUr, p.offBh, p.offWo, p.offBo)
+    regions.foreach { off =>
+      val i = off + 1
+      val orig = p.w(i)
+      p.w(i) = orig + eps
+      val lPlus = Gru.lossAndGrad(p, seq, label, new Array[Double](g.length), w)
+      p.w(i) = orig - eps
+      val lMinus = Gru.lossAndGrad(p, seq, label, new Array[Double](g.length), w)
+      p.w(i) = orig
+      val numeric = (lPlus - lMinus) / (2 * eps)
+      val denom = math.max(1e-8, math.abs(numeric) + math.abs(g(i)))
+      assert(math.abs(numeric - g(i)) / denom < 1e-4,
+        f"weighted grad at $i: numeric $numeric%.8f vs analytic ${g(i)}%.8f")
+    }
+  }
+
+  test("fitValSelectedWeighted with unit weights equals fitValSelected bit-for-bit") {
+    val data = tinyData(15L, n = 30, len = 5, dim = 4, classes = 3)
+    val (train, valSet) = data.splitAt(22)
+    val cfg = Gru.Config(inputDim = 4, hidden = 6, classes = 3,
+      lr = 1e-2, epochs = 5, batch = 4, seed = 31L)
+    val (a, epA, f1A) = Gru.fitValSelected(train, cfg, valSet)
+    val (b, epB, f1B) = Gru.fitValSelectedWeighted(
+      train.map { case (s, l) => (s, l, 1.0) }, cfg, valSet)
+    assert(epA == epB && f1A == f1B)
+    assert(a.p.w.toSeq == b.p.w.toSeq)
+    // a non-uniform weighting changes the trajectory (sanity that the
+    // weights actually reach the optimizer)
+    val (c, _, _) = Gru.fitValSelectedWeighted(
+      train.map { case (s, l) => (s, l, if (l == 0) 4.0 else 1.0) }, cfg, valSet)
+    assert(c.p.w.toSeq != a.p.w.toSeq)
   }
 }

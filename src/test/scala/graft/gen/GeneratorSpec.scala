@@ -121,6 +121,24 @@ class GeneratorSpec extends AnyFunSuite {
     val cp = gen.checkpoint
     assert(BalancedCheckpoint.deserialize(cp.serialize) == cp)
     assert(cp.results.nonEmpty && cp.counts.sum == cp.results.size)
+    // the compute-budget header survives serialize/deserialize (it is
+    // what CheckpointMerge's comparability check reads), and its absence
+    // decodes as None for pre-round-10 files
+    val stamped = cp.copy(budget = Some("x160_c2"))
+    assert(BalancedCheckpoint.deserialize(stamped.serialize) == stamped)
+    assert(BalancedCheckpoint.deserialize(cp.serialize).budget.isEmpty)
+  }
+
+  test("restore refuses a merged (non-resumable) checkpoint") {
+    val gen = new BalancedQueryGen(db, fakeRunner, patience = 5,
+      maxStepsPerGen = 30, seed = 34)
+    gen.generate(5)
+    // CheckpointMerge marks merged training-only files iterations = -1;
+    // resuming one would continue a seed stream matching no campaign
+    val merged = gen.checkpoint.copy(iterations = -1)
+    intercept[IllegalArgumentException] {
+      BalancedCheckpoint.restore(merged, db, fakeRunner)
+    }
   }
 
   test("guided generator can be seeded from a checkpointed query") {

@@ -1,0 +1,115 @@
+package graft.lab
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.BalancedCheckpoint
+import graft.model._
+
+/** The active-sampling invariants of the tail hunter: the expensive
+  * executor runs ONLY on surrogate-approved candidates, every record is
+  * a real measurement (surrogate estimates are never recorded), already
+  * -paid measurements are never re-executed across generators or
+  * resumes, and the checkpoint round-trips through the shared
+  * BalancedCheckpoint format with the budget stamped.
+  */
+class TailCampaignSpec extends AnyFunSuite {
+
+  private def num(mn: Double, mx: Double) =
+    NumericStats(mn, (mn + mx) / 2, mx, 1, 0, 0)
+
+  private def col(name: String, t: DType) = ColumnModel(name, t,
+    Some(ColumnStats(1000, 0, 100, index = name == "id",
+      if (t == DType.Str || t == DType.Bool) None else Some(num(1, 100)),
+      if (t == DType.Str) Some(StringStats(num(1, 20), num(1, 3))) else None)))
+
+  private val db: DbModel = DbModel(Seq(
+    TableModel("employees", Seq(col("id", DType.Number), col("salary", DType.Number),
+      col("dept", DType.Number), col("name", DType.Str)),
+      Some(TableStats(1000, 8192))),
+    TableModel("departments", Seq(col("id", DType.Number), col("name", DType.Str)),
+      Some(TableStats(100, 8192))),
+    TableModel("companies", Seq(col("id", DType.Number), col("name", DType.Str)),
+      Some(TableStats(3, 8192)))))
+
+  /** Synthetic "true" cost (the FakeClient pattern): more relations →
+    * slower, more conditions → faster — same shape GeneratorSpec's
+    * guided tests steer against.
+    */
+  private def trueCost(sql: String): Double = {
+    val rels = sql.split("FROM")(1).split("WHERE")(0).count(_ == ',') + 1
+    val conds = if (sql.contains("WHERE")) sql.split("WHERE")(1).split(" AND ").length else 0
+    math.pow(2.0, 2.0 * rels + 1.0 - conds * 0.4)
+  }
+
+  test("measure fires only inside the screen band; records are real measurements only") {
+    val measuredSqls = scala.collection.mutable.Buffer.empty[String]
+    // surrogate with a systematic ×0.7 bias (the real v20 errs too)
+    val surrogate: String => Double = sql => trueCost(sql) * 0.7
+    val measure: String => Double = sql => { measuredSqls += sql; trueCost(sql) }
+    val h = new TailCampaign.Hunter(db, surrogate, measure,
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 7L)
+    (0 until 30).foreach(_ => h.runOne(maxSteps = 25))
+    assert(h.measured.nonEmpty, "hunter never measured anything")
+    assert(h.screenedOut > 0, "surrogate never screened a candidate out")
+    // every expensive call was surrogate-approved
+    measuredSqls.foreach { sql =>
+      val est = surrogate(sql)
+      assert(est >= 4.0 && est <= 80.0,
+        f"measured a candidate the surrogate predicted at $est%.2f s, outside the screen band")
+    }
+    // records are exactly the real measurements (first occurrence), and
+    // the guided loop found true in-band runtimes among them
+    assert(h.measured.keySet == measuredSqls.toSet)
+    h.measured.foreach { case (sql, rt) => assert(rt == trueCost(sql)) }
+    assert(h.measured.values.exists(rt => rt >= 8.0 && rt <= 64.0),
+      "no true in-band runtime hunted down")
+  }
+
+  test("checkpoint round-trips with budget; restore resumes and never re-measures") {
+    var calls = 0
+    val surrogate: String => Double = trueCost
+    val measure: String => Double = sql => { calls += 1; trueCost(sql) }
+    val h = new TailCampaign.Hunter(db, surrogate, measure,
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 11L)
+    (0 until 15).foreach(_ => h.runOne(maxSteps = 20))
+    val cp = h.checkpoint(Some("x160_c2"))
+    assert(cp.budget.contains("x160_c2"))
+    assert(cp.produced == h.measured.size && cp.results.size == h.measured.size)
+    assert(cp.counts.sum == h.measured.size)
+    val rt = BalancedCheckpoint.deserialize(cp.serialize)
+    assert(rt == cp)
+
+    // a restored hunter replaying the SAME iterations re-uses the paid
+    // measurements instead of re-executing them
+    val callsBefore = calls
+    val h2 = new TailCampaign.Hunter(db, surrogate, measure,
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 11L)
+    h2.restore(rt)
+    assert(h2.iterations == h.iterations && h2.measured == h.measured)
+    // merged (training-only) checkpoints are refused, same as the
+    // balanced generator's restore
+    intercept[IllegalArgumentException] { h2.restore(rt.copy(iterations = -1)) }
+    assert(calls == callsBefore)
+  }
+
+  test("screen band must contain the target band") {
+    intercept[IllegalArgumentException] {
+      new TailCampaign.Hunter(db, trueCost, trueCost,
+        lo = 8.0, hi = 64.0, screenLo = 16.0, screenHi = 80.0, seed = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      new TailCampaign.Hunter(db, trueCost, trueCost,
+        lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 32.0, seed = 1L)
+    }
+  }
+
+  test("failed or timed-out measurement records nothing and steers down") {
+    val h = new TailCampaign.Hunter(db,
+      surrogateSec = sql => trueCost(sql),
+      measure = _ => throw new RuntimeException("timeout"),
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 3L)
+    (0 until 10).foreach(_ => h.runOne(maxSteps = 15))
+    assert(h.measured.isEmpty, "a failed measurement must never be recorded")
+    assert(h.measureCalls > 0, "the screen band was never entered")
+  }
+}

@@ -334,6 +334,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1.count(_ == ((1L, 5.0))) == 1, s"expected a post-eviction restart row, got $u1")
   }
 
+  test("userSessions state codec: length-versioned decode across field eras") {
+    // current-era round-trip, including the Double bit-pattern carry
+    val v2 = EventStream.SessionState(7L, 123.456, 987654321L)
+    assert(EventStream.SessionState.fromPersisted(v2.toPersisted) == v2)
+    // a special Double survives exactly (bit pattern, not a decimal cast)
+    val tiny = EventStream.SessionState(1L, java.lang.Double.MIN_VALUE, 0L)
+    assert(EventStream.SessionState.fromPersisted(tiny.toPersisted) == tiny)
+    // a 2-field (pre-lastNanos-era) persisted row decodes with the
+    // default idle clock instead of crashing the restart — the exact
+    // schema-change shape that breaks a case-class state encoder
+    val v1 = EventStream.SessionState.fromPersisted(
+      Array(4L, java.lang.Double.doubleToLongBits(2.5)))
+    assert(v1 == EventStream.SessionState(4L, 2.5, Long.MinValue))
+    // a longer FUTURE row is readable by this decoder too (rollbacks)
+    val v3 = EventStream.SessionState.fromPersisted(
+      Array(4L, java.lang.Double.doubleToLongBits(2.5), 10L, 77L))
+    assert(v3 == EventStream.SessionState(4L, 2.5, 10L))
+  }
+
   test("funnel state codec: length-versioned decode accepts 2-field-era rows") {
     // v2 round-trip
     val v2 = EventStream.FunnelState(3, 42L, 99L)

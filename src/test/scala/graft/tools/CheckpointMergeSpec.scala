@@ -38,4 +38,21 @@ class CheckpointMergeSpec extends AnyFunSuite {
     val rt = BalancedCheckpoint.deserialize(m.serialize)
     assert(rt.results == m.results && rt.counts == m.counts)
   }
+
+  test("merge refuses mixed compute budgets and propagates a matching one") {
+    val a = cp(42L, ("q1", 0.5)).copy(budget = Some("x160_c2"))
+    val b = cp(7L, ("q2", 2.0)).copy(budget = Some("x160_c32"))
+    // mixing a 2-core and a 32-core population would silently blend
+    // incomparable runtime labels — must refuse
+    intercept[IllegalArgumentException] { CheckpointMerge.merge(Seq(a, b)) }
+    // matching budgets merge and the budget rides into the output header
+    val c = cp(9L, ("q3", 1.0)).copy(budget = Some("x160_c2"))
+    val m = CheckpointMerge.merge(Seq(a, c))
+    assert(m.budget.contains("x160_c2"))
+    assert(BalancedCheckpoint.deserialize(m.serialize).budget.contains("x160_c2"))
+    // a legacy (pre-budget-header) input merges with a warning, not a
+    // failure — there is nothing to check it against
+    val legacy = cp(11L, ("q4", 4.0))
+    assert(CheckpointMerge.merge(Seq(a, legacy)).budget.contains("x160_c2"))
+  }
 }
