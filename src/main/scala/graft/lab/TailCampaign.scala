@@ -76,7 +76,8 @@ object TailCampaign {
                      val screenLo: Double, val screenHi: Double,
                      seed: Long,
                      preMeasure: String => Unit = _ => (),
-                     postRecord: (String, Double) => Unit = (_, _) => ()) {
+                     postRecord: (String, Double) => Unit = (_, _) => (),
+                     known: Map[String, Double] = Map.empty) {
     require(screenLo <= lo && screenHi >= hi,
       s"screen band [$screenLo, $screenHi] must contain target band [$lo, $hi]")
 
@@ -90,8 +91,13 @@ object TailCampaign {
     var screenedOut = 0L // candidates the surrogate rejected — free steps
     var measureCalls = 0L
 
+    // `known` carries labels some EARLIER campaign already paid for
+    // (the seed pool below): the loop treats them as real runtimes but
+    // they are never re-executed and never re-recorded — re-measuring a
+    // query whose label exists would burn minutes and then lose the
+    // duplicate at merge time anyway (CheckpointMerge keeps the first)
     private val runner: String => Double = sql =>
-      measured.getOrElse(sql, {
+      measured.getOrElse(sql, known.getOrElse(sql, {
         val est = Try(surrogateSec(sql)).getOrElse(Double.NaN)
         if (est.isNaN) { screenedOut += 1; 0.0 } // unencodable: broaden
         else if (est < screenLo || est > screenHi) { screenedOut += 1; est }
@@ -102,18 +108,45 @@ object TailCampaign {
           if (rt > 0) { measured.put(sql, rt); postRecord(sql, rt); rt }
           else screenHi * 2
         }
-      })
+      }))
 
-    /** One guided-generator episode: random start, surrogate-steered
-      * mutations toward [lo, hi], stop at the first REAL measurement
-      * that lands in-band (stopEarly) or after `maxSteps`.
+    /** One guided-generator episode: random start (or a `seedSql`
+      * start — see [[seedCandidates]]), surrogate-steered mutations
+      * toward [lo, hi], stop at the first REAL measurement that lands
+      * in-band (stopEarly) or after `maxSteps`.
       */
-    def runOne(maxSteps: Int = 60): Unit = {
+    def runOne(maxSteps: Int = 60, seedSql: Option[String] = None): Unit = {
       val gen = new GuidedQueryGen(db, runner, (lo, hi), stopEarly = true,
         maxSteps = maxSteps, seed = seedFor(seed, iterations))
       iterations += 1
-      Try(gen.guide())
+      Try {
+        seedSql.foreach(gen.seedQuery)
+        gen.guide()
+      }
       ()
+    }
+
+    /** Seed-farming pool: queries whose KNOWN runtime is already at or
+      * near the band (from `known` — a prior campaign's tail — plus
+      * this hunter's own in-band finds). Starting an episode from one
+      * (guided.py:233-260's requeue mechanism) means the loop's first
+      * mutation is already a probable-tail candidate instead of a
+      * sub-second random query that must be walked up through paid
+      * intermediate measurements; the seed's own label comes back free
+      * through `known`/`measured`, so only NEW neighbors are executed.
+      */
+    def seedCandidates: IndexedSeq[String] =
+      (known.iterator ++ measured.iterator).collect {
+        case (sql, rt) if rt >= lo * 0.75 && rt <= hi => sql
+      }.toIndexedSeq
+
+    /** Deterministic pool pick for this iteration (splitmix over the
+      * iteration counter, like the episode seeds). */
+    def pickSeed: Option[String] = {
+      val pool = seedCandidates
+      if (pool.isEmpty) None
+      else Some(pool(((seedFor(seed, iterations) % pool.size).toInt
+        + pool.size) % pool.size))
     }
 
     def checkpoint(budget: Option[String]): BalancedCheckpoint = {
@@ -142,6 +175,10 @@ object TailCampaign {
     val lo = args.lift(5).map(_.toDouble).getOrElse(32.0)
     val hi = args.lift(6).map(_.toDouble).getOrElse(256.0)
     val modelJson = args.lift(7).getOrElse("/root/repo/data/band/models/gru4.json")
+    // prior campaign whose measured tail seeds the hunt ("" disables);
+    // must be the same compute budget — its labels feed `known`
+    val seedCpPath = args.lift(8)
+      .getOrElse("/root/repo/data/band/campaign_x160_c2.cp")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "2")
     val budget = Some(s"x${factor.toInt}_c$cpus")
 
@@ -154,6 +191,17 @@ object TailCampaign {
       Files.readString(Paths.get(modelJson)),
       Files.readString(Paths.get(s"$scaledDir/stats.json")))
     val executor = new Executor(spark, timeoutSec = 300)
+
+    val known: Map[String, Double] =
+      if (seedCpPath.isEmpty || !Files.exists(Paths.get(seedCpPath))) Map.empty
+      else {
+        val cp = BalancedCheckpoint.deserialize(Files.readString(Paths.get(seedCpPath)))
+        require(cp.budget.forall(budget.contains),
+          s"seed checkpoint budget ${cp.budget} does not match this run's $budget")
+        cp.results.filter(_._2 > 0).toMap
+      }
+    println(s"[tail s$seed] known labels: ${known.size} (seed pool within " +
+      s"[${lo * 0.75}, $hi] s: ${known.count { case (_, rt) => rt >= lo * 0.75 && rt <= hi }})")
 
     val cpPath = Paths.get(s"$workDir/tail_x${factor.toInt}_c${cpus}_s${seed}" +
       s"_b${lo.toInt}_${hi.toInt}.cp")
@@ -174,7 +222,8 @@ object TailCampaign {
         save()
         println(f"[tail s$seed] RECORD ${hunterRef.measured.size}%5d " +
           f"rt=$rt%7.1f s :: ${sql.take(110)}")
-      })
+      },
+      known = known)
     hunterRef = hunter
 
     if (Files.exists(cpPath)) {
@@ -187,7 +236,11 @@ object TailCampaign {
     }
 
     while (hunter.measured.size < n) {
-      hunter.runOne(maxSteps = 60)
+      // alternate seed-farmed and random-start episodes: farming mints
+      // in-band neighbors at ~one measurement each, random starts keep
+      // exploring query shapes the pool doesn't cover
+      val seedSql = if (hunter.iterations % 2 == 0) hunter.pickSeed else None
+      hunter.runOne(maxSteps = 60, seedSql = seedSql)
       if (hunter.iterations % 25 == 0) {
         save()
         println(s"[tail s$seed] iter=${hunter.iterations} " +

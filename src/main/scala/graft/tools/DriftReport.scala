@@ -44,7 +44,8 @@ object DriftReport {
     // same units as the band metrics
     val byBucket = drift
       .withColumn("true_bucket",
-        greatest(lit(0.0), floor(log(2.0, greatest(col("runtime_sec"), lit(1e-3))))))
+        greatest(lit(0.0), floor(log(2.0, greatest(col("runtime_sec"), lit(1e-3)))))
+          .cast("long"))
       .groupBy("true_bucket")
       .agg(count(lit(1)).as("n"),
         avg("drift_log2").as("mean_drift"),

@@ -92,6 +92,34 @@ class TailCampaignSpec extends AnyFunSuite {
     assert(calls == callsBefore)
   }
 
+  test("seed farming: known labels come back free, only new neighbors are measured") {
+    val measuredSqls = scala.collection.mutable.Buffer.empty[String]
+    val measure: String => Double = sql => { measuredSqls += sql; trueCost(sql) }
+    // a known in-band query (3 relations, 1 condition under trueCost:
+    // 2*3+1-0.4 = 2^6.6 ≈ 97... use the pool bounds below) plus some
+    // known out-of-band labels that must never enter the pool
+    val seedSql = "SELECT MIN(ta.x) FROM ta, tb, tc " +
+      "WHERE ta.id = tb.id AND tb.id = tc.id AND ta.x > 3 AND tc.z < 90"
+    val known = Map(
+      seedSql -> 40.0,
+      "SELECT MIN(ta.x) FROM ta WHERE ta.id > 1" -> 0.4)
+    val h = new TailCampaign.Hunter(db, trueCost, measure,
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 19L,
+      known = known)
+    assert(h.seedCandidates == IndexedSeq(seedSql),
+      "only the in-band known label may seed episodes")
+    assert(h.pickSeed.contains(seedSql))
+    (0 until 10).foreach(_ => h.runOne(maxSteps = 15, seedSql = h.pickSeed))
+    // the seed itself was never re-executed or re-recorded
+    assert(!measuredSqls.contains(seedSql))
+    assert(!h.measured.contains(seedSql))
+    // farming minted at least one NEW in-band measurement
+    assert(h.measured.values.exists(rt => rt >= 8.0 && rt <= 64.0),
+      s"no in-band neighbor minted: ${h.measured.values.toSeq.sorted}")
+    // the hunter's own finds join the pool
+    assert(h.seedCandidates.size > 1)
+  }
+
   test("screen band must contain the target band") {
     intercept[IllegalArgumentException] {
       new TailCampaign.Hunter(db, trueCost, trueCost,
