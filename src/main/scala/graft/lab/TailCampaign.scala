@@ -90,6 +90,12 @@ object TailCampaign {
     var iterations = 0
     var screenedOut = 0L // candidates the surrogate rejected — free steps
     var measureCalls = 0L
+    private var episodeMeasures = 0
+
+    /** Thrown by the runner when an episode exhausts its measurement
+      * budget; the guided loop's per-step Try ends the episode cleanly.
+      */
+    private final class EpisodeBudgetExceeded extends RuntimeException
 
     // `known` carries labels some EARLIER campaign already paid for
     // (the seed pool below): the loop treats them as real runtimes but
@@ -101,14 +107,29 @@ object TailCampaign {
         val est = Try(surrogateSec(sql)).getOrElse(Double.NaN)
         if (est.isNaN) { screenedOut += 1; 0.0 } // unencodable: broaden
         else if (est < screenLo || est > screenHi) { screenedOut += 1; est }
+        else if (episodeMeasures >= episodeCap) throw new EpisodeBudgetExceeded
         else {
           preMeasure(sql)
           measureCalls += 1
+          episodeMeasures += 1
           val rt = Try(measure(sql)).getOrElse(-1.0)
           if (rt > 0) { measured.put(sql, rt); postRecord(sql, rt); rt }
           else screenHi * 2
         }
       }))
+
+    /** Measurement budget per episode. A family the surrogate
+      * systematically OVERestimates is the expensive failure mode: every
+      * mutation clears the screen but lands below the band, the episode
+      * never hits, and up to maxSteps paid measurements go to one
+      * low-diversity neighborhood (observed in the first fleet: a
+      * 60-step episode burning ~20 min on 8 s variants of one query).
+      * Capping paid measurements per episode bounds that loss and
+      * returns to a fresh seed/random start, which also diversifies the
+      * recorded SQL. In-band hits stop the episode before the cap ever
+      * binds (stopEarly).
+      */
+    var episodeCap: Int = 10
 
     /** One guided-generator episode: random start (or a `seedSql`
       * start — see [[seedCandidates]]), surrogate-steered mutations
@@ -119,6 +140,7 @@ object TailCampaign {
       val gen = new GuidedQueryGen(db, runner, (lo, hi), stopEarly = true,
         maxSteps = maxSteps, seed = seedFor(seed, iterations))
       iterations += 1
+      episodeMeasures = 0
       Try {
         seedSql.foreach(gen.seedQuery)
         gen.guide()

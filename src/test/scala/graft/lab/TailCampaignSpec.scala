@@ -131,6 +131,24 @@ class TailCampaignSpec extends AnyFunSuite {
     }
   }
 
+  test("episode measurement budget caps a surrogate-overestimated family") {
+    // surrogate says everything is in the screen band; reality says
+    // everything is below the target band — the episode can never hit,
+    // so without the cap it would pay maxSteps measurements
+    var calls = 0
+    val h = new TailCampaign.Hunter(db,
+      surrogateSec = _ => 20.0,          // always screen-approved
+      measure = sql => { calls += 1; 2.0 }, // always below the band
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 23L)
+    h.episodeCap = 5
+    h.runOne(maxSteps = 60)
+    assert(calls <= 5, s"episode budget must bound paid measurements, got $calls")
+    val after = calls
+    h.runOne(maxSteps = 60)
+    assert(calls - after <= 5, "the budget must reset per episode")
+    assert(calls - after >= 1, "a fresh episode must get a fresh budget")
+  }
+
   test("failed or timed-out measurement records nothing and steers down") {
     val h = new TailCampaign.Hunter(db,
       surrogateSec = sql => trueCost(sql),
