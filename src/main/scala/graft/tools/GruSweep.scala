@@ -55,6 +55,21 @@ object GruSweep {
     val (test, train) = usable.partition { case (sql, _) => SweepKit.isHoldout(sql) }
     println(s"[gru] train=${train.size} heldout=${test.size}")
 
+    // GRAFT_SWEEP_ROWS: "full" (default) runs every family and row;
+    // "fast" drops the three slowest classifier rows (~60 min each at
+    // n~10k: the two capacity/val-selected rows and the 45k-row
+    // augmented flagship); "core" additionally skips the
+    // treelstm/relcnn/mscn/neonet regressor reproductions, keeping v20
+    // (the serving surrogate + MAE flagship) and the classifier rows —
+    // the mid-round re-score shape where the population grew a few
+    // percent and wall-clock belongs to measurement, not reproduction.
+    // The flagship artifacts (REPORT_gru.md, models/gru.json) only
+    // regenerate in full mode, staying tied to the augmented row that
+    // defines them.
+    val rowMode = sys.env.getOrElse("GRAFT_SWEEP_ROWS", "full")
+    val fast = rowMode == "fast" || rowMode == "core"
+    val coreOnly = rowMode == "core"
+
     val Dim = 203
     val seqs = scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
     def enc(sql: String): Array[Array[Double]] =
@@ -135,6 +150,7 @@ object GruSweep {
       f"| heldout REF-SPACE: acc=$vAcc%.3f mae=$vMae%.3f f1=$vF1%.3f")
     report("v20", "v20 4-traversal GRU ensemble", avg)
 
+    if (!coreOnly) {
     // ---- child-sum TreeLSTM (the reference's treelstm family), same
     // trees, same smooth-L1 log2 regression
     val tlPerSeed = SweepKit.parSeeds(seeds) { seed =>
@@ -254,6 +270,7 @@ object GruSweep {
     println(f"[neo-ens] neonet mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$nAcc%.3f mae=$nMae%.3f f1=$nF1%.3f")
     report("neonet", "Neo flat-MLP ensemble", neoAvg)
+    } // coreOnly skip (treelstm/relcnn/mscn/neonet reproductions)
 
     // ---- tpch_aug analog: the reference's best gerelt F1 (0.754,
     // BASELINE.md model table) comes from the AUGMENTED dataset, so the
@@ -261,16 +278,16 @@ object GruSweep {
     // constants stay those of the unaugmented train split: all three
     // rows then share one feature space, and permutations only reorder
     // rows/subtrees so the per-dimension moments barely move.
-    val augmented = SweepKit.augment(train, db, limit = 8,
+    lazy val augmented = SweepKit.augment(train, db, limit = 8,
       holdout = test.map(_._1).toSet)
-    println(s"[gru] augmented train=${augmented.size} " +
+    def logAugmented(): Unit = println(s"[gru] augmented train=${augmented.size} " +
       s"(tpch_aug analog, ${train.size} originals, permutation limit 8)")
 
     // the h=64/45-epoch rows scale classifier capacity with the grown
     // campaign: h=48/30 preserves curve-comparability with every earlier
     // round, while the larger run answers "is 48 hidden units the
     // binding constraint at this n?" without disturbing that protocol
-    val balAug = SweepKit.balance(augmented)
+    lazy val balAug = { logAugmented(); SweepKit.balance(augmented) }
     // the capacity rows additionally select the BEST-VALIDATION epoch
     // instead of the last (Gru.fitValSelected — the reference's
     // lightning val-checkpoint selection): their training set excludes
@@ -282,8 +299,8 @@ object GruSweep {
     val valData = labeled(valRaw)
     println(s"[gru] val carve for best-epoch rows: ${valRaw.size} " +
       s"(fit train ${fitRaw.size})")
-    val balancedSel = SweepKit.balance(fitRaw)
-    val balAugSel = SweepKit.balance(SweepKit.augment(fitRaw, db, limit = 8,
+    lazy val balancedSel = SweepKit.balance(fitRaw)
+    lazy val balAugSel = SweepKit.balance(SweepKit.augment(fitRaw, db, limit = 8,
       holdout = (test.map(_._1) ++ valRaw.map(_._1)).toSet))
     // the flagship classifier votes over 5 seeds (regressor families
     // stay at 3 for curve comparability): parSeeds fits them
@@ -291,12 +308,15 @@ object GruSweep {
     // published band's edge the extra two members cut the vote's
     // seed-to-seed spread below the margin being measured
     val clsSeeds = seeds ++ Seq(99L, 2025L)
-    for ((label, set, hidden, epochs, valSel) <-
-           Seq(("plain", train, 48, 30, false),
+    val clsRows =
+      if (fast) Seq(("plain", train, 48, 30, false),
+                    ("balanced", balanced, 48, 30, false))
+      else Seq(("plain", train, 48, 30, false),
                ("balanced", balanced, 48, 30, false),
                ("balanced", balancedSel, 64, 45, true),
                ("augmented", balAug, 48, 30, false),
-               ("augmented", balAugSel, 64, 45, true))) {
+               ("augmented", balAugSel, 64, 45, true))
+    for ((label, set, hidden, epochs, valSel) <- clsRows) {
       val data = labeled(set)
       val perSeed = SweepKit.parSeeds(clsSeeds) { seed =>
         val t0 = System.nanoTime()
