@@ -86,6 +86,33 @@ object Scoring {
     }
   }
 
+  /** Max-of-families screen nominator for active sampling
+    * ([[graft.lab.TailCampaign]]'s measurement screen): one predictor
+    * per checkpoint, returning the LARGEST log2 estimate any family
+    * produces for the SQL. The tail hunter's expensive failure mode is
+    * an UNDER-estimate — a true 40 s candidate predicted sub-second is
+    * rejected unmeasured, and the families err independently (the v20
+    * regressor's class-7 drift runs ~2.5× its mid-band drift,
+    * data/band/DRIFT.md), so either family may nominate. Classifier
+    * checkpoints predict a bucket `b` covering [2^b, 2^(b+1)); `b + 0.5`
+    * is that bucket's geometric center in log2 space, which makes the
+    * classifier's vote comparable with the regressors' continuous
+    * log2. A family that cannot encode the SQL abstains (NaN); the
+    * result is NaN only when every family abstains.
+    */
+  def maxPredictorFor(modelJsons: Seq[String], statsJson: String): String => Double = {
+    require(modelJsons.nonEmpty, "at least one checkpoint required")
+    val families = modelJsons.map { j =>
+      val shift = if (ModelIo.kindOf(j) == "gru") 0.5 else 0.0
+      val p = predictorFor(j, statsJson)
+      (sql: String) => scala.util.Try(p(sql)).getOrElse(Double.NaN) + shift
+    }
+    sql => {
+      val ests = families.map(_(sql)).filterNot(_.isNaN)
+      if (ests.isEmpty) Double.NaN else ests.max
+    }
+  }
+
   // the shared narrow map: (sql, log2 prediction), NaN for rows whose
   // SQL does not parse or bind — a scorer that silently dropped rows
   // would corrupt any downstream join on the workload

@@ -181,7 +181,11 @@ object Campaign {
                   modelJson: String, statsJson: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val workload = measured.toDF("sql", "runtime_sec")
+    // keep-first dedup on the SQL text (CheckpointMerge's convention):
+    // the per-generator memos don't dedup ACROSS generators, and a
+    // duplicate SQL would fan the self-join below out to n² rows per
+    // copy, skewing the bucket counts and drift means
+    val workload = measured.distinctBy(_._1).toDF("sql", "runtime_sec")
     graft.estimate.Scoring.scoreWorkloadAny(spark, workload, "sql",
         modelJson, statsJson)
       .join(workload, "sql")

@@ -17,8 +17,10 @@ import graft.model.DbModel
   * EXECUTES every mutation step to decide narrow/broaden — so steering
   * a query from 0.5 s up into the band burns minutes of measurement
   * wall-clock on labels the population doesn't need. This campaign
-  * replaces the step runner with the SERVED v20 regressor
-  * ([[graft.estimate.Scoring.predictorFor]]): mutations are steered by
+  * replaces the step runner with the SERVED estimator checkpoints —
+  * the max over the v20 regressor and the gru bucket classifier
+  * ([[graft.estimate.Scoring.maxPredictorFor]]), hot-reloaded when
+  * their files change: mutations are steered by
   * predicted runtime at ~1 ms per step, and the real executor is
   * invoked only when the prediction lands inside the screen band —
   * active sampling, turning "every candidate costs its runtime" into
@@ -77,7 +79,8 @@ object TailCampaign {
                      seed: Long,
                      preMeasure: String => Unit = _ => (),
                      postRecord: (String, Double) => Unit = (_, _) => (),
-                     known: Map[String, Double] = Map.empty) {
+                     known: Map[String, Double] = Map.empty,
+                     driftWeightedSeeds: Boolean = false) {
     require(screenLo <= lo && screenHi >= hi,
       s"screen band [$screenLo, $screenHi] must contain target band [$lo, $hi]")
 
@@ -87,10 +90,37 @@ object TailCampaign {
       */
     val measured: mutable.LinkedHashMap[String, Double] =
       mutable.LinkedHashMap.empty[String, Double]
+
+    /** Cross-episode NEGATIVE cache: SQLs whose measurement failed or
+      * timed out. A timeout burns the full timeout wall-clock (300 s in
+      * production) and GuidedQueryGen's memo is per-episode — without
+      * this set a surrogate-approved query that timed out once could be
+      * re-approved and re-paid in every later episode or resume. The
+      * main loop persists it beside the checkpoint.
+      */
+    val failed: mutable.LinkedHashSet[String] =
+      mutable.LinkedHashSet.empty[String]
     var iterations = 0
     var screenedOut = 0L // candidates the surrogate rejected — free steps
     var measureCalls = 0L
+
+    /** Consecutive episodes in which at least one measurement fired and
+      * EVERY one of them failed (`rt <= 0`). An episode-budget stop or a
+      * generator dead-end is a normal way for an episode to end; a run
+      * of all-failure episodes is not — it is the signature of a dead
+      * measurement session (OOM'd JVM, lost executor), and an unattended
+      * stream must ABORT on it rather than loop silently forever
+      * recording nothing. Reset by the first successful measurement.
+      */
+    var consecutiveFailedEpisodes = 0
+
+    /** Episodes that died on an exception other than the measurement
+      * budget (generator dead-ends, unparseable seed SQL) — visible in
+      * the iteration log so a stream wasting its episodes on a bad seed
+      * pool is diagnosable. */
+    var episodeErrors = 0L
     private var episodeMeasures = 0
+    private var episodeSuccesses = 0
 
     /** Thrown by the runner when an episode exhausts its measurement
       * budget; the guided loop's per-step Try ends the episode cleanly.
@@ -104,17 +134,22 @@ object TailCampaign {
     // duplicate at merge time anyway (CheckpointMerge keeps the first)
     private val runner: String => Double = sql =>
       measured.getOrElse(sql, known.getOrElse(sql, {
-        val est = Try(surrogateSec(sql)).getOrElse(Double.NaN)
-        if (est.isNaN) { screenedOut += 1; 0.0 } // unencodable: broaden
-        else if (est < screenLo || est > screenHi) { screenedOut += 1; est }
-        else if (episodeMeasures >= episodeCap) throw new EpisodeBudgetExceeded
+        if (failed.contains(sql)) screenHi * 2 // known-bad: steer down, never re-pay
         else {
-          preMeasure(sql)
-          measureCalls += 1
-          episodeMeasures += 1
-          val rt = Try(measure(sql)).getOrElse(-1.0)
-          if (rt > 0) { measured.put(sql, rt); postRecord(sql, rt); rt }
-          else screenHi * 2
+          val est = Try(surrogateSec(sql)).getOrElse(Double.NaN)
+          if (est.isNaN) { screenedOut += 1; 0.0 } // unencodable: broaden
+          else if (est < screenLo || est > screenHi) { screenedOut += 1; est }
+          else if (episodeMeasures >= episodeCap) throw new EpisodeBudgetExceeded
+          else {
+            preMeasure(sql)
+            measureCalls += 1
+            episodeMeasures += 1
+            val rt = Try(measure(sql)).getOrElse(-1.0)
+            if (rt > 0) {
+              episodeSuccesses += 1
+              measured.put(sql, rt); postRecord(sql, rt); rt
+            } else { failed += sql; screenHi * 2 }
+          }
         }
       }))
 
@@ -141,11 +176,22 @@ object TailCampaign {
         maxSteps = maxSteps, seed = seedFor(seed, iterations))
       iterations += 1
       episodeMeasures = 0
+      episodeSuccesses = 0
       Try {
         seedSql.foreach(gen.seedQuery)
         gen.guide()
+      } match {
+        // the budget stop is the episode's NORMAL end; anything else
+        // (dead-end mutation space, unparseable seed) is counted so the
+        // iteration log shows where a stream's episodes are going
+        case scala.util.Failure(e) if !e.isInstanceOf[EpisodeBudgetExceeded] =>
+          episodeErrors += 1
+        case _ => ()
       }
-      ()
+      if (episodeMeasures > 0) {
+        if (episodeSuccesses == 0) consecutiveFailedEpisodes += 1
+        else consecutiveFailedEpisodes = 0
+      }
     }
 
     /** Seed-farming pool: queries whose KNOWN runtime is already at or
@@ -157,18 +203,47 @@ object TailCampaign {
       * intermediate measurements; the seed's own label comes back free
       * through `known`/`measured`, so only NEW neighbors are executed.
       */
-    def seedCandidates: IndexedSeq[String] =
+    private def seedPool: IndexedSeq[(String, Double)] =
       (known.iterator ++ measured.iterator).collect {
-        case (sql, rt) if rt >= lo * 0.75 && rt <= hi => sql
+        case (sql, rt) if rt >= lo * 0.75 && rt <= hi => (sql, rt)
       }.toIndexedSeq
 
+    def seedCandidates: IndexedSeq[String] = seedPool.map(_._1)
+
+    /** Surrogate drift on a candidate's already-paid label, in log2
+      * space — how UNRELIABLE the served model is at that query. An
+      * unencodable estimate counts as maximally unreliable (3 log2 ≈
+      * the worst per-bucket drift ever observed). */
+    private def seedDrift(sql: String, rt: Double): Double = {
+      val est = Try(surrogateSec(sql)).getOrElse(Double.NaN)
+      if (est.isNaN || est <= 0) 3.0
+      else math.abs(math.log(est / rt) / math.log(2.0))
+    }
+
     /** Deterministic pool pick for this iteration (splitmix over the
-      * iteration counter, like the episode seeds). */
+      * iteration counter, like the episode seeds). With
+      * `driftWeightedSeeds`, candidates are drawn proportionally to the
+      * surrogate's drift on their known label — the guided-feedback
+      * idea aimed at the MODEL instead of the bucket counts: episodes
+      * start where the served model is least reliable, so the stream
+      * both labels the model's blind spots and keeps its screen honest
+      * there. The +0.1 floor keeps well-predicted seeds reachable.
+      */
     def pickSeed: Option[String] = {
-      val pool = seedCandidates
+      val pool = seedPool
       if (pool.isEmpty) None
-      else Some(pool(((seedFor(seed, iterations) % pool.size).toInt
-        + pool.size) % pool.size))
+      else if (!driftWeightedSeeds)
+        Some(pool(((seedFor(seed, iterations) % pool.size).toInt
+          + pool.size) % pool.size)._1)
+      else {
+        val w = pool.map { case (sql, rt) => seedDrift(sql, rt) + 0.1 }
+        val u = ((seedFor(seed, iterations) >>> 11).toDouble /
+          (1L << 53).toDouble) * w.sum
+        var acc = 0.0
+        var i = 0
+        while (i < pool.size - 1 && acc + w(i) < u) { acc += w(i); i += 1 }
+        Some(pool(i)._1)
+      }
     }
 
     def checkpoint(budget: Option[String]): BalancedCheckpoint = {
@@ -209,9 +284,49 @@ object TailCampaign {
     val spark = BandCampaign.session(cpus)
     val db = BandCampaign.openScaled(spark, scaledDir)
 
-    val predictLog2 = graft.estimate.Scoring.predictorFor(
-      Files.readString(Paths.get(modelJson)),
-      Files.readString(Paths.get(s"$scaledDir/stats.json")))
+    // The screen nominates on the MAX of the v20 regressor and (when a
+    // gru classifier checkpoint exists) the classifier's bucket center
+    // (Scoring.maxPredictorFor): the regressor's drift is worst exactly
+    // where this campaign hunts (class-7 mean 1.15 log2, DRIFT.md), and
+    // true 30–45 s candidates it predicts sub-second would be rejected
+    // unmeasured — with two independently-erring families either one
+    // can nominate. GRAFT_TAIL_CLS_MODEL overrides the classifier path
+    // ("" disables it).
+    val clsJson = sys.env.getOrElse("GRAFT_TAIL_CLS_MODEL",
+      "/root/repo/data/band/models/gru.json")
+    val modelPaths = (Seq(modelJson) ++ (if (clsJson.nonEmpty) Seq(clsJson) else Nil))
+      .filter(p => Files.exists(Paths.get(p)))
+    require(modelPaths.nonEmpty, s"no surrogate checkpoint found at $modelJson")
+    val statsStr = Files.readString(Paths.get(s"$scaledDir/stats.json"))
+    def buildPredictor(): String => Double =
+      graft.estimate.Scoring.maxPredictorFor(
+        modelPaths.map(p => Files.readString(Paths.get(p))), statsStr)
+    def stampsNow: Seq[java.nio.file.attribute.FileTime] =
+      modelPaths.map(p => Files.getLastModifiedTime(Paths.get(p)))
+    var predictLog2 = buildPredictor()
+    var lastStamps = stampsNow
+    // Hot-reload the served checkpoints when their files change: the
+    // population a long stream mints refines the surrogate mid-flight
+    // (a sweep rewrites gru4.json), and a screen frozen at launch time
+    // would keep the blind spots the refresh just fixed. A failed
+    // rebuild (torn read under a concurrent writer) keeps the old
+    // predictor and retries next iteration, since the stamps only
+    // advance on success.
+    def maybeReload(): Unit = {
+      val s = Try(stampsNow).getOrElse(lastStamps)
+      if (s != lastStamps) Try(buildPredictor()) match {
+        case scala.util.Success(p) =>
+          predictLog2 = p
+          lastStamps = s
+          println(s"[tail s$seed] reloaded surrogate checkpoints " +
+            modelPaths.mkString(", "))
+        case scala.util.Failure(e) =>
+          println(s"[tail s$seed] surrogate reload failed (torn write?), " +
+            s"keeping previous: $e")
+      }
+    }
+    println(s"[tail s$seed] surrogate families: ${modelPaths.size} " +
+      s"(${modelPaths.mkString(", ")})")
     val executor = new Executor(spark, timeoutSec = 300)
 
     val known: Map[String, Double] =
@@ -227,9 +342,15 @@ object TailCampaign {
 
     val cpPath = Paths.get(s"$workDir/tail_x${factor.toInt}_c${cpus}_s${seed}" +
       s"_b${lo.toInt}_${hi.toInt}.cp")
+    val failedPath = Paths.get(cpPath.toString + ".failed")
     var hunterRef: Hunter = null
-    def save(): Unit = if (hunterRef != null)
+    def save(): Unit = if (hunterRef != null) {
       Campaign.saveCheckpoint(cpPath, hunterRef.checkpoint(budget).serialize)
+      // the negative cache rides beside the checkpoint (one SQL per
+      // line): a resumed stream must not re-pay last session's timeouts
+      if (hunterRef.failed.nonEmpty)
+        Campaign.saveCheckpoint(failedPath, hunterRef.failed.mkString("\n"))
+    }
 
     val hunter = new Hunter(db,
       surrogateSec = sql => math.pow(2.0, predictLog2(sql)),
@@ -245,7 +366,11 @@ object TailCampaign {
         println(f"[tail s$seed] RECORD ${hunterRef.measured.size}%5d " +
           f"rt=$rt%7.1f s :: ${sql.take(110)}")
       },
-      known = known)
+      known = known,
+      // drift-weighted seed selection (default on; GRAFT_TAIL_DRIFT_SEEDS=0
+      // restores uniform picks for A/B comparison)
+      driftWeightedSeeds =
+        sys.env.get("GRAFT_TAIL_DRIFT_SEEDS").forall(_ != "0"))
     hunterRef = hunter
 
     if (Files.exists(cpPath)) {
@@ -253,21 +378,40 @@ object TailCampaign {
       require(cp.budget.forall(budget.contains),
         s"checkpoint budget ${cp.budget} does not match this run's $budget")
       hunter.restore(cp)
+      if (Files.exists(failedPath))
+        hunter.failed ++= Files.readString(failedPath).split("\n").filter(_.nonEmpty)
       println(s"[tail s$seed] resumed from $cpPath: " +
-        s"${hunter.measured.size} records, iteration ${hunter.iterations}")
+        s"${hunter.measured.size} records, iteration ${hunter.iterations}, " +
+        s"${hunter.failed.size} known-failed")
     }
 
+    // all-failure abort threshold: 5 consecutive episodes in which every
+    // fired measurement returned rt <= 0 means the measurement session
+    // is gone — exit non-zero so a supervisor (or the operator's ps
+    // scan) sees a dead stream instead of an infinite silent loop
+    val maxFailedEpisodes = 5
+
     while (hunter.measured.size < n) {
+      maybeReload()
       // alternate seed-farmed and random-start episodes: farming mints
       // in-band neighbors at ~one measurement each, random starts keep
       // exploring query shapes the pool doesn't cover
       val seedSql = if (hunter.iterations % 2 == 0) hunter.pickSeed else None
       hunter.runOne(maxSteps = 60, seedSql = seedSql)
+      if (hunter.consecutiveFailedEpisodes >= maxFailedEpisodes) {
+        save()
+        Console.err.println(s"[tail s$seed] ABORT: $maxFailedEpisodes " +
+          "consecutive episodes with every measurement failed — " +
+          "measurement session presumed dead")
+        spark.stop()
+        sys.exit(1)
+      }
       if (hunter.iterations % 25 == 0) {
         save()
         println(s"[tail s$seed] iter=${hunter.iterations} " +
           s"records=${hunter.measured.size} screened-out=${hunter.screenedOut} " +
-          s"measure-calls=${hunter.measureCalls} counts=" +
+          s"measure-calls=${hunter.measureCalls} failed=${hunter.failed.size} " +
+          s"episode-errors=${hunter.episodeErrors} counts=" +
           hunter.checkpoint(budget).counts.mkString(","))
       }
     }

@@ -87,6 +87,14 @@ object EventStream {
     * restart from an older durable checkpoint with a state-schema
     * mismatch. `sum` is a Double carried as its IEEE-754 bit pattern
     * (`doubleToLongBits` — exact round-trip, no precision loss).
+    *
+    * MIGRATION NOTE: switching an already-deployed query from the old
+    * case-class encoder to this codec is itself a one-time state-schema
+    * change — a restart from a durable checkpoint written by the
+    * case-class era fails with the same schema mismatch this codec
+    * prevents thereafter. Discard (or re-bootstrap) pre-codec streaming
+    * checkpoints when upgrading; every change AFTER that is covered by
+    * the length-versioned decode below.
     */
   final case class SessionState(count: Long, sum: Double, lastNanos: Long) {
     def toPersisted: Array[Long] =

@@ -62,13 +62,18 @@ object GruSweep {
     // treelstm/relcnn/mscn/neonet regressor reproductions, keeping v20
     // (the serving surrogate + MAE flagship) and the classifier rows —
     // the mid-round re-score shape where the population grew a few
-    // percent and wall-clock belongs to measurement, not reproduction.
-    // The flagship artifacts (REPORT_gru.md, models/gru.json) only
+    // percent and wall-clock belongs to measurement, not reproduction;
+    // "v20" runs ONLY the v20 row — the shape of a mid-campaign
+    // surrogate refresh, where live tail streams hot-reload the
+    // rewritten gru4.json and nothing else is needed. The flagship
+    // classifier artifacts (REPORT_gru.md, models/gru.json) only
     // regenerate in full mode, staying tied to the augmented row that
-    // defines them.
+    // defines them; the tailweight row (same ~60-min cost class) runs
+    // in full mode or under its own GRAFT_SWEEP_TAILWEIGHT toggle.
     val rowMode = sys.env.getOrElse("GRAFT_SWEEP_ROWS", "full")
     val fast = rowMode == "fast" || rowMode == "core"
     val coreOnly = rowMode == "core"
+    val v20Only = rowMode == "v20"
 
     val Dim = 203
     val seqs = scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
@@ -149,6 +154,23 @@ object GruSweep {
     println(f"[v20-ens] 4-traversal mean of ${seeds.size} seeds " +
       f"| heldout REF-SPACE: acc=$vAcc%.3f mae=$vMae%.3f f1=$vF1%.3f")
     report("v20", "v20 4-traversal GRU ensemble", avg)
+    // the README/BASELINE v20 headline is quoted in the REFERENCE's
+    // bucket space (<=1 s -> bucket 0, partitioner.py:40-46) and must
+    // trace to a committed artifact, not console scrollback: this
+    // variant clamps BOTH sides at 1 s, exactly like the printed
+    // REF-SPACE metrics (Estimator.evaluate minBucket = 0)
+    graft.estimate.Report.write(s"$outDir/REPORT_v20_refspace.md",
+      s"v20 4-traversal GRU ensemble — held-out (${test.size} queries; " +
+        "reference bucket space, <=1 s -> bucket 0 on both sides)",
+      test.zip(avg).map { case ((sql, rt), predLog2) =>
+        graft.estimate.Report.ResultRow(sql.take(80), math.max(1.0, rt),
+          math.max(1.0, math.pow(2.0, predLog2))) })
+    println(s"[v20] refspace report artifact: $outDir/REPORT_v20_refspace.md")
+    if (v20Only) {
+      println("[gru] GRAFT_SWEEP_ROWS=v20: surrogate refresh complete, " +
+        "skipping classifier and reproduction rows")
+      return
+    }
 
     if (!coreOnly) {
     // ---- child-sum TreeLSTM (the reference's treelstm family), same
@@ -368,6 +390,11 @@ object GruSweep {
       }
     }
 
+    // full mode (or an explicit GRAFT_SWEEP_TAILWEIGHT) only: the row
+    // below costs the same ~60 min the fast/core modes exist to skip,
+    // and its artifact should not regenerate in cut-down runs while the
+    // flagship artifacts stay full-only
+    if (!fast || sys.env.contains("GRAFT_SWEEP_TAILWEIGHT")) {
     // ---- tail-weighted row: the two zero-new-wall-clock levers the
     // balanced rows don't use — (a) PER-BUCKET permutation augmentation
     // (a tail measurement that cost minutes of wall-clock expands into
@@ -411,5 +438,6 @@ object GruSweep {
         graft.estimate.Report.ResultRow(sql.take(80),
           math.max(1.0, rt), math.pow(2.0, predLog2)) })
     println(s"[gru] report artifact: $outDir/REPORT_tailweight.md")
+    } // tailweight gate (full mode / GRAFT_SWEEP_TAILWEIGHT)
   }
 }

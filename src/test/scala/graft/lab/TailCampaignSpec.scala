@@ -158,4 +158,97 @@ class TailCampaignSpec extends AnyFunSuite {
     assert(h.measured.isEmpty, "a failed measurement must never be recorded")
     assert(h.measureCalls > 0, "the screen band was never entered")
   }
+
+  test("dual-family screen: the classifier can nominate what the v20 underestimates") {
+    // the DRIFT.md failure mode: the regressor predicts true 30–45 s
+    // candidates at ~0.5 s — below screenLo, so alone it rejects the
+    // whole tail unmeasured. The classifier family errs independently
+    // (here: accurately), and a max-of-families screen lets it nominate.
+    val v20Blind: String => Double = _ => 0.5
+    val cls: String => Double = trueCost
+    def hunt(surrogate: String => Double) = {
+      val h = new TailCampaign.Hunter(db, surrogate, trueCost,
+        lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 7L)
+      (0 until 20).foreach(_ => h.runOne(maxSteps = 25))
+      h
+    }
+    assert(hunt(v20Blind).measureCalls == 0,
+      "the blind regressor alone must reject everything unmeasured")
+    val dual = hunt(sql => math.max(v20Blind(sql), cls(sql)))
+    assert(dual.measureCalls > 0,
+      "the max screen must let the second family nominate")
+    assert(dual.measured.values.exists(rt => rt >= 8.0 && rt <= 64.0),
+      "a v20-underestimated, classifier-caught candidate must get measured")
+  }
+
+  test("a dead measurement session trips consecutiveFailedEpisodes") {
+    var dead = true
+    val h = new TailCampaign.Hunter(db,
+      surrogateSec = _ => 20.0, // everything nominated
+      measure = sql => if (dead) throw new RuntimeException("session dead")
+                       else trueCost(sql),
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 13L)
+    (0 until 8).foreach(_ => h.runOne(maxSteps = 10))
+    assert(h.consecutiveFailedEpisodes >= 5,
+      s"an all-failure run must accumulate, got ${h.consecutiveFailedEpisodes}")
+    assert(h.measured.isEmpty)
+    // one real success resets the abort counter
+    dead = false
+    (0 until 3).foreach(_ => h.runOne(maxSteps = 10))
+    assert(h.consecutiveFailedEpisodes == 0,
+      "a successful measurement must reset the counter")
+    assert(h.measured.nonEmpty)
+  }
+
+  test("negative cache: a failed SQL is never re-paid across episodes") {
+    // every episode starts from the same seed query, whose canonical
+    // form is therefore the first SQL measured each time; it times out
+    // once and the cache must answer for it in later episodes
+    val seedSql = "SELECT MIN(employees.salary) FROM employees " +
+      "WHERE employees.id > 10"
+    var timedOut: Option[String] = None
+    var callsForSeed = 0
+    val measure: String => Double = sql => {
+      if (timedOut.isEmpty) timedOut = Some(sql)
+      if (timedOut.contains(sql)) {
+        callsForSeed += 1
+        throw new RuntimeException("timeout")
+      } else trueCost(sql)
+    }
+    val h = new TailCampaign.Hunter(db, _ => 20.0, measure,
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 5L)
+    h.runOne(maxSteps = 1, seedSql = Some(seedSql))
+    h.runOne(maxSteps = 1, seedSql = Some(seedSql))
+    h.runOne(maxSteps = 1, seedSql = Some(seedSql))
+    assert(callsForSeed == 1,
+      s"the timed-out seed must be paid exactly once, got $callsForSeed")
+    assert(h.failed.contains(timedOut.get),
+      "the failure must enter the cross-episode negative cache")
+  }
+
+  test("drift-weighted seed selection prefers the surrogate's blind spots") {
+    // two known in-band labels: the surrogate is exact on `good` and
+    // off by ~log2(60) on `blind`
+    val good = "SELECT MIN(ta.x) FROM ta WHERE ta.x > 5"
+    val blind = "SELECT MIN(tb.y) FROM tb WHERE tb.y > 5"
+    val surrogate: String => Double =
+      sql => if (sql == blind) 0.5 else if (sql == good) 40.0 else trueCost(sql)
+    val known = Map(good -> 40.0, blind -> 30.0)
+    def picks(weighted: Boolean): Seq[String] = {
+      val h = new TailCampaign.Hunter(db, surrogate, trueCost,
+        lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 29L,
+        known = known, driftWeightedSeeds = weighted)
+      (0 until 200).map { i => h.iterations = i; h.pickSeed.get }
+    }
+    val weighted = picks(weighted = true)
+    val blindShare = weighted.count(_ == blind) / 200.0
+    // weights ≈ 6.0 vs 0.1 → expected blind share ≈ 0.98
+    assert(blindShare > 0.9,
+      f"drift weighting must steer episodes to the blind spot, got $blindShare%.2f")
+    assert(weighted.contains(good),
+      "the +0.1 floor must keep well-predicted seeds reachable")
+    val uniformBlind = picks(weighted = false).count(_ == blind) / 200.0
+    assert(uniformBlind > 0.3 && uniformBlind < 0.7,
+      f"uniform picks should split the 2-seed pool evenly, got $uniformBlind%.2f")
+  }
 }
