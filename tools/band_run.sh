@@ -16,8 +16,13 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# Aggressive periodic GC: a long-lived measurement JVM only deletes its
+# shuffle files when the driver GC collects the shuffle references
+# (ContextCleaner); at the default 30min interval, a dozen concurrent
+# streams accumulate tens of GB of blockmgr spill and fill the disk.
 exec java $OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -Dspark.cleaner.periodicGC.interval="${SPARK_PERIODIC_GC:-5min}" \
   -cp "$CP" "$@"
