@@ -73,6 +73,19 @@ class CampaignSpec extends AnyFunSuite {
       assert(math.abs(d - expected) < 1e-9,
         s"drift_log2 mismatch for $sql: $d vs $expected")
     }
+
+    // duplicate SQL across generator streams (only CheckpointMerge
+    // dedups; a caller may pass a raw concatenation) must not fan the
+    // score-back join out to n² rows per copy — keep-first dedup
+    val withDup = measured ++ Seq(measured.head.copy(_2 = 99.0), measured(1))
+    val deduped = Campaign.driftReport(spark, withDup, modelJson,
+      ModelJson.toJson(db))
+    assert(deduped.count() == measured.size,
+      "duplicate SQLs must collapse to one row each")
+    val first = deduped.collect().map(r => r.getAs[String]("sql") ->
+      r.getAs[Double]("runtime_sec")).toMap
+    assert(first(measured.head._1) == measured.head._2,
+      "dedup must keep the FIRST measurement (CheckpointMerge convention)")
   }
 
   test("checkpoint save is atomic: rename over target, no temp left behind") {
