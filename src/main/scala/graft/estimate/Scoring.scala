@@ -94,18 +94,23 @@ object Scoring {
     * rejected unmeasured, and the families err independently (the v20
     * regressor's class-7 drift runs ~2.5× its mid-band drift,
     * data/band/DRIFT.md), so either family may nominate. Classifier
-    * checkpoints predict a bucket `b` covering [2^b, 2^(b+1)); `b + 0.5`
-    * is that bucket's geometric center in log2 space, which makes the
-    * classifier's vote comparable with the regressors' continuous
-    * log2. A family that cannot encode the SQL abstains (NaN); the
-    * result is NaN only when every family abstains.
+    * checkpoints here are trained on ROUNDED log2 buckets
+    * ([[Estimator.runtimeBucket]] = floor(log2 + 0.5)): bucket `b`
+    * covers log2 in [b - 0.5, b + 0.5), whose center in log2 space is
+    * exactly `b` — so the classifier's predicted bucket enters the max
+    * UNSHIFTED. (The reference's Log2Partitioner floors instead, where
+    * the center would be b + 0.5; a +0.5 shift here would bias every
+    * classifier vote +0.5 log2 ≈ ×1.41 in seconds — enough to push a
+    * correct near-ceiling vote past the screen's upper bound and
+    * reject a true in-band candidate unmeasured.) A family that cannot
+    * encode the SQL abstains (NaN); the result is NaN only when every
+    * family abstains.
     */
   def maxPredictorFor(modelJsons: Seq[String], statsJson: String): String => Double = {
     require(modelJsons.nonEmpty, "at least one checkpoint required")
     val families = modelJsons.map { j =>
-      val shift = if (ModelIo.kindOf(j) == "gru") 0.5 else 0.0
       val p = predictorFor(j, statsJson)
-      (sql: String) => scala.util.Try(p(sql)).getOrElse(Double.NaN) + shift
+      (sql: String) => scala.util.Try(p(sql)).getOrElse(Double.NaN)
     }
     sql => {
       val ests = families.map(_(sql)).filterNot(_.isNaN)

@@ -80,7 +80,9 @@ object TailCampaign {
                      preMeasure: String => Unit = _ => (),
                      postRecord: (String, Double) => Unit = (_, _) => (),
                      known: Map[String, Double] = Map.empty,
-                     driftWeightedSeeds: Boolean = false) {
+                     driftWeightedSeeds: Boolean = false,
+                     epsilon: Double = 0.0,
+                     onEpsilon: (String, Double, Double) => Unit = (_, _, _) => ()) {
     require(screenLo <= lo && screenHi >= hi,
       s"screen band [$screenLo, $screenHi] must contain target band [$lo, $hi]")
 
@@ -91,18 +93,27 @@ object TailCampaign {
     val measured: mutable.LinkedHashMap[String, Double] =
       mutable.LinkedHashMap.empty[String, Double]
 
-    /** Cross-episode NEGATIVE cache: SQLs whose measurement failed or
-      * timed out. A timeout burns the full timeout wall-clock (300 s in
-      * production) and GuidedQueryGen's memo is per-episode — without
-      * this set a surrogate-approved query that timed out once could be
-      * re-approved and re-paid in every later episode or resume. The
-      * main loop persists it beside the checkpoint.
+    /** Cross-episode NEGATIVE cache: SQLs whose measurement GENUINELY
+      * timed out ([[QueryTimeoutException]] — the query is too slow at
+      * this compute budget, permanently). A timeout burns the full
+      * timeout wall-clock (300 s in production) and GuidedQueryGen's
+      * memo is per-episode — without this set a surrogate-approved
+      * query that timed out once could be re-approved and re-paid in
+      * every later episode or resume. Transient failures (lost
+      * session, executor hiccup) are deliberately NOT cached: banning
+      * a possibly-good tail candidate forever over an environment
+      * blip would silently shrink the huntable space across every
+      * future resume. The main loop persists this set beside the
+      * checkpoint.
       */
     val failed: mutable.LinkedHashSet[String] =
       mutable.LinkedHashSet.empty[String]
     var iterations = 0
     var screenedOut = 0L // candidates the surrogate rejected — free steps
     var measureCalls = 0L
+    var transientFailures = 0L // non-timeout measurement failures, not cached
+    var epsSelected = 0L // screened-out candidates the ε pass-through picked
+    var epsMeasured = 0L // ...of which a real measurement completed
 
     /** Consecutive episodes in which at least one measurement fired and
       * EVERY one of them failed (`rt <= 0`). An episode-budget stop or a
@@ -121,11 +132,63 @@ object TailCampaign {
     var episodeErrors = 0L
     private var episodeMeasures = 0
     private var episodeSuccesses = 0
+    private var episodeEps = 0
 
     /** Thrown by the runner when an episode exhausts its measurement
       * budget; the guided loop's per-step Try ends the episode cleanly.
       */
     private final class EpisodeBudgetExceeded extends RuntimeException
+
+    /** Deterministic per-SQL coin for the ε pass-through: splitmix64
+      * over the SQL's (JVM-spec-stable) string hash, mapped to [0, 1).
+      * Keyed on the SQL — not the episode position — so whether a
+      * candidate is ε-sampled is a property of the query, independent
+      * of where in the stream it shows up, and a kill+resume makes the
+      * same choices.
+      */
+    private def epsCoin(sql: String): Double = {
+      var z = sql.hashCode.toLong + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+    }
+
+    /** Pay for one real measurement. `epsEst` is Some(surrogate
+      * estimate) when this is an ε pass-through sample of a
+      * screened-OUT candidate — the (estimate, truth) pair is reported
+      * through `onEpsilon` so the campaign keeps an unbiased,
+      * continuously-updated estimate of what the screen loses
+      * (SCREEN_AUDIT's blind spot is otherwise unmeasurable once every
+      * new label is screen-conditioned).
+      *
+      * Failure taxonomy: a [[QueryTimeoutException]] is a fact about
+      * the QUERY (too slow at this budget) → cached in `failed`
+      * forever; any other failure — or a degenerate rt <= 0 — is a
+      * fact about the SESSION → counted, steered down, NOT cached.
+      */
+    private def payMeasure(sql: String, epsEst: Option[Double]): Double = {
+      preMeasure(sql)
+      measureCalls += 1
+      episodeMeasures += 1
+      Try(measure(sql)) match {
+        case scala.util.Success(rt) if rt > 0 =>
+          episodeSuccesses += 1
+          measured.put(sql, rt)
+          epsEst.foreach { est => epsMeasured += 1; onEpsilon(sql, est, rt) }
+          postRecord(sql, rt)
+          rt
+        case scala.util.Failure(_: QueryTimeoutException) =>
+          failed += sql
+          // a timed-out ε sample is still evidence: truth censored at
+          // the timeout, reported as -1 (not in-band for loss purposes
+          // only when the band top is below the timeout)
+          epsEst.foreach { est => epsMeasured += 1; onEpsilon(sql, est, -1.0) }
+          screenHi * 2
+        case _ =>
+          transientFailures += 1
+          screenHi * 2
+      }
+    }
 
     // `known` carries labels some EARLIER campaign already paid for
     // (the seed pool below): the loop treats them as real runtimes but
@@ -138,18 +201,21 @@ object TailCampaign {
         else {
           val est = Try(surrogateSec(sql)).getOrElse(Double.NaN)
           if (est.isNaN) { screenedOut += 1; 0.0 } // unencodable: broaden
-          else if (est < screenLo || est > screenHi) { screenedOut += 1; est }
-          else if (episodeMeasures >= episodeCap) throw new EpisodeBudgetExceeded
-          else {
-            preMeasure(sql)
-            measureCalls += 1
-            episodeMeasures += 1
-            val rt = Try(measure(sql)).getOrElse(-1.0)
-            if (rt > 0) {
-              episodeSuccesses += 1
-              measured.put(sql, rt); postRecord(sql, rt); rt
-            } else { failed += sql; screenHi * 2 }
+          else if (est < screenLo || est > screenHi) {
+            screenedOut += 1
+            // ε pass-through: measure a small deterministic fraction of
+            // screened-OUT candidates anyway. At most one per episode
+            // (bounds the worst case — a 300 s timeout — to one episode
+            // cap slot), and it shares the episode measurement budget.
+            if (epsilon > 0 && epsCoin(sql) < epsilon && episodeEps < 1 &&
+                episodeMeasures < episodeCap) {
+              episodeEps += 1
+              epsSelected += 1
+              payMeasure(sql, Some(est))
+            } else est
           }
+          else if (episodeMeasures >= episodeCap) throw new EpisodeBudgetExceeded
+          else payMeasure(sql, None)
         }
       }))
 
@@ -177,6 +243,7 @@ object TailCampaign {
       iterations += 1
       episodeMeasures = 0
       episodeSuccesses = 0
+      episodeEps = 0
       Try {
         seedSql.foreach(gen.seedQuery)
         gen.guide()
@@ -213,12 +280,26 @@ object TailCampaign {
     /** Surrogate drift on a candidate's already-paid label, in log2
       * space — how UNRELIABLE the served model is at that query. An
       * unencodable estimate counts as maximally unreliable (3 log2 ≈
-      * the worst per-bucket drift ever observed). */
-    private def seedDrift(sql: String, rt: Double): Double = {
-      val est = Try(surrogateSec(sql)).getOrElse(Double.NaN)
-      if (est.isNaN || est <= 0) 3.0
-      else math.abs(math.log(est / rt) / math.log(2.0))
-    }
+      * the worst per-bucket drift ever observed).
+      *
+      * Cached per SQL: a label never changes, and the surrogate only
+      * changes on hot-reload — without the cache every drift-weighted
+      * pick re-runs a full forward pass (two families, ~1 ms) over the
+      * ENTIRE pool, which grows with every record the stream mints.
+      * [[invalidateDriftCache]] is the reload hook.
+      */
+    private val driftCache = mutable.HashMap.empty[String, Double]
+
+    /** Drop memoized drifts — call after the served surrogate changes
+      * (checkpoint hot-reload): the old model's drift is stale. */
+    def invalidateDriftCache(): Unit = driftCache.clear()
+
+    private def seedDrift(sql: String, rt: Double): Double =
+      driftCache.getOrElseUpdate(sql, {
+        val est = Try(surrogateSec(sql)).getOrElse(Double.NaN)
+        if (est.isNaN || est <= 0) 3.0
+        else math.abs(math.log(est / rt) / math.log(2.0))
+      })
 
     /** Deterministic pool pick for this iteration (splitmix over the
       * iteration counter, like the episode seeds). With
@@ -294,17 +375,28 @@ object TailCampaign {
     // ("" disables it).
     val clsJson = sys.env.getOrElse("GRAFT_TAIL_CLS_MODEL",
       "/root/repo/data/band/models/gru.json")
-    val modelPaths = (Seq(modelJson) ++ (if (clsJson.nonEmpty) Seq(clsJson) else Nil))
-      .filter(p => Files.exists(Paths.get(p)))
-    require(modelPaths.nonEmpty, s"no surrogate checkpoint found at $modelJson")
+    // keep the CONFIGURED paths, present or not: the reload poll below
+    // watches all of them, so a classifier checkpoint a later sweep
+    // writes is picked up when its file APPEARS — a launch-time
+    // existence filter would silently run single-family forever
+    val modelPaths = Seq(modelJson) ++ (if (clsJson.nonEmpty) Seq(clsJson) else Nil)
+    require(Files.exists(Paths.get(modelJson)),
+      s"no surrogate regressor checkpoint found at $modelJson")
+    modelPaths.filterNot(p => Files.exists(Paths.get(p))).foreach(p =>
+      println(s"[tail s$seed] NOTE: checkpoint $p absent at launch — " +
+        "will join the screen when its file appears"))
     val statsStr = Files.readString(Paths.get(s"$scaledDir/stats.json"))
     def buildPredictor(): String => Double =
       graft.estimate.Scoring.maxPredictorFor(
-        modelPaths.map(p => Files.readString(Paths.get(p))), statsStr)
-    def stampsNow: Seq[java.nio.file.attribute.FileTime] =
-      modelPaths.map(p => Files.getLastModifiedTime(Paths.get(p)))
+        modelPaths.filter(p => Files.exists(Paths.get(p)))
+          .map(p => Files.readString(Paths.get(p))), statsStr)
+    // None for a missing file: appearance/disappearance is itself a
+    // stamp change, which is what triggers the rebuild
+    def stampsNow: Seq[Option[java.nio.file.attribute.FileTime]] =
+      modelPaths.map(p => Try(Files.getLastModifiedTime(Paths.get(p))).toOption)
     var predictLog2 = buildPredictor()
     var lastStamps = stampsNow
+    var hunterRef: Hunter = null
     // Hot-reload the served checkpoints when their files change: the
     // population a long stream mints refines the surrogate mid-flight
     // (a sweep rewrites gru4.json), and a screen frozen at launch time
@@ -318,6 +410,7 @@ object TailCampaign {
         case scala.util.Success(p) =>
           predictLog2 = p
           lastStamps = s
+          if (hunterRef != null) hunterRef.invalidateDriftCache()
           println(s"[tail s$seed] reloaded surrogate checkpoints " +
             modelPaths.mkString(", "))
         case scala.util.Failure(e) =>
@@ -327,7 +420,13 @@ object TailCampaign {
     }
     println(s"[tail s$seed] surrogate families: ${modelPaths.size} " +
       s"(${modelPaths.mkString(", ")})")
-    val executor = new Executor(spark, timeoutSec = 300)
+    // GRAFT_TAIL_TIMEOUT raises the measurement ceiling for deep-tail
+    // bands (a 300 s timeout cannot label the 256–362 s half of
+    // reference class 8); GRAFT_TAIL_EPISODE_CAP raises the per-episode
+    // measurement budget where walking up into the band needs more paid
+    // intermediate steps than the default 10
+    val timeoutSec = sys.env.get("GRAFT_TAIL_TIMEOUT").map(_.toInt).getOrElse(300)
+    val executor = new Executor(spark, timeoutSec = timeoutSec)
 
     val known: Map[String, Double] =
       if (seedCpPath.isEmpty || !Files.exists(Paths.get(seedCpPath))) Map.empty
@@ -343,13 +442,19 @@ object TailCampaign {
     val cpPath = Paths.get(s"$workDir/tail_x${factor.toInt}_c${cpus}_s${seed}" +
       s"_b${lo.toInt}_${hi.toInt}.cp")
     val failedPath = Paths.get(cpPath.toString + ".failed")
-    var hunterRef: Hunter = null
+    // ε pass-through ledger: one line per ε-measured screened-out
+    // candidate, `est<TAB>rt<TAB>sql` (rt = -1 for a censored timeout).
+    // Append-only — the point is an unbiased, ever-growing sample of
+    // what the screen rejects, aggregated into SCREEN_AUDIT.md.
+    val epsPath = Paths.get(cpPath.toString + ".eps")
     def save(): Unit = if (hunterRef != null) {
       Campaign.saveCheckpoint(cpPath, hunterRef.checkpoint(budget).serialize)
       // the negative cache rides beside the checkpoint (one SQL per
-      // line): a resumed stream must not re-pay last session's timeouts
+      // line; the generator's to_sql is single-line, and anything with
+      // an embedded newline is dropped rather than corrupting the file)
       if (hunterRef.failed.nonEmpty)
-        Campaign.saveCheckpoint(failedPath, hunterRef.failed.mkString("\n"))
+        Campaign.saveCheckpoint(failedPath,
+          hunterRef.failed.filterNot(_.contains("\n")).mkString("\n"))
     }
 
     val hunter = new Hunter(db,
@@ -370,8 +475,21 @@ object TailCampaign {
       // drift-weighted seed selection (default on; GRAFT_TAIL_DRIFT_SEEDS=0
       // restores uniform picks for A/B comparison)
       driftWeightedSeeds =
-        sys.env.get("GRAFT_TAIL_DRIFT_SEEDS").forall(_ != "0"))
+        sys.env.get("GRAFT_TAIL_DRIFT_SEEDS").forall(_ != "0"),
+      // ε pass-through: measure ~2% of screened-OUT candidates so the
+      // screen's blind spot stays measurable (GRAFT_TAIL_EPS overrides,
+      // 0 disables)
+      epsilon = sys.env.get("GRAFT_TAIL_EPS").map(_.toDouble).getOrElse(0.02),
+      onEpsilon = (sql, est, rt) => {
+        val line = f"$est%.3f\t$rt%.3f\t${sql.replace("\n", " ")}\n"
+        Files.writeString(epsPath, line,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        println(f"[tail s$seed] EPS est=$est%.2f s rt=$rt%.2f s :: ${sql.take(90)}")
+      })
     hunterRef = hunter
+    sys.env.get("GRAFT_TAIL_EPISODE_CAP").map(_.toInt)
+      .foreach(hunter.episodeCap = _)
 
     if (Files.exists(cpPath)) {
       val cp = BalancedCheckpoint.deserialize(Files.readString(cpPath))
@@ -411,6 +529,8 @@ object TailCampaign {
         println(s"[tail s$seed] iter=${hunter.iterations} " +
           s"records=${hunter.measured.size} screened-out=${hunter.screenedOut} " +
           s"measure-calls=${hunter.measureCalls} failed=${hunter.failed.size} " +
+          s"transient=${hunter.transientFailures} " +
+          s"eps=${hunter.epsMeasured}/${hunter.epsSelected} " +
           s"episode-errors=${hunter.episodeErrors} counts=" +
           hunter.checkpoint(budget).counts.mkString(","))
       }

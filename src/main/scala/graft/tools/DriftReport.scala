@@ -14,7 +14,14 @@ import graft.gen.BalancedCheckpoint
   * (the reference's estimate.py-over-workload-CSV loop, re-expressed as
   * one distributed scoring pass + one aggregation).
   *
-  * Usage: `DriftReport [checkpoint] [modelJson] [statsJson] [outMd]`
+  * With a FIFTH argument (a second model checkpoint), renders a
+  * refresh comparison instead: both checkpoints scored over the SAME
+  * population, per-bucket means side by side — the apples-to-apples
+  * answer to "did the surrogate refresh actually pull tail drift
+  * down?" (a single-model DRIFT.md regenerated after both the
+  * population and the model moved confounds the two).
+  *
+  * Usage: `DriftReport [checkpoint] [modelJson] [statsJson] [outMd] [modelJsonOld]`
   */
 object DriftReport {
 
@@ -23,6 +30,7 @@ object DriftReport {
     val modelJson = args.lift(1).getOrElse("/root/repo/data/band/models/gru4.json")
     val statsPath = args.lift(2).getOrElse("/root/repo/data/band/x160/stats.json")
     val outMd = args.lift(3).getOrElse("/root/repo/data/band/DRIFT.md")
+    val oldModelJson = args.lift(4) // refresh-comparison mode when present
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
     val cp = BalancedCheckpoint.deserialize(Files.readString(Paths.get(cpPath)))
@@ -36,13 +44,13 @@ object DriftReport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val statsStr = Files.readString(Paths.get(statsPath))
     val drift = graft.lab.Campaign.driftReport(spark, usable,
-      Files.readString(Paths.get(modelJson)),
-      Files.readString(Paths.get(statsPath))).cache()
+      Files.readString(Paths.get(modelJson)), statsStr).cache()
 
     // ref-space true bucket (<=1 s -> 0) so the drift table reads in the
     // same units as the band metrics
-    val byBucket = drift
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("true_bucket",
         greatest(lit(0.0), floor(log(2.0, greatest(col("runtime_sec"), lit(1e-3)))))
           .cast("long"))
@@ -52,7 +60,7 @@ object DriftReport {
         expr("percentile(drift_log2, 0.5)").as("median_drift"),
         max("drift_log2").as("max_drift"))
       .orderBy("true_bucket")
-      .collect()
+    val byBucket = bucketed(drift).collect()
     val overall = drift.agg(avg("drift_log2"), expr("percentile(drift_log2, 0.5)"))
       .collect()(0)
     val worst = drift.orderBy(col("drift_log2").desc)
@@ -77,6 +85,28 @@ object DriftReport {
     worst.foreach { r =>
       sb.append(f"| ${r.getDouble(1)}%.1f | ${r.getDouble(2)}%.1f " +
         f"| ${r.getDouble(3)}%.2f | ${r.getString(0).take(90).replace("|", "\\|")} |\n")
+    }
+
+    // refresh comparison: old checkpoint scored over the IDENTICAL
+    // population, per-bucket means joined side by side
+    oldModelJson.foreach { oldPath =>
+      val oldDrift = graft.lab.Campaign.driftReport(spark, usable,
+        Files.readString(Paths.get(oldPath)), statsStr)
+      val oldBy = bucketed(oldDrift).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      sb.append("\n## Surrogate refresh comparison (same population, old vs new checkpoint)\n\n")
+      sb.append(s"Old: `$oldPath`; new: `$modelJson`; population: ")
+      sb.append(s"${usable.size} labels from `$cpPath`.\n\n")
+      sb.append("| true bucket | n | mean drift (old) | mean drift (new) | Δ |\n")
+      sb.append("|---|---|---|---|---|\n")
+      byBucket.foreach { r =>
+        val b = r.getLong(0)
+        val nw = r.getDouble(2)
+        val od = oldBy.getOrElse(b, Double.NaN)
+        val delta = if (od == 0 || od.isNaN) "—"
+          else f"${100.0 * (nw - od) / od}%+.0f%%"
+        sb.append(f"| $b | ${r.getLong(1)} | $od%.3f | $nw%.3f | $delta |\n")
+      }
     }
     Files.writeString(Paths.get(outMd), sb.toString)
     println(s"[drift] wrote $outMd")

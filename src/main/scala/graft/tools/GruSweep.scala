@@ -438,6 +438,44 @@ object GruSweep {
         graft.estimate.Report.ResultRow(sql.take(80),
           math.max(1.0, rt), math.pow(2.0, predLog2)) })
     println(s"[gru] report artifact: $outDir/REPORT_tailweight.md")
+
+    // ---- combo row: the pairing the matrix was missing. The rows above
+    // test balanced-DRAW alone (balancedSel), augmentation alone
+    // (balAugSel), and augmentation × class-WEIGHTS (tailweight); this
+    // one is augmentation × balanced-draw — cyclic oversampling over the
+    // per-bucket-augmented train, unweighted loss (stacking weights on
+    // top of a draw that already equalizes bucket mass would square the
+    // rarity correction). If this row beats tailweight, gradient
+    // repetition of real+permuted tail rows matters more than loss
+    // scaling; if it ties, the augmentation is the active ingredient.
+    val comboData = {
+      val byLabel = tailLabeled
+      // balance on the ROUNDED ref-space labels the classifier trains on
+      val counts = byLabel.groupBy(_._2).view.mapValues(_.size).toMap
+      val most = counts.values.max
+      byLabel.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        Iterator.continually(rows).flatten.take(most)
+      }
+    }
+    println(s"[gru] combo train=${comboData.size} " +
+      s"(balanced draw over per-bucket-augmented ${tailAug.size})")
+    val comboPerSeed = SweepKit.parSeeds(clsSeeds) { seed =>
+      val t0 = System.nanoTime()
+      val cfg = Gru.Config(inputDim = Dim, hidden = 64,
+        classes = classes, lr = 2e-3, epochs = 45, batch = 32, seed = seed)
+      val (fitted, bestEp, valF1) = Gru.fitValSelected(comboData, cfg, valData)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(bestEp >= 1, s"val selection never improved on init (seed $seed)")
+      val preds = testSeqs.map(fitted.predict)
+      val (acc, mae, f1) = score(Seq(preds))
+      println(f"[gru1] combo     h=64 e=45 seed=$seed%4d (${sec}%.0f s, " +
+        f"best epoch $bestEp, val f1=$valF1%.3f) " +
+        f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+      preds
+    }
+    val (cbAcc, cbMae, cbF1) = score(comboPerSeed)
+    println(f"[vote] combo     h=64 e=45 seeds=${clsSeeds.size} " +
+      f"| heldout REF-SPACE: acc=$cbAcc%.3f mae=$cbMae%.3f f1=$cbF1%.3f")
     } // tailweight gate (full mode / GRAFT_SWEEP_TAILWEIGHT)
   }
 }

@@ -2,6 +2,9 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
 import graft.gen.BalancedCheckpoint
 
 /** Audit the tail campaign's measurement SCREEN against ground truth:
@@ -11,11 +14,22 @@ import graft.gen.BalancedCheckpoint
   * max-of-families screen ([[graft.estimate.Scoring.maxPredictorFor]]),
   * so the dual-screen fix is quantified on data instead of asserted —
   * the per-bucket DRIFT.md means can only say the model errs, not
-  * whether the error costs measurements (an OVERestimate is harmless:
-  * the candidate is measured anyway and the label recorded; only the
-  * under-the-floor rejection loses a tail label).
+  * whether the error costs measurements (a MID-BAND overestimate is
+  * harmless: the candidate is measured anyway and the label recorded;
+  * an under-the-floor OR over-the-ceiling estimate rejects it
+  * unmeasured).
   *
-  * Usage: `ScreenAudit [checkpoint] [gru4Json] [gruJson] [statsJson] [lo] [outMd]`
+  * Two complementary views:
+  *  1. retrospective — replay the screen over every already-paid
+  *     true-tail label (possible only because earlier campaigns ran
+  *     WITHOUT the screen);
+  *  2. the ε ledger — aggregate the `.eps` sidecars the live streams
+  *     append ([[graft.lab.TailCampaign]]'s ε pass-through measures a
+  *     deterministic ~2% of screened-OUT candidates), which stays an
+  *     unbiased estimate of screen loss even after every new label is
+  *     screen-conditioned.
+  *
+  * Usage: `ScreenAudit [checkpoint] [gru4Json] [gruJson] [statsJson] [lo] [outMd] [screenHi] [epsDir]`
   */
 object ScreenAudit {
 
@@ -26,6 +40,8 @@ object ScreenAudit {
     val statsPath = args.lift(3).getOrElse("/root/repo/data/band/x160/stats.json")
     val lo = args.lift(4).map(_.toDouble).getOrElse(32.0)
     val outMd = args.lift(5).getOrElse("/root/repo/data/band/SCREEN_AUDIT.md")
+    val screenHi = args.lift(6).map(_.toDouble).getOrElse(280.0)
+    val epsDir = args.lift(7).getOrElse("/tmp/graft_band")
     val screenLo = lo / 2
 
     val cp = BalancedCheckpoint.deserialize(Files.readString(Paths.get(cpPath)))
@@ -42,7 +58,11 @@ object ScreenAudit {
     def rejected(p: String => Double): Seq[(String, Double, Double)] =
       tail.flatMap { case (sql, rt) =>
         val est = math.pow(2.0, p(sql))
-        if (est.isNaN || est < screenLo) Some((sql, rt, est)) else None
+        // the screen rejects BOTH below the floor and above the ceiling
+        // (the latter matters near screenHi: a +0.5 log2 bias once
+        // pushed correct near-ceiling votes past it, round-12 advice)
+        if (est.isNaN || est < screenLo || est > screenHi) Some((sql, rt, est))
+        else None
       }
     val v20Rej = rejected(v20)
     val dualRej = rejected(dual)
@@ -51,9 +71,11 @@ object ScreenAudit {
     val sb = new StringBuilder
     sb.append("# Measurement-screen audit (true tail vs surrogate floor)\n\n")
     sb.append(s"Checkpoint: `$cpPath`; ${tail.size} measured queries with ")
-    sb.append(s"runtime >= $lo s; a screen estimate below $screenLo s would have ")
-    sb.append("rejected the candidate unmeasured (the only costly error — an ")
-    sb.append("overestimate still fires the executor and records the label).\n\n")
+    sb.append(s"runtime >= $lo s; a screen estimate outside [$screenLo, $screenHi] s ")
+    sb.append("would have rejected the candidate unmeasured (a mid-band ")
+    sb.append("overestimate still fires the executor and records the label). ")
+    sb.append("Classifier votes enter the screen unshifted — bucket b is the ")
+    sb.append("center of the ROUNDED log2 bucket the repo trains on.\n\n")
     sb.append("| screen | true-tail rejected unmeasured | rate |\n|---|---|---|\n")
     sb.append(s"| v20 regressor alone | ${v20Rej.size} / ${tail.size} | ${pct(v20Rej.size)} |\n")
     sb.append(s"| max(v20, classifier bucket center) | ${dualRej.size} / ${tail.size} | ${pct(dualRej.size)} |\n")
@@ -63,6 +85,31 @@ object ScreenAudit {
     sb.append("| measured s | v20 est s | sql |\n|---|---|---|\n")
     recovered.foreach { case (sql, rt, est) =>
       sb.append(f"| $rt%.1f | $est%.2f | ${sql.take(90).replace("|", "\\|")} |\n")
+    }
+
+    // ε ledger: the forward-looking, screen-independent loss estimate.
+    // Each line is est<TAB>rt<TAB>sql for one ε-measured screened-OUT
+    // candidate; rt = -1 is a censored timeout (counted as a true-tail
+    // miss — anything past the timeout is certainly >= lo).
+    val epsLines: Seq[(Double, Double)] =
+      Try(Files.list(Paths.get(epsDir)).iterator().asScala
+        .filter(_.toString.endsWith(".eps")).toSeq).getOrElse(Nil)
+        .flatMap { p =>
+          Files.readString(p).split("\n").filter(_.nonEmpty).toSeq.flatMap { l =>
+            val f = l.split("\t")
+            Try((f(0).toDouble, f(1).toDouble)).toOption
+          }
+        }
+    if (epsLines.nonEmpty) {
+      val miss = epsLines.count { case (_, rt) => rt < 0 || rt >= lo }
+      sb.append("\n## Screen loss on the ε pass-through sample (unbiased, live)\n\n")
+      sb.append(s"${epsLines.size} screened-out candidates ε-measured across the ")
+      sb.append(s"stream sidecars in `$epsDir`; $miss had true runtime >= $lo s ")
+      sb.append("(or timed out) — i.e. the screen would have lost them. ")
+      sb.append(f"Estimated per-candidate screen loss: ${
+        100.0 * miss / epsLines.size}%.2f%% of screened-out candidates ")
+      sb.append("are true tail. Unlike the retrospective table above, this row ")
+      sb.append("stays valid as the population becomes screen-conditioned.\n")
     }
     Files.writeString(Paths.get(outMd), sb.toString)
     println(s"[screen] v20-alone rejects ${v20Rej.size} (${pct(v20Rej.size)}); " +

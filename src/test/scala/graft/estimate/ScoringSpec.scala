@@ -215,9 +215,10 @@ class ScoringSpec extends AnyFunSuite {
     val cls = Scoring.predictorFor(gruJson, statsJson)
     val maxP = Scoring.maxPredictorFor(Seq(gru4Json, gruJson), statsJson)
     sqls.foreach { s =>
-      // the classifier's bucket b covers [2^b, 2^(b+1)): its vote enters
-      // the max at the bucket's log2-space center, b + 0.5
-      assert(maxP(s) == math.max(v20(s), cls(s) + 0.5),
+      // the classifier is trained on ROUNDED log2 buckets (runtimeBucket
+      // = floor(log2+0.5)), so bucket b's log2-space center is b itself:
+      // the vote enters the max unshifted
+      assert(maxP(s) == math.max(v20(s), cls(s)),
         s"max nomination mismatch for $s")
     }
     // either family alone may carry the nomination

@@ -200,7 +200,7 @@ class TailCampaignSpec extends AnyFunSuite {
     assert(h.measured.nonEmpty)
   }
 
-  test("negative cache: a failed SQL is never re-paid across episodes") {
+  test("negative cache: a genuinely timed-out SQL is never re-paid across episodes") {
     // every episode starts from the same seed query, whose canonical
     // form is therefore the first SQL measured each time; it times out
     // once and the cache must answer for it in later episodes
@@ -212,7 +212,7 @@ class TailCampaignSpec extends AnyFunSuite {
       if (timedOut.isEmpty) timedOut = Some(sql)
       if (timedOut.contains(sql)) {
         callsForSeed += 1
-        throw new RuntimeException("timeout")
+        throw new QueryTimeoutException("timeout after 300s")
       } else trueCost(sql)
     }
     val h = new TailCampaign.Hunter(db, _ => 20.0, measure,
@@ -224,6 +224,115 @@ class TailCampaignSpec extends AnyFunSuite {
       s"the timed-out seed must be paid exactly once, got $callsForSeed")
     assert(h.failed.contains(timedOut.get),
       "the failure must enter the cross-episode negative cache")
+  }
+
+  test("negative cache: transient failures are NOT cached and may be retried") {
+    // the same always-first seed SQL fails once with a NON-timeout error
+    // (lost session); a later episode must be allowed to re-pay it — a
+    // permanent ban for an environment blip would shrink the huntable
+    // space forever. A degenerate rt <= 0 is transient-class too.
+    val seedSql = "SELECT MIN(employees.salary) FROM employees " +
+      "WHERE employees.id > 10"
+    var first: Option[String] = None
+    var callsForSeed = 0
+    val measure: String => Double = sql => {
+      if (first.isEmpty) first = Some(sql)
+      if (first.contains(sql)) {
+        callsForSeed += 1
+        if (callsForSeed == 1) throw new RuntimeException("session lost")
+        else if (callsForSeed == 2) 0.0 // degenerate: also not a ban
+        else trueCost(sql)
+      } else trueCost(sql)
+    }
+    val h = new TailCampaign.Hunter(db, _ => 20.0, measure,
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 5L)
+    h.runOne(maxSteps = 1, seedSql = Some(seedSql))
+    assert(h.failed.isEmpty, "a transient failure must not enter the negative cache")
+    assert(h.transientFailures == 1)
+    assert(!h.measured.contains(first.get),
+      "rt from a failed call must never be recorded")
+    h.runOne(maxSteps = 1, seedSql = Some(seedSql))
+    assert(callsForSeed == 2, "a transient failure must be retryable next episode")
+    assert(h.failed.isEmpty && h.transientFailures == 2)
+    assert(!h.measured.contains(first.get),
+      "a degenerate rt <= 0 must never be recorded either")
+    h.runOne(maxSteps = 1, seedSql = Some(seedSql))
+    assert(callsForSeed == 3 && h.measured.contains(first.get),
+      "the third attempt succeeds and is recorded")
+  }
+
+  test("ε pass-through keeps an always-underestimating screen measurable") {
+    // the SCREEN_AUDIT blind spot: BOTH families predict sub-second for
+    // true-tail queries, so the screen alone rejects 100% of them
+    // unmeasured and no future label can reveal it. The ε pass-through
+    // measures a deterministic fraction of screened-OUT candidates and
+    // reports (estimate, truth) pairs for the loss estimate.
+    val blind: String => Double = _ => 0.5 // always below screenLo = 4
+    val epsPairs = scala.collection.mutable.Buffer.empty[(String, Double, Double)]
+    def hunt(eps: Double) = {
+      val h = new TailCampaign.Hunter(db, blind, trueCost,
+        lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 7L,
+        epsilon = eps,
+        onEpsilon = (sql, est, rt) => epsPairs += ((sql, est, rt)))
+      (0 until 15).foreach(_ => h.runOne(maxSteps = 25))
+      h
+    }
+    val off = hunt(0.0)
+    assert(off.measureCalls == 0 && epsPairs.isEmpty,
+      "with ε = 0 a blind screen measures nothing (the r11 status quo)")
+    val on = hunt(1.0)
+    assert(on.epsMeasured > 0 && on.measureCalls == on.epsMeasured,
+      "every measurement here must be an ε sample — the screen never approves")
+    assert(epsPairs.nonEmpty)
+    epsPairs.foreach { case (sql, est, rt) =>
+      assert(est == 0.5, "the pair must carry the screen's (wrong) estimate")
+      assert(rt == trueCost(sql), "the pair must carry the measured truth")
+      assert(on.measured.get(sql).contains(rt),
+        "an ε-paid label is a real label — it joins the population")
+    }
+    // at most one ε measurement per episode bounds the added wall-clock
+    assert(on.epsMeasured <= 15)
+    // the ε coin is a property of the SQL: the same stream re-run makes
+    // the same choices (kill+resume determinism)
+    val pairsFirst = epsPairs.toList.drop(off.measureCalls.toInt)
+    epsPairs.clear()
+    val again = hunt(1.0)
+    assert(epsPairs.toList == pairsFirst && again.epsMeasured == on.epsMeasured)
+  }
+
+  test("ε pass-through reports a censored timeout as rt = -1 and shares the cap") {
+    val blind: String => Double = _ => 0.5
+    val epsRts = scala.collection.mutable.Buffer.empty[Double]
+    val h = new TailCampaign.Hunter(db, blind,
+      measure = _ => throw new QueryTimeoutException("timeout"),
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 31L,
+      epsilon = 1.0, onEpsilon = (_, _, rt) => epsRts += rt)
+    h.runOne(maxSteps = 25)
+    assert(epsRts.nonEmpty && epsRts.forall(_ == -1.0),
+      "a timed-out ε sample is evidence, censored at the timeout")
+    assert(h.measured.isEmpty && h.failed.nonEmpty)
+  }
+
+  test("seed drift is cached per SQL and recomputed only after invalidation") {
+    val good = "SELECT MIN(ta.x) FROM ta WHERE ta.x > 5"
+    val blind = "SELECT MIN(tb.y) FROM tb WHERE tb.y > 5"
+    val known = Map(good -> 40.0, blind -> 30.0)
+    var surrogateCalls = 0
+    val surrogate: String => Double = sql => {
+      if (known.contains(sql)) surrogateCalls += 1
+      if (sql == blind) 0.5 else 40.0
+    }
+    val h = new TailCampaign.Hunter(db, surrogate, trueCost,
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 29L,
+      known = known, driftWeightedSeeds = true)
+    (0 until 100).foreach { i => h.iterations = i; h.pickSeed }
+    assert(surrogateCalls == 2,
+      s"drift must be one forward pass per pool member, not per pick; got $surrogateCalls")
+    // a surrogate hot-reload invalidates: the next pick re-scores the pool
+    h.invalidateDriftCache()
+    h.pickSeed
+    assert(surrogateCalls == 4,
+      s"invalidation must trigger exactly one re-score per member, got $surrogateCalls")
   }
 
   test("drift-weighted seed selection prefers the surrogate's blind spots") {
