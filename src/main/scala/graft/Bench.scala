@@ -157,7 +157,8 @@ object Bench {
     // max — while the full-fidelity record (full names + per-query
     // spreads) persists in BENCH_LOCAL.json, committed every round.
     val qsShort = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + v }.mkString("{", ",", "}")
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        (math.rint(v * 1000) / 1000).toString }.mkString("{", ",", "}")
     val spreadMax = (math.rint(results.map(_._3).foldLeft(0.0)(math.max)
       * 1000) / 1000).toString
     val totalR = (math.rint(total * 1000) / 1000).toString
