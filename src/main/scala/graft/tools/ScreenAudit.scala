@@ -90,26 +90,56 @@ object ScreenAudit {
     // ε ledger: the forward-looking, screen-independent loss estimate.
     // Each line is est<TAB>rt<TAB>sql for one ε-measured screened-OUT
     // candidate; rt = -1 is a censored timeout (counted as a true-tail
-    // miss — anything past the timeout is certainly >= lo).
-    val epsLines: Seq[(Double, Double)] =
+    // miss — anything past the timeout is certainly >= lo). The
+    // SIDECAR'S OWN band is parsed from its filename
+    // (tail_..._b<lo>_<hi>.cp.eps): each stream screens against
+    // [its lo/2, max(its hi, 280)], so a 150–362 s stream rejecting an
+    // est=64 s candidate is band TARGETING (a 32–256 s stream would
+    // have measured it), not surrogate blindness — the two must not be
+    // summed into one scary rate.
+    val BandRe = """.*_b(\d+(?:\.\d+)?)_(\d+(?:\.\d+)?)\.cp\.eps$""".r
+    val epsLines: Seq[(Double, Double, Double)] = // (est, rt, streamLo)
       Try(Files.list(Paths.get(epsDir)).iterator().asScala
         .filter(_.toString.endsWith(".eps")).toSeq).getOrElse(Nil)
         .flatMap { p =>
+          val streamLo = p.toString match {
+            case BandRe(l, _) => l.toDouble
+            case _            => lo
+          }
           Files.readString(p).split("\n").filter(_.nonEmpty).toSeq.flatMap { l =>
             val f = l.split("\t")
-            Try((f(0).toDouble, f(1).toDouble)).toOption
+            Try((f(0).toDouble, f(1).toDouble, streamLo)).toOption
           }
         }
     if (epsLines.nonEmpty) {
-      val miss = epsLines.count { case (_, rt) => rt < 0 || rt >= lo }
+      val globalFloor = screenLo
+      val misses = epsLines.filter { case (_, rt, slo) => rt < 0 || rt >= slo }
+      val blind = misses.filter { case (est, rt, _) => est < globalFloor && rt >= 0 }
+      val banded = misses.filter { case (est, rt, _) => est >= globalFloor && rt >= 0 }
+      val censored = misses.count(_._2 < 0)
       sb.append("\n## Screen loss on the ε pass-through sample (unbiased, live)\n\n")
       sb.append(s"${epsLines.size} screened-out candidates ε-measured across the ")
-      sb.append(s"stream sidecars in `$epsDir`; $miss had true runtime >= $lo s ")
-      sb.append("(or timed out) — i.e. the screen would have lost them. ")
-      sb.append(f"Estimated per-candidate screen loss: ${
-        100.0 * miss / epsLines.size}%.2f%% of screened-out candidates ")
-      sb.append("are true tail. Unlike the retrospective table above, this row ")
-      sb.append("stays valid as the population becomes screen-conditioned.\n")
+      sb.append(s"stream sidecars in `$epsDir`, each judged against its own ")
+      sb.append(s"stream's band; ${misses.size} were true tail for their stream ")
+      sb.append(f"(${100.0 * misses.size / epsLines.size}%.1f%% of screened-out ")
+      sb.append("candidates). Decomposed:\n\n")
+      sb.append("| ε-sample loss class | n | meaning |\n|---|---|---|\n")
+      sb.append(s"| surrogate blind spot (est < $globalFloor s, true >= stream lo) | ")
+      sb.append(s"${blind.size} | lost to EVERY stream — the failure mode the dual ")
+      sb.append("screen exists to bound |\n")
+      sb.append(s"| band targeting (est >= $globalFloor s) | ${banded.size} | ")
+      sb.append("rejected only by a narrower-band stream; a 32–256 s stream ")
+      sb.append("measures these |\n")
+      sb.append(s"| censored timeouts (rt = -1) | $censored | past the stream's ")
+      sb.append("timeout — certainly tail, already billed minutes |\n")
+      if (blind.nonEmpty) {
+        sb.append("\nWorst blind-spot rows (est s / true s): ")
+        sb.append(blind.sortBy(-_._2).take(5)
+          .map { case (e, r, _) => f"$e%.1f/$r%.1f" }.mkString(", "))
+        sb.append("\n")
+      }
+      sb.append("\nUnlike the retrospective table above, this section stays ")
+      sb.append("valid as the population becomes screen-conditioned.\n")
     }
     Files.writeString(Paths.get(outMd), sb.toString)
     println(s"[screen] v20-alone rejects ${v20Rej.size} (${pct(v20Rej.size)}); " +
