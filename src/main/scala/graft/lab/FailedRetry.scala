@@ -1,0 +1,170 @@
+package graft.lab
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** Re-measure the fleet's timeout-censored candidates at a DEEP-TAIL
+  * measurement budget.
+  *
+  * The run-twice-keep-2nd protocol ([[Executor.time]],
+  * query_executor.py:79-103) runs BOTH executions inside one timeout,
+  * so a stream with a 400 s ceiling can only complete labels whose
+  * two-run total fits — statistically, single-run ≲ timeout/2. Every
+  * SQL in a stream's `.failed` sidecar is therefore a query whose
+  * single-run time is roughly ≥ half that stream's timeout: censored
+  * evidence pointing exactly at reference class 8 (rounded log2 bucket
+  * 8 = 181–362 s), the one bucket whose holdout support still zeroes
+  * its F1. Instead of hunting fresh candidates through paid guided
+  * walks, this tool replays the already-paid-for censored pool at a
+  * timeout wide enough for two runs of a 362 s query (~800 s), ranked
+  * by the served surrogate's estimate (descending — the deeper the
+  * surrogate already thinks, the deeper the truth tends to be, DRIFT.md
+  * saturation notwithstanding).
+  *
+  * Labels land in a [[graft.gen.BalancedCheckpoint]] stamped with the
+  * same `x<factor>_c<cpus>` budget as the streams — same scaled DB,
+  * same local[cpus] session, same protocol — so
+  * [[graft.tools.CheckpointMerge]] folds them into the population
+  * unchanged. Re-censored SQLs (still past the deep budget) go to this
+  * tool's own `.failed` sidecar and are never re-paid, including across
+  * resumes.
+  *
+  * Usage: `FailedRetry [baseSfDir] [factor] [workDir] [name] [timeoutSec]
+  *                     [part] [nParts] [modelJson] [seedCp] [poolDir]`
+  * `part`/`nParts` split the candidate pool across concurrent JVMs by a
+  * stable per-SQL hash, so two retry workers never pay the same query.
+  * `poolDir` (default `workDir`) is where the censored sidecars are
+  * scanned from — the fleet runbook SNAPSHOTS the sidecars there at
+  * launch, because live streams running at the same deep timeout would
+  * otherwise append fresh 800 s-censored SQLs that a retry at 800 s is
+  * guaranteed to re-censor (13 paid minutes to learn nothing). When the
+  * pool is drained a `<checkpoint>.done` marker is written so the
+  * babysitter stops relaunching; refill the pool and delete the marker
+  * to re-arm.
+  */
+object FailedRetry {
+
+  /** splitmix64 of the SQL's string hash — stable across JVMs. */
+  private def sqlHash(sql: String): Long = {
+    var z = sql.hashCode.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseSfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toDouble).getOrElse(160.0)
+    val workDir = args.lift(2).getOrElse("/tmp/graft_band")
+    val name = args.lift(3).getOrElse("a")
+    val timeoutSec = args.lift(4).map(_.toInt).getOrElse(800)
+    val part = args.lift(5).map(_.toInt).getOrElse(0)
+    val nParts = args.lift(6).map(_.toInt).getOrElse(1)
+    val modelJson = args.lift(7).getOrElse("/root/repo/data/band/models/gru4.json")
+    val seedCpPath = args.lift(8)
+      .getOrElse("/root/repo/data/band/campaign_x160_c2.cp")
+    val poolDir = args.lift(9).getOrElse(workDir)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "2")
+    val budget = s"x${factor.toInt}_c$cpus"
+
+    // candidate pool: every stream's negative cache, plus ε sidecar
+    // lines censored at their cap (rt = -1) — both are queries some
+    // stream already paid a full timeout to learn only "too slow there"
+    def streamFiles(suffix: String): Seq[Path] =
+      Try(Files.list(Paths.get(poolDir)).iterator().asScala
+        .filter(_.toString.endsWith(suffix)).toSeq).getOrElse(Nil)
+    val fromFailed = streamFiles(".cp.failed")
+      .filterNot(_.getFileName.toString.startsWith(s"retry_"))
+      .flatMap(p => Files.readString(p).split("\n").filter(_.nonEmpty))
+    val fromEps = streamFiles(".cp.eps").flatMap { p =>
+      Files.readString(p).split("\n").filter(_.nonEmpty).toSeq.flatMap { l =>
+        val f = l.split("\t")
+        if (f.length >= 3 && Try(f(1).toDouble).toOption.contains(-1.0))
+          Some(f.last)
+        else None
+      }
+    }
+    val known: Set[String] =
+      if (!Files.exists(Paths.get(seedCpPath))) Set.empty
+      else graft.gen.BalancedCheckpoint
+        .deserialize(Files.readString(Paths.get(seedCpPath)))
+        .results.iterator.map(_._1).toSet
+
+    val cpPath = Paths.get(
+      s"$workDir/retry_x${factor.toInt}_c${cpus}_$name.cp")
+    val failedPath = Paths.get(cpPath.toString + ".failed")
+    val measured = mutable.LinkedHashMap.empty[String, Double]
+    if (Files.exists(cpPath)) {
+      val cp = graft.gen.BalancedCheckpoint.deserialize(Files.readString(cpPath))
+      require(cp.budget.forall(_ == budget),
+        s"retry checkpoint budget ${cp.budget} does not match $budget")
+      cp.results.foreach { case (sql, rt) => measured.put(sql, rt) }
+    }
+    val ownFailed = mutable.LinkedHashSet.empty[String]
+    if (Files.exists(failedPath))
+      ownFailed ++= Files.readString(failedPath).split("\n").filter(_.nonEmpty)
+
+    val pool = (fromFailed ++ fromEps).distinct
+      .filterNot(known.contains)
+      .filterNot(measured.contains)
+      .filterNot(ownFailed.contains)
+      .filter(sql => math.floorMod(sqlHash(sql), nParts.toLong) == part.toLong)
+    println(s"[retry $name] candidate pool: ${pool.size} " +
+      s"(failed ${fromFailed.distinct.size}, eps-censored ${fromEps.distinct.size}, " +
+      s"part $part/$nParts, already measured ${measured.size}, " +
+      s"already re-censored ${ownFailed.size})")
+
+    val scaledDir = BandCampaign.ensureScaled(baseSfDir, factor, workDir)
+    val spark = BandCampaign.session(cpus)
+    BandCampaign.openScaled(spark, scaledDir)
+    val statsStr = Files.readString(Paths.get(s"$scaledDir/stats.json"))
+    val predictLog2 = graft.estimate.Scoring.maxPredictorFor(
+      Seq(Files.readString(Paths.get(modelJson))), statsStr)
+    val ranked = pool
+      .map(sql => (sql, Try(predictLog2(sql)).getOrElse(Double.NegativeInfinity)))
+      .sortBy(-_._2)
+    val executor = new Executor(spark, timeoutSec = timeoutSec)
+
+    def save(): Unit = {
+      val partn = new graft.gen.Log2Partitioner()
+      val counts = Array.fill(partn.k)(0L)
+      measured.valuesIterator.foreach(rt =>
+        counts(math.min(partn.partition(rt), counts.length - 1)) += 1)
+      Campaign.saveCheckpoint(cpPath, graft.gen.BalancedCheckpoint(
+        seed = 900L + part, iterations = 0, produced = measured.size,
+        counts = counts.toSeq, results = measured.toSeq, lastSql = None,
+        budget = Some(budget)).serialize)
+      if (ownFailed.nonEmpty)
+        Campaign.saveCheckpoint(failedPath,
+          ownFailed.filterNot(_.contains("\n")).mkString("\n"))
+    }
+
+    ranked.zipWithIndex.foreach { case ((sql, estLog2), i) =>
+      save() // incremental: a kill loses at most the in-flight query
+      val est = math.pow(2.0, estLog2)
+      println(f"[retry $name] ${i + 1}/${ranked.size} est=$est%.1f s :: ${sql.take(100)}")
+      Try(executor.time(sql)) match {
+        case scala.util.Success(rt) if rt > 0 =>
+          measured.put(sql, rt)
+          println(f"[retry $name] RECORD rt=$rt%.1f s (${measured.size} total)")
+        case scala.util.Failure(_: QueryTimeoutException) =>
+          ownFailed += sql
+          println(s"[retry $name] still censored at $timeoutSec s")
+        case other =>
+          println(s"[retry $name] transient failure, will retry on resume: $other")
+      }
+    }
+    save()
+    // pool drained: tell the babysitter not to relaunch (delete the
+    // marker after refilling the pool to re-arm)
+    Files.writeString(Paths.get(cpPath.toString + ".done"),
+      s"drained ${ranked.size} candidates; ${measured.size} labels, " +
+        s"${ownFailed.size} re-censored\n")
+    println(s"[retry $name] done: ${measured.size} labels, " +
+      s"${ownFailed.size} re-censored")
+    spark.stop()
+  }
+}

@@ -82,7 +82,8 @@ object TailCampaign {
                      known: Map[String, Double] = Map.empty,
                      driftWeightedSeeds: Boolean = false,
                      epsilon: Double = 0.0,
-                     onEpsilon: (String, Double, Double) => Unit = (_, _, _) => ()) {
+                     onEpsilon: (String, Double, Double) => Unit = (_, _, _) => (),
+                     epsMeasure: Option[String => Double] = None) {
     require(screenLo <= lo && screenHi >= hi,
       s"screen band [$screenLo, $screenHi] must contain target band [$lo, $hi]")
 
@@ -108,6 +109,13 @@ object TailCampaign {
       */
     val failed: mutable.LinkedHashSet[String] =
       mutable.LinkedHashSet.empty[String]
+
+    /** ε draws censored at the CAPPED timeout — kept out of the
+      * permanent `failed` cache (see payMeasure) but remembered for
+      * this run so the deterministic per-SQL ε coin can't re-pay the
+      * same censored candidate every time the generator revisits it.
+      */
+    private val epsCensored = mutable.HashSet.empty[String]
     var iterations = 0
     var screenedOut = 0L // candidates the surrogate rejected — free steps
     var measureCalls = 0L
@@ -165,12 +173,21 @@ object TailCampaign {
       * the QUERY (too slow at this budget) → cached in `failed`
       * forever; any other failure — or a degenerate rt <= 0 — is a
       * fact about the SESSION → counted, steered down, NOT cached.
+      *
+      * ε samples route through `epsMeasure` when provided — the
+      * campaign wires a SHORTER-timeout executor there (~1.2× the
+      * screen ceiling): a censored ε draw only needs to prove the
+      * candidate was past the band, so it should bill the band edge,
+      * not the stream's full deep-tail timeout (the round-12 ledger's
+      * six censored draws each burned up to 400 s to learn only
+      * "past the timeout").
       */
     private def payMeasure(sql: String, epsEst: Option[Double]): Double = {
       preMeasure(sql)
       measureCalls += 1
       episodeMeasures += 1
-      Try(measure(sql)) match {
+      val measureFn = if (epsEst.isDefined) epsMeasure.getOrElse(measure) else measure
+      Try(measureFn(sql)) match {
         case scala.util.Success(rt) if rt > 0 =>
           episodeSuccesses += 1
           measured.put(sql, rt)
@@ -178,10 +195,15 @@ object TailCampaign {
           postRecord(sql, rt)
           rt
         case scala.util.Failure(_: QueryTimeoutException) =>
-          failed += sql
           // a timed-out ε sample is still evidence: truth censored at
           // the timeout, reported as -1 (not in-band for loss purposes
-          // only when the band top is below the timeout)
+          // only when the band top is below the timeout). A CAP-censored
+          // ε draw is NOT added to the permanent negative cache — it
+          // proves rt > ~1.2×screenHi, not that the query would time out
+          // at the stream's full budget, and banning it could block a
+          // future in-band approval after a surrogate refresh.
+          if (epsEst.isEmpty || epsMeasure.isEmpty) failed += sql
+          else epsCensored += sql
           epsEst.foreach { est => epsMeasured += 1; onEpsilon(sql, est, -1.0) }
           screenHi * 2
         case _ =>
@@ -208,7 +230,7 @@ object TailCampaign {
             // (bounds the worst case — a 300 s timeout — to one episode
             // cap slot), and it shares the episode measurement budget.
             if (epsilon > 0 && epsCoin(sql) < epsilon && episodeEps < 1 &&
-                episodeMeasures < episodeCap) {
+                episodeMeasures < episodeCap && !epsCensored.contains(sql)) {
               episodeEps += 1
               epsSelected += 1
               payMeasure(sql, Some(est))
@@ -427,6 +449,18 @@ object TailCampaign {
     // intermediate steps than the default 10
     val timeoutSec = sys.env.get("GRAFT_TAIL_TIMEOUT").map(_.toInt).getOrElse(300)
     val executor = new Executor(spark, timeoutSec = timeoutSec)
+    // ε samples bill a capped timeout: a censored ε draw only needs to
+    // prove the candidate was past the screen ceiling, so it bills
+    // ~1.2× screenHi instead of the stream's full (possibly deep-tail)
+    // timeout. Never RAISED above the stream timeout — ε labels stay
+    // protocol-comparable with the stream's own. The cap is stamped
+    // into each .eps line so the ledger can tell "censored at the band
+    // edge" from "censored at the stream timeout".
+    val screenHiSec = math.max(hi, 280.0)
+    val epsTimeoutSec = math.min(timeoutSec, math.ceil(1.2 * screenHiSec).toInt)
+    val epsExecutor =
+      if (epsTimeoutSec < timeoutSec) new Executor(spark, timeoutSec = epsTimeoutSec)
+      else executor
 
     val known: Map[String, Double] =
       if (seedCpPath.isEmpty || !Files.exists(Paths.get(seedCpPath))) Map.empty
@@ -460,7 +494,7 @@ object TailCampaign {
     val hunter = new Hunter(db,
       surrogateSec = sql => math.pow(2.0, predictLog2(sql)),
       measure = executor.time,
-      lo = lo, hi = hi, screenLo = lo / 2, screenHi = math.max(hi, 280.0),
+      lo = lo, hi = hi, screenLo = lo / 2, screenHi = screenHiSec,
       seed = seed,
       // incremental checkpoint BEFORE each measurement: a kill loses at
       // most the in-flight query, and the saved file is always a
@@ -480,13 +514,18 @@ object TailCampaign {
       // screen's blind spot stays measurable (GRAFT_TAIL_EPS overrides,
       // 0 disables)
       epsilon = sys.env.get("GRAFT_TAIL_EPS").map(_.toDouble).getOrElse(0.02),
+      // line format: est<TAB>rt<TAB>cap=<sec><TAB>sql (the cap field is
+      // self-describing so ScreenAudit keeps parsing legacy 3-field
+      // lines from rounds that predate the cap)
       onEpsilon = (sql, est, rt) => {
-        val line = f"$est%.3f\t$rt%.3f\t${sql.replace("\n", " ")}\n"
+        val line = f"$est%.3f\t$rt%.3f\tcap=$epsTimeoutSec\t${sql.replace("\n", " ")}\n"
         Files.writeString(epsPath, line,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
-        println(f"[tail s$seed] EPS est=$est%.2f s rt=$rt%.2f s :: ${sql.take(90)}")
-      })
+        println(f"[tail s$seed] EPS est=$est%.2f s rt=$rt%.2f s " +
+          f"cap=$epsTimeoutSec s :: ${sql.take(90)}")
+      },
+      epsMeasure = Some(epsExecutor.time))
     hunterRef = hunter
     sys.env.get("GRAFT_TAIL_EPISODE_CAP").map(_.toInt)
       .foreach(hunter.episodeCap = _)

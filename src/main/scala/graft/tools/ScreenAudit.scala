@@ -88,56 +88,82 @@ object ScreenAudit {
     }
 
     // ε ledger: the forward-looking, screen-independent loss estimate.
-    // Each line is est<TAB>rt<TAB>sql for one ε-measured screened-OUT
-    // candidate; rt = -1 is a censored timeout (counted as a true-tail
-    // miss — anything past the timeout is certainly >= lo). The
-    // SIDECAR'S OWN band is parsed from its filename
-    // (tail_..._b<lo>_<hi>.cp.eps): each stream screens against
-    // [its lo/2, max(its hi, 280)], so a 150–362 s stream rejecting an
-    // est=64 s candidate is band TARGETING (a 32–256 s stream would
-    // have measured it), not surrogate blindness — the two must not be
-    // summed into one scary rate.
+    // Each line is est<TAB>rt[<TAB>cap=<sec>]<TAB>sql for one ε-measured
+    // screened-OUT candidate; rt = -1 is a censored timeout (counted as
+    // a true-tail miss — anything past the timeout is certainly >= lo);
+    // the cap field (rounds >= 13) records the ε-measurement timeout so
+    // "censored at the band edge" and "censored at the stream timeout"
+    // stay distinguishable. The SIDECAR'S OWN band is parsed from its
+    // filename (tail_..._b<lo>_<hi>.cp.eps): each stream screens against
+    // [its lo/2, max(its hi, 280)]. Completed misses split THREE ways —
+    // below the fleet-wide floor or above the fleet-wide ceiling is a
+    // GLOBAL loss (no stream would have measured it), while an estimate
+    // some other stream's band contains is band TARGETING (a
+    // differently-banded stream measures these) — an above-ceiling
+    // rejection must not be booked as recoverable (round-12 advice).
     val BandRe = """.*_b(\d+(?:\.\d+)?)_(\d+(?:\.\d+)?)\.cp\.eps$""".r
-    val epsLines: Seq[(Double, Double, Double)] = // (est, rt, streamLo)
+    val CapRe = """cap=(\d+(?:\.\d+)?)""".r
+    var fallbackFiles = 0
+    // (est, rt, streamLo, streamCeil, capSec)
+    val epsLines: Seq[(Double, Double, Double, Double, Option[Double])] =
       Try(Files.list(Paths.get(epsDir)).iterator().asScala
         .filter(_.toString.endsWith(".eps")).toSeq).getOrElse(Nil)
         .flatMap { p =>
-          val streamLo = p.toString match {
-            case BandRe(l, _) => l.toDouble
-            case _            => lo
+          val (streamLo, streamCeil) = p.toString match {
+            case BandRe(l, h) => (l.toDouble, math.max(h.toDouble, 280.0))
+            case _            => fallbackFiles += 1; (lo, screenHi)
           }
           Files.readString(p).split("\n").filter(_.nonEmpty).toSeq.flatMap { l =>
             val f = l.split("\t")
-            Try((f(0).toDouble, f(1).toDouble, streamLo)).toOption
+            val cap = f.lift(2).collect { case CapRe(c) => c.toDouble }
+            Try((f(0).toDouble, f(1).toDouble, streamLo, streamCeil, cap)).toOption
           }
         }
     if (epsLines.nonEmpty) {
-      val globalFloor = screenLo
-      val misses = epsLines.filter { case (_, rt, slo) => rt < 0 || rt >= slo }
-      val blind = misses.filter { case (est, rt, _) => est < globalFloor && rt >= 0 }
-      val banded = misses.filter { case (est, rt, _) => est >= globalFloor && rt >= 0 }
-      val censored = misses.count(_._2 < 0)
+      val globalFloor = epsLines.map(_._3 / 2).min min screenLo
+      val globalCeil = epsLines.map(_._4).max max screenHi
+      val misses = epsLines.filter { case (_, rt, slo, _, _) => rt < 0 || rt >= slo }
+      val done = misses.filter(_._2 >= 0)
+      val blindLow = done.filter(_._1 < globalFloor)
+      val blindHigh = done.filter(_._1 > globalCeil)
+      val banded = done.filter(m => m._1 >= globalFloor && m._1 <= globalCeil)
+      val censored = misses.filter(_._2 < 0)
+      val censorCaps = censored.flatMap(_._5).distinct.sorted
+        .map(c => s"${c.toInt} s")
       sb.append("\n## Screen loss on the ε pass-through sample (unbiased, live)\n\n")
       sb.append(s"${epsLines.size} screened-out candidates ε-measured across the ")
       sb.append(s"stream sidecars in `$epsDir`, each judged against its own ")
       sb.append(s"stream's band; ${misses.size} were true tail for their stream ")
       sb.append(f"(${100.0 * misses.size / epsLines.size}%.1f%% of screened-out ")
-      sb.append("candidates). Decomposed:\n\n")
+      sb.append(s"candidates). Fleet-wide screen envelope: [$globalFloor, ")
+      sb.append(s"$globalCeil] s (min floor / max ceiling over the sidecar ")
+      sb.append("bands). Decomposed:\n\n")
       sb.append("| ε-sample loss class | n | meaning |\n|---|---|---|\n")
-      sb.append(s"| surrogate blind spot (est < $globalFloor s, true >= stream lo) | ")
-      sb.append(s"${blind.size} | lost to EVERY stream — the failure mode the dual ")
+      sb.append(s"| blind spot, floor side (est < $globalFloor s) | ")
+      sb.append(s"${blindLow.size} | lost to EVERY stream — the failure mode the dual ")
       sb.append("screen exists to bound |\n")
-      sb.append(s"| band targeting (est >= $globalFloor s) | ${banded.size} | ")
-      sb.append("rejected only by a narrower-band stream; a 32–256 s stream ")
-      sb.append("measures these |\n")
-      sb.append(s"| censored timeouts (rt = -1) | $censored | past the stream's ")
-      sb.append("timeout — certainly tail, already billed minutes |\n")
-      if (blind.nonEmpty) {
+      sb.append(s"| blind spot, ceiling side (est > $globalCeil s) | ")
+      sb.append(s"${blindHigh.size} | also a GLOBAL loss — no stream's screen ")
+      sb.append("admits an estimate this high |\n")
+      sb.append(s"| band targeting (est within [$globalFloor, $globalCeil] s) | ")
+      sb.append(s"${banded.size} | rejected only by THIS stream's narrower band; a ")
+      sb.append("stream whose band contains the estimate measures these |\n")
+      sb.append(s"| censored timeouts (rt = -1) | ${censored.size} | past the ")
+      sb.append("ε timeout — certainly tail")
+      if (censorCaps.nonEmpty)
+        sb.append(s" (recorded ε caps: ${censorCaps.mkString(", ")})")
+      sb.append(" |\n")
+      if (blindLow.nonEmpty || blindHigh.nonEmpty) {
         sb.append("\nWorst blind-spot rows (est s / true s): ")
-        sb.append(blind.sortBy(-_._2).take(5)
-          .map { case (e, r, _) => f"$e%.1f/$r%.1f" }.mkString(", "))
+        sb.append((blindLow ++ blindHigh).sortBy(-_._2).take(5)
+          .map { case (e, r, _, _, _) => f"$e%.1f/$r%.1f" }.mkString(", "))
         sb.append("\n")
       }
+      if (fallbackFiles > 0)
+        sb.append(s"\nNOTE: $fallbackFiles sidecar file(s) did not match the ")
+          .append("band-naming pattern and were banded with the audit's CLI ")
+          .append("defaults — rename them or re-check the regex if this is ")
+          .append("unexpected.\n")
       sb.append("\nUnlike the retrospective table above, this section stays ")
       sb.append("valid as the population becomes screen-conditioned.\n")
     }

@@ -313,6 +313,58 @@ class TailCampaignSpec extends AnyFunSuite {
     assert(h.measured.isEmpty && h.failed.nonEmpty)
   }
 
+  test("ε samples route through the capped measure; in-band hits use the full budget") {
+    // the surrogate approves some candidates (in-band estimate = truth)
+    // and screens the rest out below the floor — the two measurement
+    // paths must stay separable: full-budget for approved candidates,
+    // capped for ε pass-through draws
+    val surrogate: String => Double = sql => {
+      val t = trueCost(sql)
+      if (t >= 8.0 && t <= 64.0) t else 0.5
+    }
+    val fullCalls = scala.collection.mutable.Buffer.empty[String]
+    val capCalls = scala.collection.mutable.Buffer.empty[String]
+    val h = new TailCampaign.Hunter(db, surrogate,
+      measure = sql => { fullCalls += sql; trueCost(sql) },
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 11L,
+      epsilon = 1.0,
+      epsMeasure = Some(sql => { capCalls += sql; trueCost(sql) }))
+    (0 until 20).foreach(_ => h.runOne(maxSteps = 25))
+    assert(capCalls.nonEmpty, "no ε draw ever used the capped executor")
+    assert(capCalls.forall(sql => surrogate(sql) < 4.0 || surrogate(sql) > 80.0),
+      "a capped ε call must be a screened-OUT candidate")
+    assert(fullCalls.forall(sql => surrogate(sql) >= 4.0 && surrogate(sql) <= 80.0),
+      "a full-budget call must be a surrogate-approved candidate")
+    // a completed ε label is a real label regardless of which executor paid
+    capCalls.foreach(sql => assert(h.measured.get(sql).contains(trueCost(sql))))
+  }
+
+  test("a CAP-censored ε draw is not banned forever, and is not re-paid this run") {
+    // a timeout at the capped ε budget proves rt > cap, NOT that the
+    // query would time out at the stream's full budget — it must stay
+    // out of the permanent negative cache (a surrogate refresh could
+    // later approve it in-band), but the deterministic per-SQL ε coin
+    // must not re-pay the same censored candidate every episode
+    val blind: String => Double = _ => 0.5
+    val capSqls = scala.collection.mutable.Buffer.empty[String]
+    val epsRts = scala.collection.mutable.Buffer.empty[Double]
+    val h = new TailCampaign.Hunter(db, blind,
+      measure = _ => fail("full-budget executor must not fire: screen rejects all"),
+      lo = 8.0, hi = 64.0, screenLo = 4.0, screenHi = 80.0, seed = 31L,
+      epsilon = 1.0, onEpsilon = (_, _, rt) => epsRts += rt,
+      epsMeasure = Some(sql => { capSqls += sql; throw new QueryTimeoutException("cap") }))
+    h.runOne(maxSteps = 25)
+    assert(capSqls.nonEmpty && epsRts.forall(_ == -1.0))
+    assert(h.failed.isEmpty,
+      "a cap-censored ε draw must not enter the permanent negative cache")
+    // replay the SAME episode seed: the generator revisits the same
+    // SQLs; a censored one must never be re-paid
+    h.iterations = 0
+    h.runOne(maxSteps = 25)
+    assert(capSqls.distinct.size == capSqls.size,
+      s"a cap-censored candidate was re-paid on revisit: $capSqls")
+  }
+
   test("seed drift is cached per SQL and recomputed only after invalidation") {
     val good = "SELECT MIN(ta.x) FROM ta WHERE ta.x > 5"
     val blind = "SELECT MIN(tb.y) FROM tb WHERE tb.y > 5"

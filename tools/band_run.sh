@@ -20,9 +20,19 @@ done
 # shuffle files when the driver GC collects the shuffle references
 # (ContextCleaner); at the default 30min interval, a dozen concurrent
 # streams accumulate tens of GB of blockmgr spill and fill the disk.
+# SPARK_GRAFT_LOCAL_DIR: per-stream spill root (mkdir'd here). Keying
+# the blockmgr/temp_shuffle dirs by stream lets the disk guard attribute
+# a runaway spill to its owning JVM instead of guessing via lsof.
+if [ -n "${SPARK_GRAFT_LOCAL_DIR:-}" ]; then
+  mkdir -p "$SPARK_GRAFT_LOCAL_DIR"
+  LOCALDIR_FLAG="-Dspark.local.dir=$SPARK_GRAFT_LOCAL_DIR"
+else
+  LOCALDIR_FLAG=""
+fi
 exec java $OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.cleaner.periodicGC.interval="${SPARK_PERIODIC_GC:-5min}" \
+  $LOCALDIR_FLAG \
   -cp "$CP" "$@"

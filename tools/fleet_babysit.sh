@@ -1,42 +1,99 @@
 #!/bin/bash
-# Keep the round-12 tail-stream fleet at full strength: a stream that
-# dies (heap OOM on a monster query, disk-guard SIGTERM, ENOSPC
-# collateral) is relaunched from its incremental /tmp checkpoint after
-# a short cooldown. Relaunches use 8g for the 32-256 s band (the 7g
-# originals are what OOM'd) and 10g for the wide bands. A stream that
-# exits via the 5-consecutive-all-failure abort is still safe to
-# relaunch: the persistent negative cache keeps it from re-paying the
-# queries that killed it.
+# Round-13 fleet: launcher AND babysitter in one (a babysit pass with
+# nothing running IS the initial launch, so the layout lives in exactly
+# one file). A stream that dies (heap OOM on a monster query, disk-guard
+# SIGTERM, ENOSPC collateral) is relaunched from its incremental /tmp
+# checkpoint; the persistent negative cache keeps a relaunched stream
+# from re-paying the queries that killed it.
+#
+# Layout (125 GB box, ~114 GB Xmx nominal):
+#   s65-s72  32-256 s band, 8g, 300 s timeout (resume r12 checkpoints)
+#   s74-s75  96-280 s band, 10g, 620 s timeout — two runs of a 280 s
+#            query now FIT (run-twice protocol halves the old 300 s
+#            ceiling), opening the 150-280 s label range
+#   s76-s77  150-362 s band, 10g, 800 s timeout — same logic for 362 s
+#   retry_a  FailedRetry over every stream's timeout-censored pool at
+#            800 s, surrogate-ranked — the direct class-8 path
+#   (s73 retired this round; its RAM funds retry_a)
+#
+# Memory gate (round-12 advice): the comment and the threshold agree,
+# and the check runs PER LAUNCH — a mass die-off relaunches at most as
+# many JVMs as current MemAvailable covers, not 13 against one reading.
 set -u
 cd /root/repo
-LOGD=data/r12logs
+LOGD=data/r13logs
 mkdir -p "$LOGD"
-running() { pgrep -f "graft.lab.TailCampaign .* $1 $2 $3\$" > /dev/null; }
-launch() { # seed mem lo hi extra_env...
-  local seed=$1 mem=$2 lo=$3 hi=$4; shift 4
-  env "$@" GRAFT_CLASSES=/tmp/graft_classes_r12 SPARK_DRIVER_MEM="$mem" \
+CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r13}
+
+# launch only into (launch Xmx + 6) GB of available memory
+can_launch() { # mem_gb
+  local avail
+  avail=$(awk '/MemAvailable/ {print int($2/1048576)}' /proc/meminfo)
+  [ "$avail" -ge $(( $1 + 6 )) ] && return 0
+  echo "$(date -Is) skip launch (${1}g needed + 6g headroom, ${avail}g available)" \
+    >> "$LOGD/babysit.log"
+  return 1
+}
+
+stream_running() { # seed lo hi
+  ps -eo args | awk -v s="$1" -v l="$2" -v h="$3" \
+    '/graft\.lab\.TailCampaign/ {
+       for (i = 1; i <= NF; i++)
+         if ($i == "graft.lab.TailCampaign" && $(i+5) == s && $(i+6) == l && $(i+7) == h) found = 1
+     } END { exit !found }'
+}
+
+retry_running() { # name
+  ps -eo args | awk -v n="$1" \
+    '/graft\.lab\.FailedRetry/ {
+       for (i = 1; i <= NF; i++)
+         if ($i == "graft.lab.FailedRetry" && $(i+4) == n) found = 1
+     } END { exit !found }'
+}
+
+launch_stream() { # seed mem_gb lo hi extra_env...
+  local seed=$1 memg=$2 lo=$3 hi=$4; shift 4
+  can_launch "$memg" || return 0
+  env "$@" GRAFT_CLASSES="$CLASSES" SPARK_DRIVER_MEM="${memg}g" \
     SPARK_GRAFT_CPUS=2 SPARK_PERIODIC_GC=2min \
+    SPARK_GRAFT_LOCAL_DIR="/tmp/graft_spill/s$seed" \
     nohup tools/band_run.sh graft.lab.TailCampaign /root/testdata/sf0.1 160 \
       2147483647 /tmp/graft_band "$seed" "$lo" "$hi" \
       >> "$LOGD/tail_s$seed.log" 2>&1 &
-  echo "$(date -Is) relaunched s$seed band [$lo,$hi] mem=$mem pid=$!" \
+  echo "$(date -Is) launched s$seed band [$lo,$hi] mem=${memg}g pid=$!" \
     >> "$LOGD/babysit.log"
 }
+
+launch_retry() { # name mem_gb timeout part nparts
+  local name=$1 memg=$2 to=$3 part=$4 nparts=$5
+  # .done marker = pool drained; refill /tmp/graft_retry_pool and delete
+  # the marker to re-arm
+  [ -f "/tmp/graft_band/retry_x160_c2_$name.cp.done" ] && return 0
+  can_launch "$memg" || return 0
+  env GRAFT_CLASSES="$CLASSES" SPARK_DRIVER_MEM="${memg}g" \
+    SPARK_GRAFT_CPUS=2 SPARK_PERIODIC_GC=2min \
+    SPARK_GRAFT_LOCAL_DIR="/tmp/graft_spill/retry_$name" \
+    nohup tools/band_run.sh graft.lab.FailedRetry /root/testdata/sf0.1 160 \
+      /tmp/graft_band "$name" "$to" "$part" "$nparts" \
+      /root/repo/data/band/models/gru4.json \
+      /root/repo/data/band/campaign_x160_c2.cp /tmp/graft_retry_pool \
+      >> "$LOGD/retry_$name.log" 2>&1 &
+  echo "$(date -Is) launched retry_$name timeout=$to part=$part/$nparts mem=${memg}g pid=$!" \
+    >> "$LOGD/babysit.log"
+}
+
 while true; do
-  # leave headroom: never relaunch into <6 GB available memory
-  avail=$(awk '/MemAvailable/ {print int($2/1048576)}' /proc/meminfo)
-  if [ "$avail" -ge 10 ]; then
-    for s in 65 66 67 68 69 70 71 72 73; do
-      running "$s" 32 256 || launch "$s" 8g 32 256
-    done
-    running 74 96 280 || launch 74 10g 96 280
-    running 75 96 280 || launch 75 10g 96 280
-    running 76 150 362 || launch 76 10g 150 362 \
-      GRAFT_TAIL_TIMEOUT=400 GRAFT_TAIL_EPISODE_CAP=16
-    running 77 150 362 || launch 77 10g 150 362 \
-      GRAFT_TAIL_TIMEOUT=400 GRAFT_TAIL_EPISODE_CAP=16
-  else
-    echo "$(date -Is) skip pass: only ${avail}G available" >> "$LOGD/babysit.log"
-  fi
+  for s in 65 66 67 68 69 70 71 72; do
+    stream_running "$s" 32 256 || launch_stream "$s" 8 32 256
+  done
+  for s in 74 75; do
+    stream_running "$s" 96 280 || launch_stream "$s" 10 96 280 \
+      GRAFT_TAIL_TIMEOUT=620
+  done
+  for s in 76 77; do
+    stream_running "$s" 150 362 || launch_stream "$s" 10 150 362 \
+      GRAFT_TAIL_TIMEOUT=800 GRAFT_TAIL_EPISODE_CAP=16
+  done
+  retry_running a || launch_retry a 10 800 0 1
   sleep 60
 done
