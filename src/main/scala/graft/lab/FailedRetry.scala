@@ -106,16 +106,31 @@ object FailedRetry {
     val ownFailed = mutable.LinkedHashSet.empty[String]
     if (Files.exists(failedPath))
       ownFailed ++= Files.readString(failedPath).split("\n").filter(_.nonEmpty)
+    // poison ledger: per-SQL TRANSIENT failure counts, persisted across
+    // relaunches. A query that OOM-kills the driver looks "transient"
+    // (SparkContext stopped), gets re-ranked to the top on resume, and
+    // crash-loops the retry worker forever; two strikes and it is
+    // skipped like a censored one (unlabelable at this heap budget).
+    val poisonPath = Paths.get(cpPath.toString + ".poison")
+    val poison = mutable.LinkedHashMap.empty[String, Int]
+    if (Files.exists(poisonPath))
+      Files.readString(poisonPath).split("\n").filter(_.nonEmpty).foreach { l =>
+        val Array(n, sql) = l.split("\t", 2)
+        poison.put(sql, n.toInt)
+      }
+    val maxStrikes = 2
 
     val pool = (fromFailed ++ fromEps).distinct
       .filterNot(known.contains)
       .filterNot(measured.contains)
       .filterNot(ownFailed.contains)
+      .filterNot(sql => poison.getOrElse(sql, 0) >= maxStrikes)
       .filter(sql => math.floorMod(sqlHash(sql), nParts.toLong) == part.toLong)
     println(s"[retry $name] candidate pool: ${pool.size} " +
       s"(failed ${fromFailed.distinct.size}, eps-censored ${fromEps.distinct.size}, " +
       s"part $part/$nParts, already measured ${measured.size}, " +
-      s"already re-censored ${ownFailed.size})")
+      s"already re-censored ${ownFailed.size}, poisoned " +
+      s"${poison.count(_._2 >= maxStrikes)})")
 
     val scaledDir = BandCampaign.ensureScaled(baseSfDir, factor, workDir)
     val spark = BandCampaign.session(cpus)
@@ -140,6 +155,10 @@ object FailedRetry {
       if (ownFailed.nonEmpty)
         Campaign.saveCheckpoint(failedPath,
           ownFailed.filterNot(_.contains("\n")).mkString("\n"))
+      if (poison.nonEmpty)
+        Campaign.saveCheckpoint(poisonPath,
+          poison.collect { case (sql, n) if !sql.contains("\n") => s"$n\t$sql" }
+            .mkString("\n"))
     }
 
     ranked.zipWithIndex.foreach { case ((sql, estLog2), i) =>
@@ -154,7 +173,21 @@ object FailedRetry {
           ownFailed += sql
           println(s"[retry $name] still censored at $timeoutSec s")
         case other =>
-          println(s"[retry $name] transient failure, will retry on resume: $other")
+          poison.put(sql, poison.getOrElse(sql, 0) + 1)
+          println(s"[retry $name] transient failure " +
+            s"(strike ${poison(sql)}/$maxStrikes), will retry on resume: $other")
+          // a dead SparkContext (driver-side OOM kills it) makes every
+          // later attempt fail instantly — the first retry JVM churned
+          // through 28 ranked candidates that way. Exit non-zero so the
+          // babysitter relaunches into a fresh session; the incremental
+          // checkpoint + the persisted poison strikes make the resume
+          // lossless AND crash-loop-proof.
+          if (spark.sparkContext.isStopped) {
+            save()
+            Console.err.println(s"[retry $name] ABORT: SparkContext is " +
+              "stopped — measurement session dead, exiting for relaunch")
+            sys.exit(1)
+          }
       }
     }
     save()

@@ -70,10 +70,17 @@ object GruSweep {
     // regenerate in full mode, staying tied to the augmented row that
     // defines them; the tailweight row (same ~60-min cost class) runs
     // in full mode or under its own GRAFT_SWEEP_TAILWEIGHT toggle.
+    // "v20cap" = the v20 refresh PLUS a capacity probe: retrain the
+    // same row at hidden 96 and 128 and report per-bucket held-out
+    // MAE(log2) next to h=48 — the round-12 DRIFT refresh showed v20
+    // recovering only 18% in bucket 7 vs 21-31% mid-band (partial
+    // saturation); this row answers whether capacity, not only data,
+    // binds the deep tail.
     val rowMode = sys.env.getOrElse("GRAFT_SWEEP_ROWS", "full")
     val fast = rowMode == "fast" || rowMode == "core"
     val coreOnly = rowMode == "core"
-    val v20Only = rowMode == "v20"
+    val v20Cap = rowMode == "v20cap"
+    val v20Only = rowMode == "v20" || v20Cap
 
     val Dim = 203
     val seqs = scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
@@ -166,8 +173,63 @@ object GruSweep {
         graft.estimate.Report.ResultRow(sql.take(80), math.max(1.0, rt),
           math.max(1.0, math.pow(2.0, predLog2))) })
     println(s"[v20] refspace report artifact: $outDir/REPORT_v20_refspace.md")
+
+    if (v20Cap) {
+      // capacity probe: identical data, z-stats, seeds, epochs and loss
+      // as the h=48 row above — hidden width is the ONLY variable, so a
+      // bucket-7 gap is attributable to capacity alone
+      def perBucketMae(preds: Seq[Double]): Map[Int, (Int, Double)] =
+        test.zip(preds).groupBy { case ((_, rt), _) =>
+          Estimator.runtimeBucket(rt, 0)
+        }.map { case (b, rows) =>
+          val errs = rows.map { case ((_, rt), p) =>
+            math.abs(p - math.log(rt) / math.log(2)) }
+          b -> (rows.size, errs.sum / errs.size)
+        }
+      val capLines = new StringBuilder
+      capLines.append("# v20 capacity probe — held-out per-bucket MAE(log2)\n\n")
+      capLines.append(s"Checkpoint: `$cpPath` (train ${train.size} / held-out ")
+      capLines.append(s"${test.size}); 3-seed ensembles; identical protocol to ")
+      capLines.append("the serving h=48 row — hidden width is the only variable.\n\n")
+      capLines.append("| hidden | acc | MAE(log2) | " +
+        (0 to 8).map(b => s"b$b MAE (n)").mkString(" | ") + " |\n")
+      capLines.append("|---|---|---|" + (0 to 8).map(_ => "---").mkString("|") + "|\n")
+      def capRow(label: String, preds: Seq[Double]): Unit = {
+        val (acc, mae, _) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
+        val pb = perBucketMae(preds)
+        capLines.append(f"| $label | $acc%.3f | $mae%.3f | " +
+          (0 to 8).map { b =>
+            pb.get(b).map { case (n, m) => f"$m%.3f ($n)" }.getOrElse("—")
+          }.mkString(" | ") + " |\n")
+      }
+      capRow("48 (serving)", avg)
+      for (h <- Seq(96, 128)) {
+        val perSeed = SweepKit.parSeeds(seeds) { seed =>
+          val t0 = System.nanoTime()
+          val fitted = Gru4.fit(v20Train, Gru4.Config(inputDim = Dim, hidden = h,
+            headHidden = 32, lr = 2e-3, epochs = 30, batch = 32, seed = seed))
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (seed == seeds.last)
+            graft.estimate.ModelIo.saveGru4(s"$outDir/models/gru4_h$h.json",
+              fitted, Some((mean, std)))
+          val preds = testTrees.map(fitted.predict)
+          val (acc, mae, f1) = Estimator.evaluate(preds.zip(actuals), minBucket = 0)
+          println(f"[v20cap] h=$h seed=$seed%4d (${sec}%.0f s) " +
+            f"| heldout REF-SPACE: acc=$acc%.3f mae=$mae%.3f f1=$f1%.3f")
+          preds
+        }
+        capRow(s"$h", perSeed.transpose.map(ps => ps.sum / ps.size))
+      }
+      capLines.append("\nServe the wider model (copy `models/gru4_h<h>.json` " +
+        "over `models/gru4.json`) only if it cuts bucket-7 MAE >= 30% vs " +
+        "h=48 — otherwise the deep tail is data-bound, not capacity-bound.\n")
+      Files.writeString(Paths.get(s"$outDir/REPORT_v20_capacity.md"),
+        capLines.toString)
+      println(s"[v20cap] capacity report: $outDir/REPORT_v20_capacity.md")
+    }
+
     if (v20Only) {
-      println("[gru] GRAFT_SWEEP_ROWS=v20: surrogate refresh complete, " +
+      println(s"[gru] GRAFT_SWEEP_ROWS=$rowMode: surrogate refresh complete, " +
         "skipping classifier and reproduction rows")
       return
     }

@@ -23,7 +23,7 @@ set -u
 cd /root/repo
 LOGD=data/r13logs
 mkdir -p "$LOGD"
-CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r13}
+CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r13c}
 
 # launch only into (launch Xmx + 6) GB of available memory
 can_launch() { # mem_gb
@@ -83,7 +83,9 @@ launch_retry() { # name mem_gb timeout part nparts
 }
 
 while true; do
-  for s in 65 66 67 68 69 70 71 72; do
+  # s78/s79: fresh seeds added ~50 min in — the 6.2 records/min fleet
+  # pace was set to miss the n≈15.7k re-score checkpoint by ~300
+  for s in 65 66 67 68 69 70 71 72 73 78 79; do
     stream_running "$s" 32 256 || launch_stream "$s" 8 32 256
   done
   for s in 74 75; do
@@ -94,6 +96,8 @@ while true; do
     stream_running "$s" 150 362 || launch_stream "$s" 10 150 362 \
       GRAFT_TAIL_TIMEOUT=800 GRAFT_TAIL_EPISODE_CAP=16
   done
-  retry_running a || launch_retry a 10 800 0 1
+  # 12g: the retry pool is ALL monster queries — the first 10g JVM lost
+  # its SparkContext to a driver-side OOM five attempts in
+  retry_running a || launch_retry a 12 800 0 1
   sleep 60
 done

@@ -1,0 +1,29 @@
+#!/bin/bash
+# Fold the live tail-stream + retry checkpoints into the committed
+# population and preserve the ε ledger. Safe to run while the fleet is
+# hot: every stream checkpoints ATOMICALLY (Campaign.saveCheckpoint's
+# rename) before each measurement, so readers always see a complete
+# file; CheckpointMerge keeps the first occurrence of a duplicate SQL.
+#
+# Also copies every .eps sidecar into data/band/eps/ (round-12 verdict:
+# the unbiased screen-loss ledger must survive reboots and accumulate
+# across rounds — the sidecars are append-only, so a plain overwrite
+# copy is a superset of the committed state).
+#
+# Usage: merge_band.sh  (then inspect `git diff --stat data/band` and commit)
+set -eu
+cd /root/repo
+OUT=data/band/campaign_x160_c2.cp
+CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r13c}
+inputs=("$OUT")
+for f in /tmp/graft_band/tail_*.cp /tmp/graft_band/retry_*.cp; do
+  [ -e "$f" ] && inputs+=("$f")
+done
+echo "merging ${#inputs[@]} checkpoints into $OUT"
+java -cp "$CLASSES:/opt/spark/jars/*" graft.tools.CheckpointMerge \
+  /tmp/merged_band.cp "${inputs[@]}"
+mv /tmp/merged_band.cp "$OUT"
+mkdir -p data/band/eps
+cp /tmp/graft_band/*.cp.eps data/band/eps/ 2>/dev/null || true
+head -1 "$OUT"
+echo "eps ledger: $(cat data/band/eps/*.eps 2>/dev/null | wc -l) lines committed-side"
