@@ -46,7 +46,12 @@ while true; do
           | sort -rn | head -1)
     sz=$(echo "$big" | awk '{print $1}')
     dir=$(echo "$big" | awk '{print $2}')
-    if [ -n "$dir" ] && [ "${sz:-0}" -gt $((15 * 1024 * 1024 * 1024)) ]; then
+    # normally only a >15 GB runaway justifies killing a stream, but at
+    # >=90% use the SUM of mid-size spills is the danger (observed: 94%
+    # with the largest dir at 14 GB) — act on the largest regardless
+    floor=$((15 * 1024 * 1024 * 1024))
+    [ "$use" -ge 90 ] && floor=$((2 * 1024 * 1024 * 1024))
+    if [ -n "$dir" ] && [ "${sz:-0}" -gt "$floor" ]; then
       echo "$(date -Is) use=${use}% dir=$dir size=$sz" >> "$LOG"
       case "$dir" in
         "$SPILL_ROOT"/*)

@@ -85,7 +85,7 @@ launch_retry() { # name mem_gb timeout part nparts
 while true; do
   # s78/s79: fresh seeds added ~50 min in — the 6.2 records/min fleet
   # pace was set to miss the n≈15.7k re-score checkpoint by ~300
-  for s in 65 66 67 68 69 70 71 72 73 78 79; do
+  for s in 65 66 69 70 71 72 73; do
     stream_running "$s" 32 256 || launch_stream "$s" 8 32 256
   done
   for s in 74 75; do
