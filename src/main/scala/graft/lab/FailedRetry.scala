@@ -138,9 +138,22 @@ object FailedRetry {
     val statsStr = Files.readString(Paths.get(s"$scaledDir/stats.json"))
     val predictLog2 = graft.estimate.Scoring.maxPredictorFor(
       Seq(Files.readString(Paths.get(modelJson))), statsStr)
-    val ranked = pool
+    // Rank order is a knob: descending (default) drains a pool whose
+    // members are mostly completable at this timeout — pay the biggest
+    // first while the surrogate is freshest. Ascending
+    // (GRAFT_RETRY_RANK=asc) suits a DEEP pool retried at a much larger
+    // timeout, where the largest estimates will censor again and burn
+    // the full budget each — smallest-first mints the completable
+    // labels before the monsters eat the round's wall-clock.
+    val ascending = sys.env.get("GRAFT_RETRY_RANK").contains("asc")
+    val ranked0 = pool
       .map(sql => (sql, Try(predictLog2(sql)).getOrElse(Double.NegativeInfinity)))
       .sortBy(-_._2)
+    val ranked = if (!ascending) ranked0 else {
+      // unencodable candidates (est = -inf) stay LAST either way
+      val (unencodable, scored) = ranked0.reverse.partition(_._2.isNegInfinity)
+      scored ++ unencodable
+    }
     val executor = new Executor(spark, timeoutSec = timeoutSec)
 
     def save(): Unit = {
@@ -155,25 +168,48 @@ object FailedRetry {
       if (ownFailed.nonEmpty)
         Campaign.saveCheckpoint(failedPath,
           ownFailed.filterNot(_.contains("\n")).mkString("\n"))
-      if (poison.nonEmpty)
-        Campaign.saveCheckpoint(poisonPath,
-          poison.collect { case (sql, n) if !sql.contains("\n") => s"$n\t$sql" }
-            .mkString("\n"))
+      savePoison()
     }
+
+    // The poison ledger is persisted on its own, immediately, at every
+    // strike transition — not just at the next iteration's save(). The
+    // retry candidates are exactly the monster spillers, so the most
+    // likely failure is one that leaves NO chance to run code (kernel
+    // OOM SIGKILL, disk_guard SIGTERM->SIGKILL on the spill root); a
+    // strike that only reaches disk on the next loop iteration is a
+    // strike lost to every such kill, and the two-strike cap never
+    // engages (round-13 advice).
+    def savePoison(): Unit =
+      Campaign.saveCheckpoint(poisonPath,
+        poison.collect { case (sql, n) if !sql.contains("\n") => s"$n\t$sql" }
+          .mkString("\n"))
 
     ranked.zipWithIndex.foreach { case ((sql, estLog2), i) =>
       save() // incremental: a kill loses at most the in-flight query
       val est = math.pow(2.0, estLog2)
       println(f"[retry $name] ${i + 1}/${ranked.size} est=$est%.1f s :: ${sql.take(100)}")
+      // provisional strike, persisted BEFORE dispatch: if an external
+      // kill lands mid-query, the strike is already on disk and counts;
+      // a normal outcome (label or clean timeout) withdraws it below.
+      poison.put(sql, poison.getOrElse(sql, 0) + 1)
+      savePoison()
+      def withdrawProvisional(): Unit = {
+        if (poison.getOrElse(sql, 0) <= 1) poison.remove(sql)
+        else poison.put(sql, poison(sql) - 1)
+        savePoison()
+      }
       Try(executor.time(sql)) match {
         case scala.util.Success(rt) if rt > 0 =>
+          withdrawProvisional()
           measured.put(sql, rt)
           println(f"[retry $name] RECORD rt=$rt%.1f s (${measured.size} total)")
         case scala.util.Failure(_: QueryTimeoutException) =>
+          withdrawProvisional()
           ownFailed += sql
           println(s"[retry $name] still censored at $timeoutSec s")
         case other =>
-          poison.put(sql, poison.getOrElse(sql, 0) + 1)
+          // the provisional strike IS the transient strike — already
+          // persisted above, nothing further to increment
           println(s"[retry $name] transient failure " +
             s"(strike ${poison(sql)}/$maxStrikes), will retry on resume: $other")
           // a dead SparkContext (driver-side OOM kills it) makes every

@@ -198,10 +198,13 @@ object TailCampaign {
           // a timed-out ε sample is still evidence: truth censored at
           // the timeout, reported as -1 (not in-band for loss purposes
           // only when the band top is below the timeout). A CAP-censored
-          // ε draw is NOT added to the permanent negative cache — it
-          // proves rt > ~1.2×screenHi, not that the query would time out
-          // at the stream's full budget, and banning it could block a
-          // future in-band approval after a surrogate refresh.
+          // ε draw is NOT added to the permanent negative cache — and
+          // note the bound it proves is weaker than the cap itself:
+          // Executor.time runs BOTH executions of the run-twice-keep-2nd
+          // protocol inside one timeout, so censoring at cap only proves
+          // single-run rt ≳ cap/2 ≈ 0.6×screenHi, not that the query
+          // would time out at the stream's full budget; banning it could
+          // block a future in-band approval after a surrogate refresh.
           if (epsEst.isEmpty || epsMeasure.isEmpty) failed += sql
           else epsCensored += sql
           epsEst.foreach { est => epsMeasured += 1; onEpsilon(sql, est, -1.0) }
@@ -525,7 +528,16 @@ object TailCampaign {
         println(f"[tail s$seed] EPS est=$est%.2f s rt=$rt%.2f s " +
           f"cap=$epsTimeoutSec s :: ${sql.take(90)}")
       },
-      epsMeasure = Some(epsExecutor.time))
+      // wire the capped executor ONLY when a real cap applies
+      // (epsTimeoutSec < timeoutSec). In the no-cap case (32-256 s
+      // band: min(300, ceil(1.2*280)) = 300) an ε draw censors at the
+      // FULL stream budget — exactly the case the permanent negative
+      // cache exists for — so payMeasure must fall back to `measure`
+      // and the old failed-cache routing, not park the candidate in the
+      // JVM-lifetime epsCensored set where every babysitter relaunch
+      // re-pays it (round-13 advice).
+      epsMeasure =
+        if (epsTimeoutSec < timeoutSec) Some(epsExecutor.time) else None)
     hunterRef = hunter
     sys.env.get("GRAFT_TAIL_EPISODE_CAP").map(_.toInt)
       .foreach(hunter.episodeCap = _)

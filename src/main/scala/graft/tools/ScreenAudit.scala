@@ -122,7 +122,22 @@ object ScreenAudit {
     if (epsLines.nonEmpty) {
       val globalFloor = epsLines.map(_._3 / 2).min min screenLo
       val globalCeil = epsLines.map(_._4).max max screenHi
-      val misses = epsLines.filter { case (_, rt, slo, _, _) => rt < 0 || rt >= slo }
+      // A censored draw (rt = -1) proves single-run rt ≳ cap/2, NOT
+      // rt >= cap: Executor.time runs both executions of the
+      // run-twice-keep-2nd protocol inside one timeout (round-13
+      // advice). So a censored row is CERTAINLY tail for its stream
+      // only when streamLo <= cap/2; otherwise it sits in [cap/2, lo)
+      // ∪ [lo, ∞) and is booked separately as ambiguous. Legacy lines
+      // without a cap field censored at the full stream timeout — the
+      // pre-cap streams all had lo <= timeout/2 (96 <= 150, 150 <= 400),
+      // so they keep the certainly-tail booking.
+      val isCertainTail: ((Double, Double, Double, Double, Option[Double])) => Boolean = {
+        case (_, rt, slo, _, cap) => rt < 0 && cap.forall(c => slo <= c / 2)
+      }
+      val censoredAmbiguous = epsLines.filter { l => l._2 < 0 && !isCertainTail(l) }
+      val misses = epsLines.filter { case l @ (_, rt, slo, _, _) =>
+        (rt < 0 && isCertainTail(l)) || (rt >= 0 && rt >= slo)
+      }
       val done = misses.filter(_._2 >= 0)
       val blindLow = done.filter(_._1 < globalFloor)
       val blindHigh = done.filter(_._1 > globalCeil)
@@ -149,10 +164,15 @@ object ScreenAudit {
       sb.append(s"${banded.size} | rejected only by THIS stream's narrower band; a ")
       sb.append("stream whose band contains the estimate measures these |\n")
       sb.append(s"| censored timeouts (rt = -1) | ${censored.size} | past the ")
-      sb.append("ε timeout — certainly tail")
+      sb.append("ε timeout — certainly tail (single-run ≳ cap/2 ≥ stream lo)")
       if (censorCaps.nonEmpty)
         sb.append(s" (recorded ε caps: ${censorCaps.mkString(", ")})")
       sb.append(" |\n")
+      if (censoredAmbiguous.nonEmpty) {
+        sb.append(s"| censored, ambiguous (stream lo > cap/2) | ")
+        sb.append(s"${censoredAmbiguous.size} | single-run only proven ≳ cap/2, ")
+        sb.append("which is BELOW the stream floor — may or may not be tail |\n")
+      }
       if (blindLow.nonEmpty || blindHigh.nonEmpty) {
         sb.append("\nWorst blind-spot rows (est s / true s): ")
         sb.append((blindLow ++ blindHigh).sortBy(-_._2).take(5)

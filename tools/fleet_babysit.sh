@@ -1,29 +1,43 @@
 #!/bin/bash
-# Round-13 fleet: launcher AND babysitter in one (a babysit pass with
+# Round-14 fleet: launcher AND babysitter in one (a babysit pass with
 # nothing running IS the initial launch, so the layout lives in exactly
-# one file). A stream that dies (heap OOM on a monster query, disk-guard
-# SIGTERM, ENOSPC collateral) is relaunched from its incremental /tmp
-# checkpoint; the persistent negative cache keeps a relaunched stream
-# from re-paying the queries that killed it.
+# one file — round-13 advice: the seed list below IS the layout; keep
+# this header and the loop in sync when editing either). A stream that
+# dies (heap OOM on a monster query, disk-guard SIGTERM, ENOSPC
+# collateral) is relaunched from its incremental /tmp checkpoint; the
+# persistent negative cache keeps a relaunched stream from re-paying
+# the queries that killed it.
 #
-# Layout (125 GB box, ~114 GB Xmx nominal):
-#   s65-s72  32-256 s band, 8g, 300 s timeout (resume r12 checkpoints)
-#   s74-s75  96-280 s band, 10g, 620 s timeout — two runs of a 280 s
-#            query now FIT (run-twice protocol halves the old 300 s
-#            ceiling), opening the 150-280 s label range
-#   s76-s77  150-362 s band, 10g, 800 s timeout — same logic for 362 s
-#   retry_a  FailedRetry over every stream's timeout-censored pool at
-#            800 s, surrogate-ranked — the direct class-8 path
-#   (s73 retired this round; its RAM funds retry_a)
+# Layout (125 GB box, ~134 GB Xmx nominal — the per-launch memory gate
+# staggers real usage; RSS runs well under Xmx):
+#   s65-s72  32-256 s band, 8g, 300 s timeout (resume r13 checkpoints).
+#            s70 runs GRAFT_TAIL_EPS=0.08 (4x the default 2%%) — the
+#            round-13 verdict's floor-side ε knob: keep the global
+#            floor region sampled so the blind-spot rate stays
+#            measurable as the ledger grows.
+#   s74-s75  96-280 s band, 10g, 620 s timeout (resume)
+#   s76-s77  150-362 s band, 10g, 800 s timeout (resume)
+#   s80-s81  362-724 s band, 12g, 1500 s timeout — NEW: reference
+#            class 9 (362-724 s rounded). Protocol-identical
+#            run-twice-keep-2nd; 1500 s admits labels to ~724 s
+#            single-run. FRESH seeds (no prior checkpoints).
+#   retry_a  FailedRetry over the streams' timeout-censored pool at
+#            800 s (pool snapshot: /tmp/graft_retry_pool) — class 8
+#   retry_b  FailedRetry at 1500 s over the DEEP-censored pool
+#            (/tmp/graft_retry_pool_b: s74-s77 .cp.failed + retry_a's
+#            re-censored list) — already-paid class-9 candidates,
+#            single-run >~ 310-400 s proven
+#   (s73 retired r13, funds retry_a; s78/s79 retired r14, fund
+#    s80/s81 — their small checkpoints were merged and stay merged)
 #
 # Memory gate (round-12 advice): the comment and the threshold agree,
 # and the check runs PER LAUNCH — a mass die-off relaunches at most as
-# many JVMs as current MemAvailable covers, not 13 against one reading.
+# many JVMs as current MemAvailable covers, not 16 against one reading.
 set -u
 cd /root/repo
-LOGD=data/r13logs
+LOGD=data/r14logs
 mkdir -p "$LOGD"
-CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r13c}
+CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r14}
 
 # launch only into (launch Xmx + 6) GB of available memory
 can_launch() { # mem_gb
@@ -64,30 +78,36 @@ launch_stream() { # seed mem_gb lo hi extra_env...
     >> "$LOGD/babysit.log"
 }
 
-launch_retry() { # name mem_gb timeout part nparts
-  local name=$1 memg=$2 to=$3 part=$4 nparts=$5
-  # .done marker = pool drained; refill /tmp/graft_retry_pool and delete
-  # the marker to re-arm
+launch_retry() { # name mem_gb timeout part nparts pooldir
+  local name=$1 memg=$2 to=$3 part=$4 nparts=$5 pooldir=$6
+  # .done marker = pool drained; refill the pool dir and delete the
+  # marker to re-arm
   [ -f "/tmp/graft_band/retry_x160_c2_$name.cp.done" ] && return 0
   can_launch "$memg" || return 0
+  # retry_b drains a deep pool at a much larger timeout than censored
+  # it — smallest-estimate-first mints completable class-9 labels
+  # before the true monsters burn 1500 s each
+  local rank=desc
+  [ "$name" = b ] && rank=asc
   env GRAFT_CLASSES="$CLASSES" SPARK_DRIVER_MEM="${memg}g" \
+    GRAFT_RETRY_RANK="$rank" \
     SPARK_GRAFT_CPUS=2 SPARK_PERIODIC_GC=2min \
     SPARK_GRAFT_LOCAL_DIR="/tmp/graft_spill/retry_$name" \
     nohup tools/band_run.sh graft.lab.FailedRetry /root/testdata/sf0.1 160 \
       /tmp/graft_band "$name" "$to" "$part" "$nparts" \
       /root/repo/data/band/models/gru4.json \
-      /root/repo/data/band/campaign_x160_c2.cp /tmp/graft_retry_pool \
+      /root/repo/data/band/campaign_x160_c2.cp "$pooldir" \
       >> "$LOGD/retry_$name.log" 2>&1 &
   echo "$(date -Is) launched retry_$name timeout=$to part=$part/$nparts mem=${memg}g pid=$!" \
     >> "$LOGD/babysit.log"
 }
 
 while true; do
-  # s78/s79: fresh seeds added ~50 min in — the 6.2 records/min fleet
-  # pace was set to miss the n≈15.7k re-score checkpoint by ~300
-  for s in 65 66 69 70 71 72 73; do
+  for s in 65 66 67 68 69 71 72; do
     stream_running "$s" 32 256 || launch_stream "$s" 8 32 256
   done
+  # s70: the ε floor-sampling stream (see header)
+  stream_running 70 32 256 || launch_stream 70 8 32 256 GRAFT_TAIL_EPS=0.08
   for s in 74 75; do
     stream_running "$s" 96 280 || launch_stream "$s" 10 96 280 \
       GRAFT_TAIL_TIMEOUT=620
@@ -96,8 +116,14 @@ while true; do
     stream_running "$s" 150 362 || launch_stream "$s" 10 150 362 \
       GRAFT_TAIL_TIMEOUT=800 GRAFT_TAIL_EPISODE_CAP=16
   done
+  for s in 80 81; do
+    stream_running "$s" 362 724 || launch_stream "$s" 12 362 724 \
+      GRAFT_TAIL_TIMEOUT=1500 GRAFT_TAIL_EPISODE_CAP=16
+  done
   # 12g: the retry pool is ALL monster queries — the first 10g JVM lost
-  # its SparkContext to a driver-side OOM five attempts in
-  retry_running a || launch_retry a 12 800 0 1
+  # its SparkContext to a driver-side OOM five attempts in (r13)
+  retry_running a || launch_retry a 12 800 0 1 /tmp/graft_retry_pool
+  # 14g: the deep pool is the worst of the worst (800 s-censored)
+  retry_running b || launch_retry b 14 1500 0 1 /tmp/graft_retry_pool_b
   sleep 60
 done

@@ -5,16 +5,19 @@
 # rename) before each measurement, so readers always see a complete
 # file; CheckpointMerge keeps the first occurrence of a duplicate SQL.
 #
-# Also copies every .eps sidecar into data/band/eps/ (round-12 verdict:
+# Also folds every .eps sidecar into data/band/eps/ (round-12 verdict:
 # the unbiased screen-loss ledger must survive reboots and accumulate
-# across rounds — the sidecars are append-only, so a plain overwrite
-# copy is a superset of the committed state).
+# across rounds). Sidecars are append-only only WITHIN one /tmp
+# lifetime — seeds and band filenames recur across rounds, so after a
+# reboot a resumed stream recreates the same-named sidecar empty and an
+# overwrite copy would truncate the committed ledger (round-13 advice).
+# Hence append-merge: union of committed + /tmp lines, per file.
 #
 # Usage: merge_band.sh  (then inspect `git diff --stat data/band` and commit)
 set -eu
 cd /root/repo
 OUT=data/band/campaign_x160_c2.cp
-CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r13c}
+CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r14}
 inputs=("$OUT")
 for f in /tmp/graft_band/tail_*.cp /tmp/graft_band/retry_*.cp; do
   [ -e "$f" ] && inputs+=("$f")
@@ -24,6 +27,16 @@ java -cp "$CLASSES:/opt/spark/jars/*" graft.tools.CheckpointMerge \
   /tmp/merged_band.cp "${inputs[@]}"
 mv /tmp/merged_band.cp "$OUT"
 mkdir -p data/band/eps
-cp /tmp/graft_band/*.cp.eps data/band/eps/ 2>/dev/null || true
+for f in /tmp/graft_band/*.cp.eps; do
+  [ -e "$f" ] || continue
+  dst="data/band/eps/$(basename "$f")"
+  if [ -e "$dst" ]; then
+    # union, order-insensitive dedup; atomic replace so a concurrent
+    # reader never sees a partial ledger
+    sort -u "$dst" "$f" > "$dst.tmp" && mv "$dst.tmp" "$dst"
+  else
+    cp "$f" "$dst"
+  fi
+done
 head -1 "$OUT"
 echo "eps ledger: $(cat data/band/eps/*.eps 2>/dev/null | wc -l) lines committed-side"
