@@ -369,6 +369,22 @@ object TailCampaign {
     }
   }
 
+  /** The ε-measurement cap, or None when no REAL cap applies.
+    *
+    * Some(c) with c = min over the stream timeout of ~1.2× the screen
+    * ceiling — an ε draw only needs to prove the candidate is past the
+    * screen, so it bills the band edge, not the deep-tail budget.
+    * None when that formula lands on the stream timeout itself
+    * (32-256 s band: min(300, ceil(1.2*280)=336) = 300): a draw
+    * censored there carries FULL-budget evidence and must take the old
+    * permanent-negative-cache route, not the JVM-lifetime epsCensored
+    * set that a babysitter relaunch forgets (round-13 advice).
+    */
+  def epsCap(timeoutSec: Int, screenHiSec: Double): Option[Int] = {
+    val c = math.min(timeoutSec, math.ceil(1.2 * screenHiSec).toInt)
+    if (c < timeoutSec) Some(c) else None
+  }
+
   def main(args: Array[String]): Unit = {
     val baseSfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toDouble).getOrElse(160.0)
@@ -460,10 +476,10 @@ object TailCampaign {
     // into each .eps line so the ledger can tell "censored at the band
     // edge" from "censored at the stream timeout".
     val screenHiSec = math.max(hi, 280.0)
-    val epsTimeoutSec = math.min(timeoutSec, math.ceil(1.2 * screenHiSec).toInt)
+    val epsCapSec = epsCap(timeoutSec, screenHiSec)
+    val epsTimeoutSec = epsCapSec.getOrElse(timeoutSec)
     val epsExecutor =
-      if (epsTimeoutSec < timeoutSec) new Executor(spark, timeoutSec = epsTimeoutSec)
-      else executor
+      epsCapSec.map(c => new Executor(spark, timeoutSec = c)).getOrElse(executor)
 
     val known: Map[String, Double] =
       if (seedCpPath.isEmpty || !Files.exists(Paths.get(seedCpPath))) Map.empty
@@ -536,8 +552,7 @@ object TailCampaign {
       // and the old failed-cache routing, not park the candidate in the
       // JVM-lifetime epsCensored set where every babysitter relaunch
       // re-pays it (round-13 advice).
-      epsMeasure =
-        if (epsTimeoutSec < timeoutSec) Some(epsExecutor.time) else None)
+      epsMeasure = epsCapSec.map(_ => epsExecutor.time))
     hunterRef = hunter
     sys.env.get("GRAFT_TAIL_EPISODE_CAP").map(_.toInt)
       .foreach(hunter.episodeCap = _)

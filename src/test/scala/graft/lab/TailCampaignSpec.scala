@@ -412,4 +412,17 @@ class TailCampaignSpec extends AnyFunSuite {
     assert(uniformBlind > 0.3 && uniformBlind < 0.7,
       f"uniform picks should split the 2-seed pool evenly, got $uniformBlind%.2f")
   }
+
+  test("ε cap wiring: a cap exists only when it is strictly below the stream timeout") {
+    // 32-256 s band: formula lands ON the stream timeout — no real cap,
+    // so censored ε draws must keep the permanent negative-cache route
+    assert(TailCampaign.epsCap(300, 280.0).isEmpty)
+    // deep bands: a real cap, billed at ~1.2× the screen ceiling
+    assert(TailCampaign.epsCap(620, 280.0).contains(336))
+    assert(TailCampaign.epsCap(800, 362.0).contains(435))
+    assert(TailCampaign.epsCap(1500, 724.0).contains(869))
+    // a cap is never RAISED above the stream timeout (protocol
+    // comparability): formula above the budget ⇒ no cap, same route
+    assert(TailCampaign.epsCap(300, 362.0).isEmpty)
+  }
 }
