@@ -119,7 +119,7 @@ object GruSweep {
     // family, over that family's held-out log2 predictions
     def report(family: String, what: String, predsLog2: Seq[Double]): Unit = {
       graft.estimate.Report.write(s"$outDir/REPORT_$family.md",
-        s"$what — held-out (${test.size} queries)",
+        s"$what — held-out (${test.size} queries; campaign checkpoint n=${usable.size})",
         test.zip(predsLog2).map { case ((sql, rt), predLog2) =>
           graft.estimate.Report.ResultRow(sql.take(80), rt, math.pow(2.0, predLog2)) })
       println(s"[$family] report artifact: $outDir/REPORT_$family.md")
@@ -168,6 +168,7 @@ object GruSweep {
     // REF-SPACE metrics (Estimator.evaluate minBucket = 0)
     graft.estimate.Report.write(s"$outDir/REPORT_v20_refspace.md",
       s"v20 4-traversal GRU ensemble — held-out (${test.size} queries; " +
+        s"campaign checkpoint n=${usable.size}; " +
         "reference bucket space, <=1 s -> bucket 0 on both sides)",
       test.zip(avg).map { case ((sql, rt), predLog2) =>
         graft.estimate.Report.ResultRow(sql.take(80), math.max(1.0, rt),
@@ -444,7 +445,8 @@ object GruSweep {
         val voted = SweepKit.vote(perSeed)
         graft.estimate.Report.write(s"$outDir/REPORT_gru.md",
           s"GRU bucket classifier, augmented train, ${clsSeeds.size}-seed vote — held-out " +
-            s"(${test.size} queries; reference bucket space, <=1 s -> bucket 0)",
+            s"(${test.size} queries; campaign checkpoint n=${usable.size}; " +
+            "reference bucket space, <=1 s -> bucket 0)",
           test.zip(voted).map { case ((sql, rt), predLog2) =>
             graft.estimate.Report.ResultRow(sql.take(80),
               math.max(1.0, rt), math.pow(2.0, predLog2)) })
@@ -495,6 +497,7 @@ object GruSweep {
     graft.estimate.Report.write(s"$outDir/REPORT_tailweight.md",
       s"GRU bucket classifier, per-bucket-augmented train + class-weighted " +
         s"loss, ${clsSeeds.size}-seed vote — held-out (${test.size} queries; " +
+        s"campaign checkpoint n=${usable.size}; " +
         "reference bucket space, <=1 s -> bucket 0)",
       test.zip(twVoted).map { case ((sql, rt), predLog2) =>
         graft.estimate.Report.ResultRow(sql.take(80),

@@ -26,7 +26,10 @@ script_pids() { # basename
 }
 
 note "drain: stopping babysitter + disk guard"
-for s in fleet_babysit.sh disk_guard.sh; do
+# babysit_*.sh also catches renamed one-off variants (e.g. a
+# sweep-window copy under /tmp) — anything left alive here would
+# relaunch the fleet right after the drain
+for s in fleet_babysit.sh babysit_sweepwindow.sh disk_guard.sh; do
   for p in $(script_pids "$s"); do kill "$p" 2>/dev/null && note "  killed $s pid $p"; done
 done
 
