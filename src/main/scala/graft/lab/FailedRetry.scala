@@ -76,8 +76,24 @@ object FailedRetry {
     def streamFiles(suffix: String): Seq[Path] =
       Try(Files.list(Paths.get(poolDir)).iterator().asScala
         .filter(_.toString.endsWith(suffix)).toSeq).getOrElse(Nil)
+    // Skip rules (round-14 advice): when scanning the LIVE workDir,
+    // every retry_* sidecar is excluded — a worker must not re-ingest
+    // its own (or a sibling's) re-censored list at the same timeout
+    // that just censored it. When the pool is a SNAPSHOT dir
+    // (poolDir != workDir) the runbook curates it deliberately — e.g.
+    // retry_a's re-censored list legitimately feeds retry_b's deep
+    // pool — so only this worker's OWN sidecar is excluded. Every skip
+    // is printed, so a mis-snapshotted pool is visible instead of
+    // silently smaller.
+    val ownSidecar = s"retry_x${factor.toInt}_c${cpus}_$name.cp.failed"
     val fromFailed = streamFiles(".cp.failed")
-      .filterNot(_.getFileName.toString.startsWith(s"retry_"))
+      .filterNot { p =>
+        val fn = p.getFileName.toString
+        val skip = fn == ownSidecar ||
+          (poolDir == workDir && fn.startsWith("retry_"))
+        if (skip) println(s"[retry $name] pool scan: skipping $fn")
+        skip
+      }
       .flatMap(p => Files.readString(p).split("\n").filter(_.nonEmpty))
     val fromEps = streamFiles(".cp.eps").flatMap { p =>
       Files.readString(p).split("\n").filter(_.nonEmpty).toSeq.flatMap { l =>
@@ -184,6 +200,25 @@ object FailedRetry {
         poison.collect { case (sql, n) if !sql.contains("\n") => s"$n\t$sql" }
           .mkString("\n"))
 
+    // A clean external SIGTERM (fleet_drain.sh at end of round, the
+    // disk guard reacting to ANOTHER JVM's spill) is not evidence the
+    // in-flight query misbehaved — and the deterministic rank order
+    // means the resumed worker retries that same query, so two routine
+    // drains would permanently poison an innocent candidate at
+    // maxStrikes=2 (round-14 advice). This hook withdraws the
+    // provisional strike on any signal that lets hooks run; SIGKILL
+    // and kernel OOM cannot run hooks, so genuine monster kills still
+    // leave the strike on disk and the two-strike cap still engages.
+    @volatile var inFlight: Option[String] = None
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      inFlight.foreach { sql =>
+        if (poison.getOrElse(sql, 0) <= 1) poison.remove(sql)
+        else poison.put(sql, poison(sql) - 1)
+        savePoison()
+        println(s"[retry $name] clean shutdown mid-query: " +
+          "provisional strike withdrawn")
+      }))
+
     ranked.zipWithIndex.foreach { case ((sql, estLog2), i) =>
       save() // incremental: a kill loses at most the in-flight query
       val est = math.pow(2.0, estLog2)
@@ -198,7 +233,10 @@ object FailedRetry {
         else poison.put(sql, poison(sql) - 1)
         savePoison()
       }
-      Try(executor.time(sql)) match {
+      inFlight = Some(sql)
+      val outcome = Try(executor.time(sql))
+      inFlight = None
+      outcome match {
         case scala.util.Success(rt) if rt > 0 =>
           withdrawProvisional()
           measured.put(sql, rt)

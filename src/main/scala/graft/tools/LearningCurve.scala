@@ -71,16 +71,31 @@ object LearningCurve {
       (prefix.size, train.size, acc, mae, f1)
     }
 
+    // Stamp the macro-F1 denominator into every row (round-14 verdict
+    // #7): the bucket-space size grows as deeper labels arrive (class 9
+    // entered at r13), which silently changes what "macro" averages
+    // over — a cross-generation row comparison is only readable if each
+    // row carries its class count, and the table states the holdout's
+    // per-class support it was scored against.
+    val holdoutSupport = test
+      .groupBy { case (_, rt) => Estimator.runtimeBucket(rt, 0) }
+      .view.mapValues(_.size).toSeq.sorted
     val sb = new StringBuilder
     sb ++= "# GRU bucket-classifier learning curve (band campaign)\n\n"
     sb ++= s"Holdout fixed at ${test.size} queries (CRC byte < 64 over the full\n"
     sb ++= "checkpoint); train = measurement-order prefix minus holdout;\n"
     sb ++= "bucket-balanced, 3-seed vote; reference bucket space.\n\n"
-    sb ++= "| n (prefix) | train | heldout acc | heldout MAE (buckets) | heldout macro-F1 |\n"
-    sb ++= "|---|---|---|---|---|\n"
+    sb ++= "| n (prefix) | train | classes | heldout acc | heldout MAE (buckets) | heldout macro-F1 |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
     rows.foreach { case (n, tr, acc, mae, f1) =>
-      sb ++= f"| $n | $tr | $acc%.3f | $mae%.3f | $f1%.3f |\n"
+      sb ++= f"| $n | $tr | $classes | $acc%.3f | $mae%.3f | $f1%.3f |\n"
     }
+    sb ++= s"\nHoldout composition (class: support): " +
+      holdoutSupport.map { case (c, s) => s"$c: $s" }.mkString(", ") + ".\n"
+    sb ++= "`classes` is the bucket-space size the macro-F1 denominator\n"
+    sb ++= "averages over — rows minted under different class counts are\n"
+    sb ++= "not directly comparable (a new always-zero tail class lowers\n"
+    sb ++= "macro-F1 with no model change).\n"
     Files.writeString(Paths.get(outMd), sb.result())
     println(s"[curve] wrote $outMd")
   }

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-14 fleet: launcher AND babysitter in one (a babysit pass with
+# Round-15 fleet: launcher AND babysitter in one (a babysit pass with
 # nothing running IS the initial launch, so the layout lives in exactly
 # one file — round-13 advice: the seed list below IS the layout; keep
 # this header and the loop in sync when editing either). A stream that
@@ -8,36 +8,43 @@
 # persistent negative cache keeps a relaunched stream from re-paying
 # the queries that killed it.
 #
-# Layout (125 GB box, ~134 GB Xmx nominal — the per-launch memory gate
-# staggers real usage; RSS runs well under Xmx):
-#   s65-s72  32-256 s band, 8g, 300 s timeout (resume r13 checkpoints).
+# Layout (125 GB box, ~146 GB Xmx nominal: 7x8g + 4x10g + 2x12g + 12g
+# + 14g — round-14 advice corrected the stale "~134" figure, and
+# round-14 verdict #8 retired one 32-256 s stream (s65) while retry_b
+# is resident, after four kernel OOM kills on the 16-JVM layout. The
+# per-launch memory gate staggers real usage; RSS runs well under Xmx):
+#   s66-s72  32-256 s band, 8g, 300 s timeout (resume r14 checkpoints).
 #            s70 runs GRAFT_TAIL_EPS=0.08 (4x the default 2%%) — the
 #            round-13 verdict's floor-side ε knob: keep the global
 #            floor region sampled so the blind-spot rate stays
 #            measurable as the ledger grows.
 #   s74-s75  96-280 s band, 10g, 620 s timeout (resume)
 #   s76-s77  150-362 s band, 10g, 800 s timeout (resume)
-#   s80-s81  362-724 s band, 12g, 1500 s timeout — NEW: reference
-#            class 9 (362-724 s rounded). Protocol-identical
+#   s80-s81  362-724 s band, 12g, 1500 s timeout — reference class 9
+#            (362-724 s rounded). Protocol-identical
 #            run-twice-keep-2nd; 1500 s admits labels to ~724 s
-#            single-run. FRESH seeds (no prior checkpoints).
+#            single-run. Resume r14 checkpoints.
 #   retry_a  FailedRetry over the streams' timeout-censored pool at
-#            800 s (pool snapshot: /tmp/graft_retry_pool) — class 8
+#            800 s (r15 pool snapshot: /tmp/graft_retry_pool_r15_a =
+#            32-256 .cp.failed + 32-256/96-280 eps) — class 8
 #   retry_b  FailedRetry at 1500 s over the DEEP-censored pool
-#            (/tmp/graft_retry_pool_b: s74-s77 .cp.failed + retry_a's
-#            re-censored list) — already-paid class-9 candidates,
-#            single-run >~ 310-400 s proven
+#            (/tmp/graft_retry_pool_r15_b: s74-s77 .cp.failed +
+#            150-362 eps + retry_a's re-censored list) — already-paid
+#            class-9 candidates, single-run >~ 310-400 s proven.
+#            (s80/s81 sidecars stay OUT of both pools: censored at
+#            1500 s already, a 1500 s retry is a guaranteed re-censor.)
 #   (s73 retired r13, funds retry_a; s78/s79 retired r14, fund
-#    s80/s81 — their small checkpoints were merged and stay merged)
+#    s80/s81; s65 retired r15, funds retry_b headroom — retired
+#    streams' checkpoints were merged and stay merged)
 #
 # Memory gate (round-12 advice): the comment and the threshold agree,
 # and the check runs PER LAUNCH — a mass die-off relaunches at most as
 # many JVMs as current MemAvailable covers, not 16 against one reading.
 set -u
 cd /root/repo
-LOGD=data/r14logs
+LOGD=data/r15logs
 mkdir -p "$LOGD"
-CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r14}
+CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r15}
 
 # launch only into (launch Xmx + 6) GB of available memory
 can_launch() { # mem_gb
@@ -103,7 +110,7 @@ launch_retry() { # name mem_gb timeout part nparts pooldir
 }
 
 while true; do
-  for s in 65 66 67 68 69 71 72; do
+  for s in 66 67 68 69 71 72; do
     stream_running "$s" 32 256 || launch_stream "$s" 8 32 256
   done
   # s70: the ε floor-sampling stream (see header)
@@ -122,8 +129,8 @@ while true; do
   done
   # 12g: the retry pool is ALL monster queries — the first 10g JVM lost
   # its SparkContext to a driver-side OOM five attempts in (r13)
-  retry_running a || launch_retry a 12 800 0 1 /tmp/graft_retry_pool
+  retry_running a || launch_retry a 12 800 0 1 /tmp/graft_retry_pool_r15_a
   # 14g: the deep pool is the worst of the worst (800 s-censored)
-  retry_running b || launch_retry b 14 1500 0 1 /tmp/graft_retry_pool_b
+  retry_running b || launch_retry b 14 1500 0 1 /tmp/graft_retry_pool_r15_b
   sleep 60
 done

@@ -11,13 +11,20 @@
 # lifetime — seeds and band filenames recur across rounds, so after a
 # reboot a resumed stream recreates the same-named sidecar empty and an
 # overwrite copy would truncate the committed ledger (round-13 advice).
-# Hence append-merge: union of committed + /tmp lines, per file.
+# Hence append-merge — and MULTISET append, not sort -u (round-14
+# advice): byte-identical eps lines legitimately recur across JVM
+# lifetimes (deterministic est from the same model, rt exactly -1.000
+# for censored draws, same cap), and collapsing them under-counts
+# SCREEN_AUDIT's censored count / loss ratio. comm -13 on sorted copies
+# appends each /tmp line only as many times as it EXCEEDS its committed
+# count, so repeated merges within one lifetime stay idempotent while
+# genuine recurrences accumulate.
 #
 # Usage: merge_band.sh  (then inspect `git diff --stat data/band` and commit)
 set -eu
 cd /root/repo
 OUT=data/band/campaign_x160_c2.cp
-CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r14}
+CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r15}
 inputs=("$OUT")
 for f in /tmp/graft_band/tail_*.cp /tmp/graft_band/retry_*.cp; do
   [ -e "$f" ] && inputs+=("$f")
@@ -31,9 +38,10 @@ for f in /tmp/graft_band/*.cp.eps; do
   [ -e "$f" ] || continue
   dst="data/band/eps/$(basename "$f")"
   if [ -e "$dst" ]; then
-    # union, order-insensitive dedup; atomic replace so a concurrent
-    # reader never sees a partial ledger
-    sort -u "$dst" "$f" > "$dst.tmp" && mv "$dst.tmp" "$dst"
+    # committed lines verbatim + the /tmp multiset's excess; atomic
+    # replace so a concurrent reader never sees a partial ledger
+    { cat "$dst"; comm -13 <(sort "$dst") <(sort "$f"); } > "$dst.tmp" \
+      && mv "$dst.tmp" "$dst"
   else
     cp "$f" "$dst"
   fi
