@@ -76,7 +76,17 @@ object GruSweep {
     // recovering only 18% in bucket 7 vs 21-31% mid-band (partial
     // saturation); this row answers whether capacity, not only data,
     // binds the deep tail.
+    // "reports" (round-14 verdict #3): every REPORT_*.md artifact —
+    // v20 + refspace, the four reproduction families, the augmented
+    // flagship, tailweight — plus the plain/balanced/combo matrix
+    // cells, all at ONE checkpoint + holdout, skipping only the two
+    // REPORT-less val-selected matrix cells (balancedSel ~14 min,
+    // augmentedSel h=64 ~2.5 h — the row every round has killed the
+    // full sweep before; the mechanism question those cells probed was
+    // settled as a ±0.01 tie in r12/r13). One reports run ≈ the
+    // flagship row (~100 min) + ~45 min of everything else.
     val rowMode = sys.env.getOrElse("GRAFT_SWEEP_ROWS", "full")
+    val reportsMode = rowMode == "reports"
     val fast = rowMode == "fast" || rowMode == "core"
     val coreOnly = rowMode == "core"
     val v20Cap = rowMode == "v20cap"
@@ -396,6 +406,10 @@ object GruSweep {
     val clsRows =
       if (fast) Seq(("plain", train, 48, 30, false),
                     ("balanced", balanced, 48, 30, false))
+      else if (reportsMode)
+           Seq(("plain", train, 48, 30, false),
+               ("balanced", balanced, 48, 30, false),
+               ("augmented", balAug, 48, 30, false))
       else Seq(("plain", train, 48, 30, false),
                ("balanced", balanced, 48, 30, false),
                ("balanced", balancedSel, 64, 45, true),
