@@ -11,6 +11,42 @@ import org.apache.spark.sql.SparkSession
   * small by design.
   */
 object Bench {
+
+  /** Argv tokens whose presence in a `ps -eo args` listing invalidates
+    * a bench capture. The campaign fleet's JVMs carry ~146 GB of
+    * nominal Xmx and load ~36 on this box — round 15's driver capture
+    * ran against that and was kernel-OOM-killed (exit 137), leaving the
+    * round with no bench artifact at all. The babysitter counts too:
+    * even if no worker is resident at scan time, a live babysitter
+    * relaunches streams INTO the capture window (exactly how the r15
+    * capture died — streams launched at 23:37/23:43 around a 23:36
+    * capture start). Matching is exact-argv-token (split on
+    * whitespace), mirroring disk_guard.sh's awk approach, so a
+    * coincidental `grep -E 'TailCampaign|FailedRetry'` in some shell's
+    * argv can not false-positive.
+    */
+  private val contaminantClasses = Seq(
+    "graft.lab.TailCampaign", "graft.lab.FailedRetry", "graft.tools.GruSweep")
+
+  /** Names of resident campaign processes found in `psOutput`, empty
+    * when the box is clean. Pure function of the listing (spec-tested).
+    */
+  private[graft] def contaminants(psOutput: String): Seq[String] =
+    psOutput.linesIterator.flatMap { line =>
+      val toks = line.trim.split("\\s+")
+      contaminantClasses.find(toks.contains).orElse(
+        if (toks.exists(_.endsWith("fleet_babysit.sh"))) Some("fleet_babysit.sh")
+        else None)
+    }.toSeq.distinct
+
+  /** Campaign processes resident on THIS box right now (empty if `ps`
+    * itself is unavailable — never fails the bench over introspection).
+    */
+  private def residentCampaign(): Seq[String] =
+    scala.util.Try(
+      contaminants(scala.sys.process.Process(Seq("ps", "-eo", "args")).!!)
+    ).getOrElse(Nil)
+
   val headline: Seq[String] = Seq(
     "q01_agg_min_join", "q02_scan_project", "q03_filter_cmp", "q09_join_inner",
     "q10_join_chain", "q13_groupby_having", "q15_count_distinct",
@@ -42,6 +78,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // contamination guard (round-15 verdict #1): a capture on a
+    // fleet-loaded box is not a measurement. Scan at start AND again
+    // after the timed runs (below) — r15's contamination arrived
+    // mid-window — and stamp the verdict into the artifact rather than
+    // aborting, so the driver still gets a parseable JSON whose
+    // invalidity is self-declared instead of a missing round artifact.
+    val contaminatedAtStart = residentCampaign()
+    if (contaminatedAtStart.nonEmpty)
+      System.err.println("[bench] WARNING: campaign processes resident at " +
+        s"start — capture will be stamped contaminated: " +
+        contaminatedAtStart.mkString(", "))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -147,7 +194,17 @@ object Bench {
     // keep the artifact valid JSON
     val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
       .getOrElse("\"" + cpus + "\"")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","cpus":$cpusJson,"parse_qps":$parseQps,"encode_qps":$encodeQps}"""
+    // second contamination scan: the fleet can arrive mid-capture (r15:
+    // babysitter launched streams one minute after the capture started)
+    val contaminated = (contaminatedAtStart ++ residentCampaign()).distinct
+    if (contaminated.nonEmpty)
+      System.err.println("[bench] WARNING: capture contaminated by resident " +
+        "campaign processes: " + contaminated.mkString(", "))
+    val contamJson =
+      if (contaminated.isEmpty) "false"
+      else "true,\"contaminants\":" +
+        contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","cpus":$cpusJson,"contaminated":$contamJson,"parse_qps":$parseQps,"encode_qps":$encodeQps}"""
     // The driver captures a bounded TAIL of stdout (~2 KB) and parses the
     // last line into BENCH_r*.json; the full-name queries+spread line is
     // ~5 KB, so the round artifact used to end up truncated mid-map with
@@ -169,7 +226,7 @@ object Bench {
     val totalR = (math.rint(total * 1000) / 1000).toString
     val parseR = (math.rint(parseQps * 10) / 10).toString
     val encodeR = (math.rint(encodeQps * 10) / 10).toString
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qsShort,"spread_max":$spreadMax,"sf":"$sfDir","cpus":$cpusJson,"parse_qps":$parseR,"encode_qps":$encodeR}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qsShort,"spread_max":$spreadMax,"sf":"$sfDir","cpus":$cpusJson,"contaminated":$contamJson,"parse_qps":$parseR,"encode_qps":$encodeR}""")
     val benchOut =
       if (sys.env.get("GRAFT_BENCH_LOCAL").contains("1")) "BENCH_LOCAL.json"
       else "/tmp/graft_bench_last.json"

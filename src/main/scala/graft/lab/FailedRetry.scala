@@ -55,6 +55,55 @@ object FailedRetry {
     z ^ (z >>> 31)
   }
 
+  /** What the shutdown hook decided about the provisional strike
+    * (exposed for the spec).
+    */
+  private[lab] sealed trait Settled
+  private[lab] object Settled {
+    /** Nothing in flight, or the main loop already claimed the outcome. */
+    case object Idle extends Settled
+    /** Guard marker present: the disk guard killed THIS worker because
+      * its own in-flight query spilled past the floor — strike stands. */
+    case object Kept extends Settled
+    /** Routine drain: not evidence against the query — strike withdrawn. */
+    case object Withdrawn extends Settled
+  }
+
+  /** Shutdown-hook body, extracted so the spec can exercise it without
+    * SIGTERMing a JVM. Claims the in-flight query atomically — the main
+    * loop claims through the same reference once `executor.time`
+    * returns, so exactly ONE side ever settles the provisional strike
+    * (round-15 advice: hook and main thread both decrementing could
+    * erase a genuine earlier strike, 2 -> 0). Kill-source
+    * discrimination (round-15 advice, high): `disk_guard.sh` only ever
+    * kills the OWNER of the largest spill — i.e. exactly the JVM whose
+    * in-flight monster caused the pressure — and touches
+    * `<spillRoot>.guardkill` before its SIGTERM. Marker present means
+    * the strike must STAY (withdrawing would re-rank the same query to
+    * the top on relaunch: an unbounded kill/relaunch loop re-paying the
+    * same spill). No marker means a routine drain (fleet_drain.sh),
+    * where withdrawal protects an innocent candidate from being
+    * poisoned by two routine round-end drains. The marker is consumed
+    * (deleted) so the decision cannot leak into a later shutdown.
+    */
+  private[lab] def settleShutdown(
+      inFlight: java.util.concurrent.atomic.AtomicReference[String],
+      guardMarker: Path,
+      withdraw: String => Unit): Settled = {
+    val sql = inFlight.getAndSet(null)
+    if (sql == null) Settled.Idle
+    else if (Try(Files.deleteIfExists(guardMarker)).getOrElse(false)) Settled.Kept
+    else { withdraw(sql); Settled.Withdrawn }
+  }
+
+  /** Poison ledger serialization: `<strikes>\t<sql>` per line. One
+    * format function shared by main and the spec, so the spec's
+    * well-formedness assertion covers the bytes main actually writes.
+    */
+  private[lab] def poisonLines(poison: collection.Map[String, Int]): String =
+    poison.collect { case (sql, n) if !sql.contains("\n") => s"$n\t$sql" }
+      .mkString("\n")
+
   def main(args: Array[String]): Unit = {
     val baseSfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toDouble).getOrElse(160.0)
@@ -86,11 +135,19 @@ object FailedRetry {
     // is printed, so a mis-snapshotted pool is visible instead of
     // silently smaller.
     val ownSidecar = s"retry_x${factor.toInt}_c${cpus}_$name.cp.failed"
+    // canonicalize before comparing: both dirs arrive from a shell
+    // launcher, so an equivalent spelling (trailing slash, relative
+    // path, symlink) must not silently flip the skip rule from
+    // live-scan to snapshot semantics (round-15 verdict #3)
+    def canon(p: String): Path =
+      Try(Paths.get(p).toRealPath())
+        .getOrElse(Paths.get(p).toAbsolutePath.normalize)
+    val poolIsLiveWorkDir = canon(poolDir) == canon(workDir)
     val fromFailed = streamFiles(".cp.failed")
       .filterNot { p =>
         val fn = p.getFileName.toString
         val skip = fn == ownSidecar ||
-          (poolDir == workDir && fn.startsWith("retry_"))
+          (poolIsLiveWorkDir && fn.startsWith("retry_"))
         if (skip) println(s"[retry $name] pool scan: skipping $fn")
         skip
       }
@@ -191,32 +248,49 @@ object FailedRetry {
     // strike transition — not just at the next iteration's save(). The
     // retry candidates are exactly the monster spillers, so the most
     // likely failure is one that leaves NO chance to run code (kernel
-    // OOM SIGKILL, disk_guard SIGTERM->SIGKILL on the spill root); a
-    // strike that only reaches disk on the next loop iteration is a
-    // strike lost to every such kill, and the two-strike cap never
-    // engages (round-13 advice).
-    def savePoison(): Unit =
-      Campaign.saveCheckpoint(poisonPath,
-        poison.collect { case (sql, n) if !sql.contains("\n") => s"$n\t$sql" }
-          .mkString("\n"))
+    // OOM SIGKILL, or the disk guard escalating SIGTERM -> SIGKILL on
+    // the spill owner before the hook finishes); a strike that only
+    // reaches disk on the next loop iteration is a strike lost to
+    // every such kill, and the two-strike cap never engages (round-13
+    // advice). For the SIGTERM-with-hooks case, the guard-marker logic
+    // in [[settleShutdown]] decides whether that persisted strike
+    // stays. All ledger mutation + persistence runs under `poison`'s
+    // monitor: the shutdown hook is a second thread, and an
+    // unsynchronized interleave could tear the sidecar write or lose a
+    // count (round-15 advice).
+    def savePoison(): Unit = poison.synchronized {
+      Campaign.saveCheckpoint(poisonPath, poisonLines(poison))
+    }
+    def strikeProvisional(sql: String): Unit = poison.synchronized {
+      poison.put(sql, poison.getOrElse(sql, 0) + 1)
+      savePoison()
+    }
+    def withdrawProvisional(sql: String): Unit = poison.synchronized {
+      if (poison.getOrElse(sql, 0) <= 1) poison.remove(sql)
+      else poison.put(sql, poison(sql) - 1)
+      savePoison()
+    }
 
-    // A clean external SIGTERM (fleet_drain.sh at end of round, the
-    // disk guard reacting to ANOTHER JVM's spill) is not evidence the
-    // in-flight query misbehaved — and the deterministic rank order
-    // means the resumed worker retries that same query, so two routine
-    // drains would permanently poison an innocent candidate at
-    // maxStrikes=2 (round-14 advice). This hook withdraws the
-    // provisional strike on any signal that lets hooks run; SIGKILL
-    // and kernel OOM cannot run hooks, so genuine monster kills still
-    // leave the strike on disk and the two-strike cap still engages.
-    @volatile var inFlight: Option[String] = None
+    // See [[settleShutdown]] for the kill-source contract: routine
+    // drain (no marker) withdraws the provisional strike, a disk-guard
+    // kill of THIS worker (marker present) keeps it, and SIGKILL /
+    // kernel OOM cannot run hooks at all so the persisted strike
+    // always survives those. The marker path mirrors disk_guard.sh:
+    // the guard touches `<spark.local.dir>.guardkill` before SIGTERM.
+    val guardMarker = Paths.get(sys.props.get("spark.local.dir")
+      .getOrElse(s"/tmp/graft_spill/retry_$name") + ".guardkill")
+    // stale marker (SIGTERM escalated to SIGKILL before the hook ran,
+    // so nothing consumed it) must not make the NEXT routine drain
+    // keep a strike it should withdraw
+    Try(Files.deleteIfExists(guardMarker))
+    val inFlight = new java.util.concurrent.atomic.AtomicReference[String](null)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      inFlight.foreach { sql =>
-        if (poison.getOrElse(sql, 0) <= 1) poison.remove(sql)
-        else poison.put(sql, poison(sql) - 1)
-        savePoison()
-        println(s"[retry $name] clean shutdown mid-query: " +
-          "provisional strike withdrawn")
+      settleShutdown(inFlight, guardMarker, withdrawProvisional) match {
+        case Settled.Kept => println(s"[retry $name] disk-guard kill " +
+          "mid-query: own spill caused it, provisional strike kept")
+        case Settled.Withdrawn => println(s"[retry $name] clean shutdown " +
+          "mid-query: provisional strike withdrawn")
+        case Settled.Idle => ()
       }))
 
     ranked.zipWithIndex.foreach { case ((sql, estLog2), i) =>
@@ -226,30 +300,29 @@ object FailedRetry {
       // provisional strike, persisted BEFORE dispatch: if an external
       // kill lands mid-query, the strike is already on disk and counts;
       // a normal outcome (label or clean timeout) withdraws it below.
-      poison.put(sql, poison.getOrElse(sql, 0) + 1)
-      savePoison()
-      def withdrawProvisional(): Unit = {
-        if (poison.getOrElse(sql, 0) <= 1) poison.remove(sql)
-        else poison.put(sql, poison(sql) - 1)
-        savePoison()
-      }
-      inFlight = Some(sql)
+      strikeProvisional(sql)
+      inFlight.set(sql)
       val outcome = Try(executor.time(sql))
-      inFlight = None
+      // claim the outcome atomically: if a SIGTERM landed between
+      // time() returning and this line, the hook got there first,
+      // already settled the strike, and the JVM is dying — settling
+      // again here would double-decrement (round-15 advice)
+      val claimed = inFlight.getAndSet(null) != null
       outcome match {
         case scala.util.Success(rt) if rt > 0 =>
-          withdrawProvisional()
+          if (claimed) withdrawProvisional(sql)
           measured.put(sql, rt)
           println(f"[retry $name] RECORD rt=$rt%.1f s (${measured.size} total)")
         case scala.util.Failure(_: QueryTimeoutException) =>
-          withdrawProvisional()
+          if (claimed) withdrawProvisional(sql)
           ownFailed += sql
           println(s"[retry $name] still censored at $timeoutSec s")
         case other =>
           // the provisional strike IS the transient strike — already
           // persisted above, nothing further to increment
           println(s"[retry $name] transient failure " +
-            s"(strike ${poison(sql)}/$maxStrikes), will retry on resume: $other")
+            s"(strike ${poison.synchronized(poison.getOrElse(sql, 0))}/$maxStrikes), " +
+            s"will retry on resume: $other")
           // a dead SparkContext (driver-side OOM kills it) makes every
           // later attempt fail instantly — the first retry JVM churned
           // through 28 ranked candidates that way. Exit non-zero so the

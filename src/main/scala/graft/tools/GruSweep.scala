@@ -66,10 +66,11 @@ object GruSweep {
     // "v20" runs ONLY the v20 row — the shape of a mid-campaign
     // surrogate refresh, where live tail streams hot-reload the
     // rewritten gru4.json and nothing else is needed. The flagship
-    // classifier artifacts (REPORT_gru.md, models/gru.json) only
-    // regenerate in full mode, staying tied to the augmented row that
-    // defines them; the tailweight row (same ~60-min cost class) runs
-    // in full mode or under its own GRAFT_SWEEP_TAILWEIGHT toggle.
+    // classifier artifacts (REPORT_gru.md, models/gru.json) regenerate
+    // only in full or reports mode (both run the augmented h=48 row
+    // that defines them); the tailweight row (same ~60-min cost class)
+    // runs in full/reports mode or under its own
+    // GRAFT_SWEEP_TAILWEIGHT toggle.
     // "v20cap" = the v20 refresh PLUS a capacity probe: retrain the
     // same row at hidden 96 and 128 and report per-bucket held-out
     // MAE(log2) next to h=48 — the round-12 DRIFT refresh showed v20

@@ -58,6 +58,17 @@ while true; do
           name=${dir##*/}
           pid=$(owner_pid "$dir")
           if [ -n "${pid:-}" ]; then
+            # kill-source attribution for the victim's shutdown hook
+            # (round-15 advice): this guard only ever kills the OWNER of
+            # the spill — i.e. the JVM whose own in-flight query caused
+            # the pressure. FailedRetry's hook must KEEP its provisional
+            # poison strike in that case (withdrawing would re-rank the
+            # same spill monster to the top and loop kill/relaunch
+            # forever), while a routine fleet_drain SIGTERM withdraws
+            # it. The marker is the discriminator: touched before
+            # SIGTERM, consumed by the hook; the gone-branch below (and
+            # FailedRetry at startup) clears it if nothing consumed it.
+            touch "${dir}.guardkill"
             kill "$pid" && echo "$(date -Is) SIGTERM $name pid=$pid" >> "$LOG"
             for _ in $(seq 1 12); do
               ps -p "$pid" --no-headers > /dev/null || break
@@ -66,13 +77,34 @@ while true; do
             ps -p "$pid" --no-headers > /dev/null && kill -9 "$pid" \
               && echo "$(date -Is) SIGKILL $name pid=$pid" >> "$LOG" && sleep 5
           fi
-          # owner confirmed gone (killed above, or never running): the
-          # per-stream root belongs to that stream alone — safe to clear
-          if [ -z "${pid:-}" ] || ! ps -p "$pid" --no-headers > /dev/null; then
+          # post-kill verification (round-15 verdict #7): a SIGKILL'd
+          # pid can linger in ps as a zombie (pending reap by the
+          # launcher shell) or briefly in D-state while in-flight I/O
+          # completes — r15 logged "survived SIGKILL?!" for exactly
+          # that and orphaned the spill dir at 94%% disk. A zombie
+          # holds no files, so state Z counts as GONE; a D/R state
+          # gets a grace re-check before we concede.
+          gone=0
+          if [ -z "${pid:-}" ]; then
+            gone=1
+          else
+            for _ in 1 2 3; do
+              st=$(ps -p "$pid" -o stat= 2>/dev/null | tr -d ' ')
+              case "$st" in
+                "") gone=1; break ;;  # reaped: truly gone
+                Z*) gone=1; break ;;  # zombie: dead, holds no fds
+                *)  sleep 5 ;;        # D/R grace: SIGKILL lands late
+              esac
+            done
+          fi
+          if [ "$gone" -eq 1 ]; then
             rm -rf "$dir"
+            # unconsumed marker (SIGKILL path: hooks never ran) must
+            # not bias the relaunched worker's NEXT shutdown decision
+            rm -f "${dir}.guardkill"
             echo "$(date -Is) removed $dir (owner $name gone)" >> "$LOG"
           else
-            echo "$(date -Is) owner $name pid=$pid survived SIGKILL?! left $dir" >> "$LOG"
+            echo "$(date -Is) owner $name pid=$pid state=$st survived SIGKILL?! left $dir" >> "$LOG"
           fi
           ;;
         *)

@@ -8,12 +8,14 @@
 # persistent negative cache keeps a relaunched stream from re-paying
 # the queries that killed it.
 #
-# Layout (125 GB box, ~146 GB Xmx nominal: 7x8g + 4x10g + 2x12g + 12g
-# + 14g — round-14 advice corrected the stale "~134" figure, and
-# round-14 verdict #8 retired one 32-256 s stream (s65) while retry_b
-# is resident, after four kernel OOM kills on the 16-JVM layout. The
-# per-launch memory gate staggers real usage; RSS runs well under Xmx):
-#   s66-s72  32-256 s band, 8g, 300 s timeout (resume r14 checkpoints).
+# Layout (125 GB box, ~138 GB Xmx nominal: 6x8g + 4x10g + 2x12g + 12g
+# + 14g — round-14 verdict #8 retired s65 after four kernel OOM kills
+# on the 16-JVM layout; round-15 verdict #9 retires s72 too (kill count
+# ROSE to six at 15 JVMs while retry_b was resident — the relaunch
+# churn costs more wall-clock than the eighth 32-256 s seat returns on
+# a band that already holds 3000+ labels). The per-launch memory gate
+# staggers real usage; RSS runs well under Xmx):
+#   s66-s71  32-256 s band, 8g, 300 s timeout (resume r15 checkpoints).
 #            s70 runs GRAFT_TAIL_EPS=0.08 (4x the default 2%%) — the
 #            round-13 verdict's floor-side ε knob: keep the global
 #            floor region sampled so the blind-spot rate stays
@@ -25,26 +27,30 @@
 #            run-twice-keep-2nd; 1500 s admits labels to ~724 s
 #            single-run. Resume r14 checkpoints.
 #   retry_a  FailedRetry over the streams' timeout-censored pool at
-#            800 s (r15 pool snapshot: /tmp/graft_retry_pool_r15_a =
-#            32-256 .cp.failed + 32-256/96-280 eps) — class 8
+#            800 s (pool snapshot dir /tmp/graft_retry_pool_r15_a =
+#            32-256 .cp.failed + 32-256/96-280 eps; the DIR NAME is
+#            stable across rounds — re-arm by refilling it from fresh
+#            sidecars and deleting the .cp.done marker) — class 8
 #   retry_b  FailedRetry at 1500 s over the DEEP-censored pool
 #            (/tmp/graft_retry_pool_r15_b: s74-s77 .cp.failed +
-#            150-362 eps + retry_a's re-censored list) — already-paid
-#            class-9 candidates, single-run >~ 310-400 s proven.
+#            150-362 eps + retry_a's re-censored list COPIED to a
+#            non-retry_-prefixed name; same refill re-arm) —
+#            already-paid class-9 candidates, single-run >~ 310-400 s.
 #            (s80/s81 sidecars stay OUT of both pools: censored at
 #            1500 s already, a 1500 s retry is a guaranteed re-censor.)
 #   (s73 retired r13, funds retry_a; s78/s79 retired r14, fund
-#    s80/s81; s65 retired r15, funds retry_b headroom — retired
-#    streams' checkpoints were merged and stay merged)
+#    s80/s81; s65 retired r15, funds retry_b headroom; s72 retired
+#    r16, funds the kill-trend goal — retired streams' checkpoints
+#    were merged and stay merged)
 #
 # Memory gate (round-12 advice): the comment and the threshold agree,
 # and the check runs PER LAUNCH — a mass die-off relaunches at most as
 # many JVMs as current MemAvailable covers, not 16 against one reading.
 set -u
 cd /root/repo
-LOGD=data/r15logs
+LOGD=data/r16logs
 mkdir -p "$LOGD"
-CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r15}
+CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r16}
 
 # launch only into (launch Xmx + 6) GB of available memory
 can_launch() { # mem_gb
@@ -110,7 +116,7 @@ launch_retry() { # name mem_gb timeout part nparts pooldir
 }
 
 while true; do
-  for s in 66 67 68 69 71 72; do
+  for s in 66 67 68 69 71; do
     stream_running "$s" 32 256 || launch_stream "$s" 8 32 256
   done
   # s70: the ε floor-sampling stream (see header)

@@ -10,7 +10,7 @@
 # calling shell's own cmdline and the shell kills itself (round-12
 # gotcha). PIDs come from exact argv-token matches via ps+awk.
 set -u
-LOG=${1:-/root/repo/data/r15logs/drain.log}
+LOG=${1:-/root/repo/data/r16logs/drain.log}
 note() { echo "$(date -Is) $*" | tee -a "$LOG"; }
 
 campaign_pids() {

@@ -24,7 +24,7 @@
 set -eu
 cd /root/repo
 OUT=data/band/campaign_x160_c2.cp
-CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r15}
+CLASSES=${GRAFT_CLASSES_SNAPSHOT:-/tmp/graft_classes_r16}
 inputs=("$OUT")
 for f in /tmp/graft_band/tail_*.cp /tmp/graft_band/retry_*.cp; do
   [ -e "$f" ] && inputs+=("$f")
