@@ -182,6 +182,11 @@ object Dedup {
     // quadratic bucket. Pair generation is then a bounded in-row
     // expansion (≤ maxDf·(maxDf-1)/2 per shingle) instead of a self-join
     // that shuffles the exploded set twice.
+    // (r16 probe note: a pre-filtering COUNT pass + join that dropped
+    // singleton shingles before this aggregation was tried and measured
+    // SLOWER — the extra exchange + recomputed explode cost more than the
+    // collect_list saves at every scale tested; the one-shuffle shape
+    // below stands.)
     val buckets = docSh.groupBy("sh")
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
       .where(size(col("ids")) <= maxDf)

@@ -18,6 +18,85 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every encode/decode call with a
+  // TEMP FILE (FileCacheImageInput/OutputStream): at one PNG per row that
+  // is a filesystem create+write+delete round-trip per image — switch the
+  // whole JVM to memory-backed streams. Pure I/O plumbing; the codec and
+  // the decoded pixels are identical.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Spread a source across the session's cores when it arrives in fewer
+    * splits: the driver testdata is one parquet file per table, so without
+    * this every per-row codec pass (encode + decode per image/clip) runs
+    * in ONE task while 31 cores idle. Row placement doesn't affect any
+    * per-row codec result, and every caller re-sorts its output.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  /** Band-0 pixels of a decoded image, row-major. Fast path reads the
+    * raster's byte bank directly when the layout is single-byte-per-pixel
+    * interleaved (what both the JDK PNG reader and TYPE_BYTE_GRAY
+    * produce) — one array walk instead of w·h virtual getSample calls.
+    * Any other geometry falls back to the public bulk sampler. The VALUES
+    * are identical either way, so every oracle contract is untouched.
+    */
+  private[ops] def band0(img: java.awt.image.BufferedImage): Array[Int] = {
+    val r = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    r.getSampleModel match {
+      case sm: java.awt.image.ComponentSampleModel
+          if sm.getPixelStride == 1 && sm.getBandOffsets()(0) == 0 &&
+             sm.getNumBands == 1 &&
+             r.getSampleModelTranslateX == 0 && r.getSampleModelTranslateY == 0 &&
+             r.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+             r.getDataBuffer.getNumBanks == 1 && r.getDataBuffer.getOffset == 0 =>
+        val data = r.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+        val stride = sm.getScanlineStride
+        var y = 0
+        var i = 0
+        while (y < h) {
+          val row = y * stride
+          var x = 0
+          while (x < w) { out(i) = data(row + x) & 0xff; i += 1; x += 1 }
+          y += 1
+        }
+      case _ => r.getSamples(0, 0, w, h, 0, out)
+    }
+    out
+  }
+
+  /** Fresh TYPE_BYTE_GRAY image with pixels filled row-major by `pixel`
+    * (values taken mod 256 as unsigned bytes). Fast path writes the byte
+    * bank directly (TYPE_BYTE_GRAY is single-bank interleaved at stride
+    * w by construction); the guard falls back to setSample should a JDK
+    * ever lay it out differently. Identical pixel content either way.
+    */
+  private[ops] def grayImage(w: Int, h: Int)(pixel: Int => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    r.getDataBuffer match {
+      case db: java.awt.image.DataBufferByte
+          if db.getNumBanks == 1 && db.getOffset == 0 &&
+             r.getSampleModel.isInstanceOf[java.awt.image.ComponentSampleModel] &&
+             r.getSampleModel.asInstanceOf[java.awt.image.ComponentSampleModel]
+               .getScanlineStride == w &&
+             r.getSampleModel.asInstanceOf[java.awt.image.ComponentSampleModel]
+               .getPixelStride == 1 =>
+        val data = db.getData
+        var i = 0
+        while (i < w * h) { data(i) = pixel(i).toByte; i += 1 }
+      case _ =>
+        var i = 0
+        while (i < w * h) { r.setSample(i % w, i / w, 0, pixel(i) & 0xff); i += 1 }
+    }
+    img
+  }
+
   /** A binary asset row: payload + minimal typed metadata. */
   case class Asset(asset_id: Long, modality: String, n_bytes: Long, payload: Array[Byte])
 
@@ -99,20 +178,16 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case _: java.io.IOException => None }
     img.map { bi =>
-      val raster = bi.getRaster
       val (w, h) = (bi.getWidth, bi.getHeight)
+      val px = band0(bi)
       var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = raster.getSample(x, y, 0)
-          sum += v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val v = px(i)
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
       }
       DecodedImage(w, h, sum.toDouble / (w.toLong * h), mn, mx)
     }
@@ -130,16 +205,9 @@ object Multimodal {
                     (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     require(width > 0 && height > 0)
-    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+    spread(df.select(col(idCol).cast("long").as("id"))).as[Long].mapPartitions { it =>
       it.map { id =>
-        val img = new java.awt.image.BufferedImage(
-          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var i = 0
-        while (i < width * height) {
-          raster.setSample(i % width, i / width, 0, ((id * 31 + i) % 256).toInt)
-          i += 1
-        }
+        val img = grayImage(width, height)(i => ((id * 31 + i) % 256).toInt)
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", out)
         (id, "image", out.size().toLong, out.toByteArray)
@@ -244,7 +312,7 @@ object Multimodal {
                      nSamples: Int)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     require(sampleRate > 0 && nSamples > 0)
-    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+    spread(df.select(col(idCol).cast("long").as("id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val dataLen = nSamples * 2
         val b = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -343,18 +411,10 @@ object Multimodal {
                        nFrames: Int)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     require(width > 0 && height > 0 && nFrames > 0)
-    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+    spread(df.select(col(idCol).cast("long").as("id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val frames = (0 until nFrames).map { f =>
-          val img = new java.awt.image.BufferedImage(
-            width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var i = 0
-          while (i < width * height) {
-            raster.setSample(i % width, i / width, 0,
-              ((id * 31 + f * 17 + i) % 256).toInt)
-            i += 1
-          }
+          val img = grayImage(width, height)(i => ((id * 31 + f * 17 + i) % 256).toInt)
           val out = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", out)
           out.toByteArray
@@ -462,18 +522,10 @@ object Multimodal {
           .getOrElse(throw new IllegalArgumentException(
             s"asset ${a.asset_id}: payload is not a decodable image"))
         val (sw, sh) = (src.getWidth, src.getHeight)
-        val dst = new java.awt.image.BufferedImage(
-          targetW, targetH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val (sr, dr) = (src.getRaster, dst.getRaster)
-        var y = 0
-        while (y < targetH) {
-          val sy = y * sh / targetH
-          var x = 0
-          while (x < targetW) {
-            dr.setSample(x, y, 0, sr.getSample(x * sw / targetW, sy, 0))
-            x += 1
-          }
-          y += 1
+        val px = band0(src)
+        val dst = grayImage(targetW, targetH) { i =>
+          val (x, y) = (i % targetW, i / targetW)
+          px((y * sh / targetH) * sw + (x * sw / targetW))
         }
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(dst, "png", out)
@@ -503,18 +555,8 @@ object Multimodal {
           s"asset ${a.asset_id}: flipImages handles single-band (grayscale) " +
             s"rasters; got ${src.getRaster.getNumBands} bands")
         val (w, h) = (src.getWidth, src.getHeight)
-        val dst = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val (sr, dr) = (src.getRaster, dst.getRaster)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            dr.setSample(x, y, 0, sr.getSample(w - 1 - x, y, 0))
-            x += 1
-          }
-          y += 1
-        }
+        val px = band0(src)
+        val dst = grayImage(w, h)(i => px((i / w) * w + (w - 1 - i % w)))
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(dst, "png", out)
         Asset(a.asset_id, a.modality, out.size().toLong, out.toByteArray)
@@ -541,18 +583,13 @@ object Multimodal {
         require(img.getRaster.getNumBands == 1,
           s"asset ${a.asset_id}: imageHalfStats sums single-band rasters; " +
             s"got ${img.getRaster.getNumBands} bands")
-        val r = img.getRaster
         val (w, h) = (img.getWidth, img.getHeight)
+        val px = band0(img)
         var (ls, rs) = (0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = r.getSample(x, y, 0).toLong
-            if (x < w / 2) ls += v else rs += v
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          if (i % w < w / 2) ls += px(i) else rs += px(i)
+          i += 1
         }
         ImageHalfStats(a.asset_id, w, h, ls, rs)
       }

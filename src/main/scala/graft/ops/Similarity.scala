@@ -239,8 +239,8 @@ object Similarity {
     withNorm2(df, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
-                          centroidPred: Column): DataFrame = {
+  private[graft] def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                                 centroidPred: Column): DataFrame = {
     val cents = corpus.where(centroidPred)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"), col("norm2").as("cnorm2"))
     val scored = corpus.crossJoin(broadcast(cents))

@@ -872,8 +872,17 @@ object OpsCatalog {
       import graft.model.{IncrementalStats, StatsCollector}
       // persist the shared scan + the (KB-sized) merged synopsis: the
       // whole-vs-merged three-way replay otherwise rescans orders per
-      // collect (round-6 bench: q84 spread 4.1 from exactly that)
-      val li = Tables.load(s, dir, "orders")
+      // collect (round-6 bench: q84 spread 4.1 from exactly that).
+      // Spread the single-split source first: all four synopsis scans
+      // (agg + sketch, whole + grouped) aggregate the CACHED partitions,
+      // and on the driver testdata's one-file table they would otherwise
+      // all run single-task (r16 measured q84 at 3.0 s, ~4 sequential
+      // one-core passes). Every synopsis field is order-independent
+      // (exact decimal sums, min/max/counts, HLL register union), so the
+      // placement change cannot move a bit of the output.
+      val li0 = Tables.load(s, dir, "orders")
+      val li = (if (li0.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+          li0.repartition(s.sparkContext.defaultParallelism) else li0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = StatsCollector.collect(s, dir, Seq("orders"))
         .tables.find(_.name == "orders").get

@@ -20,12 +20,26 @@ object OpsProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = graft.SparkEntry.queries
+    // GRAFT_PROBE_RUNS=k: after the warm run, time k more and report the
+    // median + spread — single warm samples at sub-second scale proved
+    // unable to rank rival shapes (r16: the same binary swung ±50%
+    // run-to-run), which is exactly the bench's median-of-3/5 rationale
+    val runs = sys.env.get("GRAFT_PROBE_RUNS").map(_.toInt).getOrElse(1)
     names.foreach { q =>
       // construction INSIDE the timer: some queries (q49's label
       // propagation) do their real work eagerly at build time
+      def once(): Double = {
+        val t0 = System.nanoTime(); all(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
       val t0 = System.nanoTime(); val n = all(q)(spark, dir).count(); val t1 = System.nanoTime()
-      val t2 = System.nanoTime(); all(q)(spark, dir).count(); val t3 = System.nanoTime()
-      println(f"TIMING $q%-22s ${(t1 - t0) / 1e9}%6.2f s (2nd ${(t3 - t2) / 1e9}%6.2f s) rows=$n")
+      val warm = (t1 - t0) / 1e9
+      val timed = Seq.fill(runs) {
+        val s = once(); spark.catalog.clearCache(); System.gc(); s
+      }.sorted
+      val med = timed(timed.size / 2)
+      println(f"TIMING $q%-22s $warm%6.2f s (med-of-$runs $med%6.2f s, " +
+        f"min ${timed.head}%5.2f max ${timed.last}%5.2f) rows=$n")
       if (doExplain) { println(s"=== $q plan ==="); all(q)(spark, dir).explain("formatted") }
     }
     spark.stop()

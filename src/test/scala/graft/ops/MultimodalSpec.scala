@@ -214,6 +214,28 @@ class MultimodalSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("single-band")))
   }
 
+  test("band0 fast path and grayImage direct fill agree with the public raster API") {
+    // the r16 pixel kernels read/write the raster's byte bank directly;
+    // this pins them to the values the public getSample/getSamples
+    // surface reports, for both a synthesized TYPE_BYTE_GRAY raster and
+    // a REAL PNG decode (the two layouts the fast path claims)
+    val w = 13; val h = 7 // non-square, non-power-of-two on purpose
+    val img = Multimodal.grayImage(w, h)(i => (i * 37 + 11) % 256)
+    val viaApi = {
+      val out = new Array[Int](w * h)
+      img.getRaster.getSamples(0, 0, w, h, 0, out)
+      out.toSeq
+    }
+    assert(Multimodal.band0(img).toSeq == viaApi)
+    assert(viaApi == (0 until w * h).map(i => (i * 37 + 11) % 256))
+    // round-trip through the real codec: decoded bank layout matches too
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(Multimodal.band0(decoded).toSeq == viaApi)
+  }
+
   test("resize strides payloads down to at most targetBytes") {
     val out = Multimodal.resize(assets, targetBytes = 25).collect()
     val a1 = out.find(_.asset_id == 1L).get
