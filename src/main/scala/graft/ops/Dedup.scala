@@ -375,7 +375,14 @@ object Dedup {
       // both sides on node: the same single shuffle the union had.
       // direct is materialized before the jump self-joins it: its two
       // join branches key on different columns, so without the
-      // checkpoint the whole propagate subtree would execute twice
+      // checkpoint the whole propagate subtree would execute twice.
+      // (r16 note: a SYNCHRONOUS-jump variant — jump read from the
+      // previous round's labels so each round needs one checkpoint
+      // instead of two — was tried and REVERTED: referencing `labels`
+      // four times in the single pre-checkpoint plan sent Catalyst's
+      // LogicalRDD.rewriteStatsAndConstraints into minutes-long
+      // constraint rewriting per round on join-dense graphs. Two small
+      // checkpoints beat one pathological planning pass.)
       val direct = cp(labels.join(prop, Seq("node"), "left")
         .select(col("node"), col("cluster_id").as("prev"),
           least(col("cluster_id"), col("prop_min")).as("cluster_id")))

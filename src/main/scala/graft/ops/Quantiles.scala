@@ -52,68 +52,119 @@ object Quantiles {
       val n = vals.count()
       require(n > 0, s"no non-null values in $valueCol")
 
-      // exact 0-based k-th (and, when `needNext`, (k+1)-th) smallest by
-      // iterative range refinement. Interpolation needs the ADJACENT
-      // rank too, so both are resolved in ONE descent: whenever rank is
-      // its band's last row, rank+1's value is the next non-empty band's
-      // min — already sitting in the same histogram, zero extra passes.
-      def kthPair(rank: Long, needNext: Boolean): (Double, Double) = {
-        var (lo, hi) = {
-          val r = vals.agg(min($"v"), max($"v")).head()
-          (r.getDouble(0), r.getDouble(1))
-        }
-        var below = 0L
-        var inRange = n
-        var nextVal: Option[Double] = None
-        while (inRange > smallCutoff && hi > lo) {
-          val width = hi - lo
-          // the equi-width floor only STEERS; the bounds carried to the
-          // next round are each band's ACTUAL min/max from this same
-          // aggregate. Band assignment is monotone in v, so the closed
-          // interval [band-min, band-max] contains exactly the band's
-          // rows — no float boundary can disagree with the counts
-          val b = least(lit(buckets - 1),
-            greatest(lit(0), floor(($"v" - lo) / width * buckets))).cast("int")
-          val bands = vals.where($"v" >= lo && $"v" <= hi)
-            .groupBy(b.as("b"))
-            .agg(count(lit(1)).as("c"), min($"v").as("mn"), max($"v").as("mx"))
-            .collect()
-            .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-            .sortBy(_._1)
-          var acc = below
+      // ALL probs descend together, one scan per ROUND instead of one
+      // scan per round per prob (groupedExactQuantiles' pass-sharing,
+      // applied across ranks): each active rank ships its [lo, hi] in a
+      // broadcast ranges frame, rows histogram within every range they
+      // fall in (fan-out bounded by the active-rank count, a handful),
+      // and the driver steers each rank independently off its own
+      // (rid, band) slice. The per-rank descent is bit-identical to the
+      // former one-rank-at-a-time form — same float band arithmetic,
+      // same actual band min/max carried to the next round — but the
+      // scan count drops from sum-of-rounds (plus a min/max job PER
+      // prob) to one min/max + max-rounds-over-ranks + one shared tail.
+      // Interpolation needs the ADJACENT rank too; it resolves inside
+      // the same descent: whenever rank is its band's last row, rank+1's
+      // value is the next non-empty band's min — already sitting in the
+      // same histogram, zero extra passes.
+      final case class St(rank: Long, frac: Double, var lo: Double,
+                          var hi: Double, var below: Long, var inRange: Long,
+                          var nextVal: Option[Double])
+      val (gLo, gHi) = {
+        val r = vals.agg(min($"v"), max($"v")).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+      // one descent per DISTINCT (rank, needNext) requirement; duplicate
+      // probs (or probs sharing a rank) reuse the same state
+      val states = scala.collection.mutable.LinkedHashMap.empty[(Long, Boolean), St]
+      probs.foreach { p =>
+        val h = p * (n - 1)
+        val rank = math.floor(h).toLong
+        val needNext = (h - rank) != 0.0
+        states.getOrElseUpdate((rank, needNext),
+          St(rank, h - rank, gLo, gHi, 0L, n, None))
+        ()
+      }
+      def stillActive = states.filter { case (_, s) => s.inRange > smallCutoff && s.hi > s.lo }
+      var active = stillActive
+      while (active.nonEmpty) {
+        val ranges = active.values.toSeq.zipWithIndex
+          .map { case (s, rid) => (rid, s.lo, s.hi) }
+          .toDF("rid", "_lo", "_hi")
+        // the equi-width floor only STEERS; the bounds carried to the
+        // next round are each band's ACTUAL min/max from this same
+        // aggregate. Band assignment is monotone in v, so the closed
+        // interval [band-min, band-max] contains exactly the band's
+        // rows — no float boundary can disagree with the counts
+        val b = least(lit(buckets - 1), greatest(lit(0),
+          floor(($"v" - $"_lo") / ($"_hi" - $"_lo") * buckets))).cast("int")
+        val hist = vals.join(broadcast(ranges), $"v" >= $"_lo" && $"v" <= $"_hi")
+          .groupBy($"rid", b.as("b"))
+          .agg(count(lit(1)).as("c"), min($"v").as("mn"), max($"v").as("mx"))
+          .collect()
+          .map(r => (r.getInt(0), (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+        active.values.toSeq.zipWithIndex.foreach { case (s, rid) =>
+          val bands = hist.getOrElse(rid,
+            sys.error(s"rank ${s.rank} fell out of [${s.lo},${s.hi}] (below=${s.below})"))
+          var acc = s.below
           var chosen: Option[(Int, Long, Double, Double)] = None
           for (band @ (_, c, _, _) <- bands if chosen.isEmpty) {
-            if (acc + c > rank) chosen = Some(band) else acc += c
+            if (acc + c > s.rank) chosen = Some(band) else acc += c
           }
           val (bi, c, mn, mx) = chosen.getOrElse(
-            sys.error(s"rank $rank fell out of [$lo,$hi] (below=$below)"))
-          if (needNext && nextVal.isEmpty && rank - acc == c - 1) {
+            sys.error(s"rank ${s.rank} fell out of [${s.lo},${s.hi}] (below=${s.below})"))
+          if (s.frac != 0.0 && s.nextVal.isEmpty && s.rank - acc == c - 1) {
             // rank+1 lives in the next non-empty band; its min IS the value
-            nextVal = bands.collectFirst { case (b2, c2, mn2, _) if b2 > bi && c2 > 0 => mn2 }
+            s.nextVal = bands.collectFirst { case (b2, c2, mn2, _) if b2 > bi && c2 > 0 => mn2 }
           }
-          below = acc
-          lo = mn; hi = mx; inRange = c
+          s.below = acc
+          s.lo = mn; s.hi = mx; s.inRange = c
         }
-        if (hi == lo) (lo, nextVal.getOrElse(lo))
-        else {
-          val local = (rank - below).toInt
-          // the (local+1)..(local+2) smallest in-range values: bounded by
-          // smallCutoff rows, TakeOrdered — never a global sort. The
-          // driver materializes at most smallCutoff+2 doubles.
-          val take = if (needNext && nextVal.isEmpty) local + 2 else local + 1
-          val sortedTail = vals.where($"v" >= lo && $"v" <= hi)
-            .orderBy($"v").limit(take).collect().map(_.getDouble(0))
-          val vLow = sortedTail(local)
-          (vLow, nextVal.getOrElse(
-            if (needNext) sortedTail(local + 1) else vLow))
-        }
+        active = stillActive
       }
+      // shared tail resolution: per still-unresolved rank, the
+      // (local+1)..(local+2) smallest in-range values — bounded by
+      // smallCutoff rows per rank, resolved by a per-rank row_number
+      // window (partitioned, bounded, never a global sort), ALL ranks in
+      // one job. The driver materializes at most (smallCutoff+2) doubles
+      // per rank.
+      val ridOf = states.keys.toSeq.zipWithIndex.toMap
+      val tails = states.toSeq.collect { case (key, st) if st.hi > st.lo =>
+        val local = (st.rank - st.below).toInt
+        val take = if (st.frac != 0.0 && st.nextVal.isEmpty) local + 2 else local + 1
+        (ridOf(key), st.lo, st.hi, take)
+      }
+      val resolved: Map[Int, IndexedSeq[Double]] =
+        if (tails.isEmpty) Map.empty
+        else {
+          val rangesF = tails.toDF("rid", "_lo", "_hi", "_take")
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy($"rid").orderBy($"v")
+          vals.join(broadcast(rangesF), $"v" >= $"_lo" && $"v" <= $"_hi")
+            .withColumn("rn", row_number().over(w))
+            .where($"rn" <= $"_take")
+            .select($"rid", $"rn", $"v")
+            .collect()
+            .map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
+            .groupBy(_._1).view
+            .mapValues(_.map(_._2).sortBy(_._1).map(_._2).toIndexedSeq).toMap
+        }
 
       val rows = probs.map { p =>
         val h = p * (n - 1)
         val lowRank = math.floor(h).toLong
         val frac = h - lowRank
-        val (vLow, vHigh) = kthPair(lowRank, needNext = frac != 0.0)
+        val key = (lowRank, frac != 0.0)
+        val s = states(key)
+        val (vLow, vHigh) =
+          if (s.hi == s.lo) (s.lo, s.nextVal.getOrElse(s.lo))
+          else {
+            val local = (s.rank - s.below).toInt
+            val tail = resolved(ridOf(key))
+            (tail(local), s.nextVal.getOrElse(
+              if (frac != 0.0) tail(local + 1) else tail(local)))
+          }
         val q = if (frac == 0.0) vLow else vLow + frac * (vHigh - vLow)
         // HALF_UP on the exact binary value — the rounding DuckDB's
         // ROUND and Spark's round() both apply (rint's half-even differs

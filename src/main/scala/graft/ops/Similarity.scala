@@ -75,16 +75,25 @@ object Similarity {
     cosineDouble(va, vb, na, nb) >= lit(threshold) - slack
   }
 
+  /** Spread a source across the session's cores when it arrives in fewer
+    * splits: the driver testdata is one parquet file per table, so a
+    * per-row scoring pass over the raw scan would otherwise run in one
+    * task. Row placement never affects a per-row result or any of the
+    * order-independent aggregates downstream (decimal sums, struct
+    * min/max argmax, counts).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Corpus with per-row squared norm attached (one pass, reusable).
     * Small single-split sources are spread across cores first — the
     * downstream scoring join inherits the corpus partitioning, and a
     * one-partition corpus would score every candidate pair on one thread.
     */
-  def withNorm2(df: DataFrame, vecCol: String): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    spread.withColumn("norm2", dotDecimal(col(vecCol), col(vecCol)))
-  }
+  def withNorm2(df: DataFrame, vecCol: String): DataFrame =
+    spread(df).withColumn("norm2", dotDecimal(col(vecCol), col(vecCol)))
 
   /** Exact top-k cosine neighbors for the query rows selected by
     * `queryPred`. The query side is tiny → broadcast; the corpus is
@@ -569,7 +578,11 @@ object Similarity {
     val words = subspaced(df.where(codePred), idCol, vecCol, m, subDim)
       .select(col("sub"), col("id").as("code"), col("svec").as("cvec"),
         dotDecimal(col("svec"), col("svec")).as("cnorm2"))
-    subspaced(df, idCol, vecCol, m, subDim)
+    // spread the ENCODE side: the ×m in-row fan-out, the broadcast-join
+    // scoring against every codeword, and the partial argmax all run
+    // upstream of the first exchange — on a single-split source that
+    // whole pipeline would occupy one task
+    subspaced(spread(df), idCol, vecCol, m, subDim)
       .join(broadcast(words), "sub")
       .select(col("id"), col("sub"), struct(
         (dotDecimal(col("svec"), col("cvec")) * 2 - col("cnorm2")).as("score"),

@@ -889,11 +889,23 @@ object OpsCatalog {
       val keys = Seq("o_custkey", "o_orderdate", "o_totalprice")
       val anchors = IncrementalStats.anchorsFor(model)
         .view.filterKeys(keys.contains).toMap
-      val whole = IncrementalStats.synopsize(li, anchors)
+      // the whole-table and grouped synopses are independent jobs over
+      // the same cached partitions; run them CONCURRENTLY (guide §2.6:
+      // actions are only sequential because the driver calls them
+      // sequentially) so the grouped pass back-fills cores the whole
+      // pass's short tasks leave idle. synopsize() collects eagerly
+      // inside, so each Future is a self-contained job set; results are
+      // deterministic regardless of interleaving.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val wholeF = Future(IncrementalStats.synopsize(li, anchors))
       // all 3 shards in ONE grouped pass (the backfill shape), then
       // merged exactly as separately-arriving shard synopses would be
-      val parts = IncrementalStats.synopsizeGrouped(li,
-        pmod(col("o_orderkey"), lit(3)), anchors)
+      val partsF = Future(IncrementalStats.synopsizeGrouped(li,
+        pmod(col("o_orderkey"), lit(3)), anchors))
+      val whole = Await.result(wholeF, Duration.Inf)
+      val parts = Await.result(partsF, Duration.Inf)
       val merged = IncrementalStats.merge(parts.drop("shard"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = IncrementalStats.finalize(merged)

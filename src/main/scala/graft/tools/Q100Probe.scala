@@ -22,8 +22,8 @@ object Q100Probe {
       println(f"PHASE $tag%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
     }
     import graft.ops.{Dedup, Similarity}
-    (1 to 3).foreach { round =>
-      println(s"--- round $round")
+    (1 to 3).foreach { rnd =>
+      println(s"--- round $rnd")
       val df = graft.Tables.load(spark, dir, "embeddings")
       val centroidPred = col("vec_id") % 32 === 0
       val tau = 0.35
