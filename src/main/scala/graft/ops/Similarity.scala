@@ -47,11 +47,17 @@ object Similarity {
     * [[prefilterPass]] for the sound screening predicate built on this
     * bound.
     */
-  def cosineDouble(a: Column, b: Column, normA: Column, normB: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x) /
+  def cosineDouble(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    // native kernel, not aggregate(zip_with(...)): higher-order functions
+    // are CodegenFallback — one interpreted lambda dispatch per element
+    // of every screened pair made the prefilter costlier than the exact
+    // rescore it guards. Same IEEE product/sum sequence, bit-identical
+    // result (DecimalDotSpec pins the two forms element-wise).
+    GraftBridge.toColumn(graft.plans.DoubleDotProduct(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b))) /
       (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+  }
 
   /** Fixed component of the screening slack — generously covers the
     * double-side summation noise (≤ dims·2⁻⁵³ relative on |cos| ≤ 1);

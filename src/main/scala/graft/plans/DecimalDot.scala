@@ -126,3 +126,73 @@ object DecimalDotProduct {
     Decimal(BigDecimal(JBigDecimal.valueOf(acc, 12)), 30, 12)
   }
 }
+
+/** Native plain-DOUBLE dot product — the PREFILTER twin of
+  * [[DecimalDotProduct]] (see [[graft.ops.Similarity.cosineDouble]]).
+  * The composed form it replaces, `aggregate(zip_with(a, b, (x, y) =>
+  * x*y), 0.0, (acc, x) => acc + x)`, is a higher-order function —
+  * CodegenFallback, one interpreted lambda dispatch per ELEMENT of every
+  * candidate pair, which made the screening pass costlier than the work
+  * it screens. This kernel is one static call per row.
+  *
+  * Bit-exact contract with the composed form: products are the same
+  * IEEE doubles (float inputs widen exactly), summed left-to-right in
+  * index order — the identical rounding sequence, so the screening
+  * predicate built on it ([[graft.ops.Similarity.prefilterPass]])
+  * decides exactly as before. Mismatched lengths truncate to the
+  * shorter operand, mirroring [[DecimalDotProduct]].
+  */
+final case class DoubleDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def isDoubleArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DoubleDotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isDoubleArr(left), isDoubleArr(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.DoubleDotProduct.compute($a, $b, " +
+        s"${isDoubleArr(left)}, ${isDoubleArr(right)});")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_double_dot"
+}
+
+object DoubleDotProduct {
+  /** Static kernel shared by interpreted eval and generated code:
+    * left-to-right double summation of pairwise products, identical
+    * IEEE sequence to the composed zip_with/aggregate form.
+    */
+  def compute(a: ArrayData, b: ArrayData, aD: Boolean, bD: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aD) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bD) b.getDouble(i) else b.getFloat(i).toDouble
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}

@@ -39,6 +39,29 @@ class DecimalDotSpec extends AnyFunSuite {
     }
   }
 
+  test("native DoubleDotProduct == composed aggregate(zip_with) double fold") {
+    import spark.implicits._
+    // the r16 prefilter kernel replaces the interpreted higher-order
+    // form; its sum must follow the IDENTICAL left-to-right IEEE
+    // sequence so prefilterPass screens exactly as before
+    val rng = new Random(11)
+    val rows = (1 to 500).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val composed = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    import org.apache.spark.sql.GraftBridge
+    val native = GraftBridge.toColumn(DoubleDotProduct(
+      GraftBridge.toExpression(col("a")), GraftBridge.toExpression(col("b"))))
+    val out = df.select(col("id"), native.as("native"), composed.as("composed")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"id=${r.getLong(0)}: native=${r.getDouble(1)} composed=${r.getDouble(2)}")
+    }
+  }
+
   // outcome equality: same value, or the same exception class (the
   // reference path throws on NaN/Inf and on scaled values outside a
   // long — the fast path must reproduce that behavior, not mask it)
