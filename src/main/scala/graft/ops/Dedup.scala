@@ -190,12 +190,17 @@ object Dedup {
     val buckets = docSh.groupBy("sh")
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
       .where(size(col("ids")) <= maxDf)
-    val pairs = buckets.select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-          struct(a.getField("id").as("id_a"), a.getField("n_sh").as("n_a"),
-                 b.getField("id").as("id_b"), b.getField("n_sh").as("n_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.n_a").as("n_a"),
-              col("p.id_b").as("id_b"), col("p.n_b").as("n_b"))
+    // pair expansion as TWO generators, not nested transform/flatten:
+    // higher-order functions are CodegenFallback (interpreted lambda per
+    // element), while explode/posexplode run inside whole-stage codegen —
+    // same (i < j) pair multiset, same ≤ maxDf·(maxDf-1)/2 in-row bound,
+    // the sorted bucket array just fans out through GenerateExec instead
+    // of building nested arrays in interpreted mode
+    val pairs = buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b"))
+      .select(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
+              col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
     // n_a/n_b are functionally dependent on the ids — grouping on them
     // too keeps them available without any join-back
     pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))

@@ -15,6 +15,8 @@ object CcProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("GRAFT_OHA_FALLBACK", "128"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[A](tag: String)(f: => A): A = {
