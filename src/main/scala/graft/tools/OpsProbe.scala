@@ -17,6 +17,10 @@ object OpsProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // A/B knob: Spark's prod-recommended AQE coalescing (respect the
+      // advisory target size instead of maximizing parallelism)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PFIRST", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = graft.SparkEntry.queries
