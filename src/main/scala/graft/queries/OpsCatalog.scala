@@ -725,7 +725,13 @@ object OpsCatalog {
     // per row (never per-field re-parses), quarantine-aware, then an
     // ordinary typed rollup on the extracted field
     "q88_json_extract" -> { (s, dir) =>
-      val ev = Tables.load(s, dir, "events")
+      // spread the single-split source: the per-row from_json parse and
+      // the json_ok filter run upstream of the (10-group) aggregate's
+      // exchange, i.e. in ONE task on a one-file table; placement cannot
+      // affect a per-row parse or the order-independent aggregates
+      val ev0 = Tables.load(s, dir, "events")
+      val ev = if (ev0.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        ev0.repartition(s.sparkContext.defaultParallelism) else ev0
       // json_ok drops corrupt/empty payloads; the k-not-null filter
       // additionally drops valid payloads missing the field — the same
       // row set the oracle's json_valid + TRY_CAST IS NOT NULL keeps,
