@@ -345,77 +345,94 @@ object Dedup {
   def connectedComponents(edges: DataFrame, idA: String, idB: String,
                           nodes: DataFrame, idCol: String,
                           reliable: Boolean = false): DataFrame = {
-    if (reliable) require(nodes.sparkSession.sparkContext.getCheckpointDir.isDefined,
+    val spark = nodes.sparkSession
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
       "reliable=true needs SparkContext.setCheckpointDir (a fault-tolerant path)")
     def cp(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val nodeSet = cp(nodes.select(col(idCol).as("node")).distinct())
-    // contract: components over EXACTLY the given node set — an edge
-    // endpoint outside it (e.g. a pair computed before a filter dropped
-    // the doc) must not introduce phantom rows or labels, so foreign
-    // edges are semi-joined away up front
-    val sym = cp(edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
-      .join(nodeSet.select(col("node").as("src")), Seq("src"), "left_semi")
-      .join(nodeSet.select(col("node").as("dst")), Seq("dst"), "left_semi"))
-    // the identity seeding is a trivial projection of the ALREADY
-    // checkpointed nodeSet — round 1's two consumers recompute a
-    // column-alias, not a subtree, so materializing it separately would
-    // only add a barrier
-    var labels = nodeSet.withColumn("cluster_id", col("node"))
-    // fixpoint = no label changed this round (a changed-row count, NOT a
-    // sum of labels: label sums overflow Long for 60-bit hash ids, and
-    // an empty corpus sums to NULL)
-    var converged = labels.isEmpty
-    var rounds = 0
-    while (!converged) {
-      val prop = sym.join(labels, sym("dst") === labels("node"))
-        .select(col("src").as("node"), col("cluster_id").as("prop_min"))
-        .groupBy("node").agg(min("prop_min").as("prop_min"))
-      // merge via left join + least (null-skipping), NOT union+groupBy: a
-      // Union over the checkpointed seed frame — which carries the
-      // node=cluster_id attribute-equality constraint from the identity
-      // seeding — crashes Catalyst's Union constraint rewriting
-      // (NoSuchElementException in rewriteConstraints). The join keys
-      // both sides on node: the same single shuffle the union had.
-      // direct is materialized before the jump self-joins it: its two
-      // join branches key on different columns, so without the
-      // checkpoint the whole propagate subtree would execute twice.
-      // (r16 note: a SYNCHRONOUS-jump variant — jump read from the
-      // previous round's labels so each round needs one checkpoint
-      // instead of two — was tried and REVERTED: referencing `labels`
-      // four times in the single pre-checkpoint plan sent Catalyst's
-      // LogicalRDD.rewriteStatsAndConstraints into minutes-long
-      // constraint rewriting per round on join-dense graphs. Two small
-      // checkpoints beat one pathological planning pass.)
-      val direct = cp(labels.join(prop, Seq("node"), "left")
-        .select(col("node"), col("cluster_id").as("prev"),
-          least(col("cluster_id"), col("prop_min")).as("cluster_id")))
-      rounds += 1
-      if (direct.where(col("cluster_id") =!= col("prev")).isEmpty) {
-        // propagation fixpoint: for every edge both endpoints already
-        // carry the same label (label(u) ≤ label(v) in both directions),
-        // so the pointer jump is provably the identity — skip the final
-        // round's jump join + checkpoint entirely
-        converged = true
-        labels = direct.drop("prev")
-      } else {
-        // pointer jump: labels are always node ids (by induction from
-        // the identity seeding), so label(label(n)) is one more join
-        // away — each round the label chain halves, hence O(log d)
-        // rounds. No convergence check here: the next iteration's
-        // propagation step performs it on its already-materialized
-        // result.
-        val next = cp(direct.as("d")
-          .join(direct.select(col("node").as("cl"), col("cluster_id").as("cl_lab")),
-            col("d.cluster_id") === col("cl"))
-          .select(col("d.node").as("node"),
-            least(col("d.cluster_id"), col("cl_lab")).as("cluster_id")))
-        labels = next
+    // Catalyst guard for the whole driver-orchestrated loop: every
+    // checkpoint captures the origin plan's CONSTRAINT SET into its
+    // LogicalRDD, and each later reference to that frame pays
+    // rewriteStatsAndConstraints over it. On join-dense CC plans the
+    // ExpressionSet closure blows up combinatorially — r16 thread-dumped
+    // minutes of single-threaded driver planning per round when one
+    // checkpointed frame was referenced 4× (the synchronous-jump round
+    // below). Constraints only gate optional rewrites (inferred filters),
+    // never results, and every frame in the loop is already filtered and
+    // null-free by construction — switch propagation off for the loop so
+    // every captured constraint set is empty, and restore after. The
+    // returned labels frame is a checkpointed LogicalRDD, so downstream
+    // consumers plan under the caller's own setting.
+    val ckey = "spark.sql.constraintPropagation.enabled"
+    val cprev = spark.conf.get(ckey)
+    spark.conf.set(ckey, "false")
+    try {
+      val nodeSet = cp(nodes.select(col(idCol).as("node")).distinct())
+      // contract: components over EXACTLY the given node set — an edge
+      // endpoint outside it (e.g. a pair computed before a filter dropped
+      // the doc) must not introduce phantom rows or labels, so foreign
+      // edges are semi-joined away up front. The symmetrized edges are
+      // hash-partitioned on dst BEFORE the checkpoint: the LogicalRDD
+      // keeps that partitioning, so the per-round propagate join
+      // co-partitions on dst without re-shuffling the (2|E|-row) edge
+      // frame every round — one setup exchange replaces one per round.
+      val sym = cp(edges.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+        .join(nodeSet.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(nodeSet.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .repartition(col("dst")))
+      // iterate ONLY over edge-incident nodes: an isolated node keeps
+      // label = self forever, so it has no business riding through every
+      // round's joins — near-dup graphs at corpus scale are sparse, and
+      // the iterated frame is O(edge endpoints), not O(corpus). Isolated
+      // nodes are unioned back (self-labeled) after the fixpoint.
+      var labels = cp(sym.select(col("src").as("node")).distinct()
+        .withColumn("cluster_id", col("node")))
+      // fixpoint = no label changed this round (a changed-row count, NOT
+      // a sum of labels: label sums overflow Long for 60-bit hash ids,
+      // and an empty edge set sums to NULL)
+      var converged = labels.isEmpty
+      var rounds = 0
+      while (!converged) {
+        // every incident node is a src of some sym edge (symmetrized),
+        // so prop is TOTAL over labels and the merge join is inner
+        val prop = sym.join(labels, sym("dst") === labels("node"))
+          .select(col("src").as("node"), col("cluster_id").as("prop_min"))
+          .groupBy("node").agg(min("prop_min").as("prop_min"))
+        val merged = labels.join(prop, Seq("node"))
+          .select(col("node"), col("cluster_id").as("prev"),
+            least(col("cluster_id"), col("prop_min")).as("mid"))
+        // SYNCHRONOUS pointer jump against the PREVIOUS round's labels:
+        // mid is always an incident-node id (min over such ids, by
+        // induction from the identity seeding), so label(mid) is one
+        // total inner join away and the whole round — propagate, merge,
+        // jump — materializes in ONE checkpoint instead of r16's two.
+        // The label chain still halves per round, hence O(log d) rounds.
+        val next = cp(merged.join(
+            labels.select(col("node").as("cl"), col("cluster_id").as("cl_lab")),
+            col("mid") === col("cl"))
+          .select(col("node"), col("prev"),
+            least(col("mid"), col("cl_lab")).as("cluster_id")))
+        rounds += 1
+        // next == prev everywhere ⟹ mid == prev (the jump can only
+        // lower further) ⟹ propagation fixpoint ⟹ labels constant
+        // across every edge ⟹ exact component minimum — same proof as
+        // the two-checkpoint round, one cheap scan of the checkpointed
+        // blocks to confirm
+        converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
+        labels = next.select("node", "cluster_id")
       }
-    }
-    lastRoundsTL.set(rounds)
-    labels.select(col("node").as(idCol), col("cluster_id"))
+      lastRoundsTL.set(rounds)
+      // isolated nodes come back self-labeled via ONE left join +
+      // coalesce — not a Union with an identity-seeded branch, whose
+      // node=cluster_id alias-equality constraint crashes Catalyst's
+      // Union constraint rewriting when the caller consumes this frame
+      // with constraint propagation back on (NoSuchElementException in
+      // rewriteConstraints — the r15 crash this code already dodged once)
+      nodeSet.join(labels, Seq("node"), "left")
+        .select(col("node").as(idCol),
+          coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+    } finally { spark.conf.set(ckey, cprev) }
   }
 
   /** Canonical-corpus selection: keep ONE representative per duplicate
