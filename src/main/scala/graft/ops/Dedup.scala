@@ -606,9 +606,10 @@ object Dedup {
     * ([[graft.ops.Sketches.bloomContamination]]) cannot drift apart
     * (both are oracle-checked against the SAME SQL). `trainFilter` may
     * drop train-shingle occurrences that provably cannot match
-    * (receives the raw train occurrences and the distinct eval shingle
-    * set); the result is exact as long as the filter keeps every true
-    * overlap.
+    * (receives the raw train occurrences and the eval shingle rows —
+    * NOT deduplicated: the bloom build treats duplicates as idempotent
+    * inserts, and skipping the distinct deletes one exchange); the
+    * result is exact as long as the filter keeps every true overlap.
     */
   private[ops] def contamination(df: DataFrame, idCol: String, textCol: String,
                                  evalPred: Column, shingleN: Int)
@@ -628,7 +629,7 @@ object Dedup {
       .select(col(idCol), explode(col("shs")).as("sh"))
     val trainSh = trainFilter(
         base.where(!col("is_eval")).select(explode(col("shs")).as("sh")),
-        evalSh.select("sh").distinct())
+        evalSh.select("sh"))
       .distinct()
     val hits = evalSh.join(trainSh, "sh")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))

@@ -52,8 +52,12 @@ object Sketches {
     // the driver — the same footprint Spark's own runtime-filter rule
     // accepts.
     Dedup.contamination(df, idCol, textCol, evalPred, shingleN) {
-      (trainSh, evalDistinct) =>
-        BloomSketch.build(evalDistinct, "sh", fpp) match {
+      (trainSh, evalSh) =>
+        // evalSh arrives non-distinct off the persisted shingle base:
+        // duplicate inserts are idempotent and the row count only
+        // OVER-sizes the filter (fpp at or below the ask), so the
+        // distinct exchange the old build paid bought nothing
+        BloomSketch.build(evalSh, "sh", fpp) match {
           case None => trainSh.limit(0)
           case Some(bf) => trainSh.where(BloomSketch.mightContain(bf, col("sh")))
         }
@@ -85,13 +89,20 @@ object Sketches {
     */
   def bloomJoin(big: DataFrame, small: DataFrame,
                 bigKey: String, smallKey: String,
-                fpp: Double = 0.01): DataFrame =
-    BloomSketch.build(small, smallKey, fpp) match {
-      case None => big.limit(0).join(small, big(bigKey) === small(smallKey))
+                fpp: Double = 0.01): DataFrame = {
+    // ONE scan of the small side serves both the filter build (sizing
+    // count + aggregate) and the exact join — without the persist the
+    // source is read once per consumer. Lifecycle is session-owned
+    // (clearCache between jobs — see Bench/Verify), the same rule every
+    // persisting operator here follows.
+    val sm = small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    BloomSketch.build(sm, smallKey, fpp) match {
+      case None => big.limit(0).join(sm, big(bigKey) === sm(smallKey))
       case Some(bf) =>
         big.where(BloomSketch.mightContain(bf, col(bigKey)))
-          .join(small, big(bigKey) === small(smallKey))
+          .join(sm, big(bigKey) === sm(smallKey))
     }
+  }
 
   /** Exact anti-join (subtract a blocklist) with a bloom shortcut: a
     * bloom-NEGATIVE key is provably absent from `small`, so those rows
@@ -107,15 +118,19 @@ object Sketches {
     */
   def bloomAntiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
-                    fpp: Double = 0.01): DataFrame =
-    BloomSketch.build(small, smallKey, fpp) match {
+                    fpp: Double = 0.01): DataFrame = {
+    // same single-scan sharing as bloomJoin: build + exact anti-join
+    // both read the persisted small side
+    val sm = small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    BloomSketch.build(sm, smallKey, fpp) match {
       case None => big
       case Some(bf) =>
         val maybe = BloomSketch.mightContain(bf, col(bigKey))
         big.where(!maybe)
           .unionAll(big.where(maybe)
-            .join(small, big(bigKey) === small(smallKey), "left_anti"))
+            .join(sm, big(bigKey) === sm(smallKey), "left_anti"))
     }
+  }
 
   /** Per-shard HLL sketches of `valueCol`'s distinct count: one row per
     * shard with the reusable binary sketch and its point estimate. The

@@ -164,26 +164,30 @@ object BloomSketch {
   def mightContain(filter: Array[Byte], c: Column): Column =
     call_function("graft_bloom_contains", lit(filter), xxhash64(c))
 
-  /** Build a filter over the DISTINCT values of `keys(keyCol)`: the one
-    * shared build path for every bloom operator (join, anti-join,
-    * contamination). Persists the distinct set so the sizing count and
-    * the aggregate don't run the upstream plan twice, and returns None
-    * for an empty key set (each caller has a cheaper empty answer than
-    * an empty filter).
+  /** Build a filter over the values of `keys(keyCol)`: the one shared
+    * build path for every bloom operator (join, anti-join,
+    * contamination). Duplicate keys are idempotent inserts, so the old
+    * DISTINCT pass existed only to SIZE the filter — sizing by the exact
+    * row count instead (an upper bound on the distinct count, so the
+    * realized fpp is at or below the ask and bit count grows at most
+    * proportionally, still capped by maxNumBits) deletes that whole
+    * exchange + its temp persist from every bloom query. Two passes over
+    * `keys` remain (the sizing count, then the aggregate): hand this a
+    * cheap-to-rescan frame — the join callers persist their small side
+    * (shared with the exact join that follows), contamination feeds it
+    * off an already-persisted base. Returns None for an empty key set
+    * (each caller has a cheaper empty answer than an empty filter).
     */
   def build(keys: org.apache.spark.sql.DataFrame, keyCol: String,
             fpp: Double): Option[Array[Byte]] = {
     val spark = keys.sparkSession
     register(spark)
-    val distinct = keys.select(keys(keyCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = distinct.count()
-      if (n == 0) None
-      else Some(distinct
-        .agg(bloomAgg(distinct(keyCol), bloomItems(spark, n), bloomBits(spark, n, fpp)).as("bf"))
-        .head.getAs[Array[Byte]]("bf"))
-    } finally { distinct.unpersist(); () }
+    val proj = keys.select(keys(keyCol))
+    val n = proj.count()
+    if (n == 0) None
+    else Some(proj
+      .agg(bloomAgg(proj(keyCol), bloomItems(spark, n), bloomBits(spark, n, fpp)).as("bf"))
+      .head.getAs[Array[Byte]]("bf"))
   }
 }
 
