@@ -376,8 +376,14 @@ object Dedup {
       // keeps that partitioning, so the per-round propagate join
       // co-partitions on dst without re-shuffling the (2|E|-row) edge
       // frame every round — one setup exchange replaces one per round.
-      val sym = cp(edges.select(col(idA).as("src"), col(idB).as("dst"))
-        .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      // both orientations come out of ONE generator pass over the edge
+      // frame — the old union-of-two-projections consumed the caller's
+      // (typically expensive, typically unpersisted) pair pipeline TWICE
+      val sym = cp(edges
+        .select(explode(array(
+          struct(col(idA).as("src"), col(idB).as("dst")),
+          struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .join(nodeSet.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(nodeSet.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .repartition(col("dst")))

@@ -19,9 +19,21 @@ object CcProbe {
         sys.env.getOrElse("GRAFT_OHA_FALLBACK", "128"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job attribution per phase: under AQE every shuffle stage
+    // materializes as its own job, so "jobs" is the fixed-overhead unit
+    // the CC loop pays per round — count it alongside wall time
+    @volatile var jobs = 0
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+      })
     def t[A](tag: String)(f: => A): A = {
+      Thread.sleep(300); val j0 = jobs
       val t0 = System.nanoTime(); val r = f
-      println(f"PHASE $tag%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"PHASE $tag%-28s $sec%6.2f s  jobs=${jobs - j0}"); r
     }
     import graft.ops.Dedup
     val (shingleN, maxDf, thresh) = (3, 50L, 0.8)
