@@ -109,8 +109,7 @@ object StatsCollector {
     // multiplies rows by the distinct-agg count, and on one partition the
     // whole wide aggregate runs on one core (observed 51s for sf0.1
     // lineitem before this). Large inputs keep their natural splits.
-    val par = dfIn.sparkSession.sparkContext.defaultParallelism
-    val df = if (dfIn.rdd.getNumPartitions < par) dfIn.repartition(par) else dfIn
+    val df = graft.ops.Spread(dfIn)
     val schema = TableModel(name,
       df.schema.fields.toSeq.flatMap(f =>
         DType.fromSpark(f.dataType).map(ColumnModel(f.name, _))))

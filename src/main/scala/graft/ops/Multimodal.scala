@@ -25,16 +25,11 @@ object Multimodal {
   // the decoded pixels are identical.
   javax.imageio.ImageIO.setUseCache(false)
 
-  /** Spread a source across the session's cores when it arrives in fewer
-    * splits: the driver testdata is one parquet file per table, so without
-    * this every per-row codec pass (encode + decode per image/clip) runs
-    * in ONE task while 31 cores idle. Row placement doesn't affect any
-    * per-row codec result, and every caller re-sorts its output.
+  /** Shared conditional fan-out ([[graft.ops.Spread]]): row placement
+    * doesn't affect any per-row codec result, and every caller re-sorts
+    * its output.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   /** Band-0 pixels of a decoded image, row-major. Fast path reads the
     * raster's byte bank directly when the layout is single-byte-per-pixel

@@ -81,17 +81,11 @@ object Similarity {
     cosineDouble(va, vb, na, nb) >= lit(threshold) - slack
   }
 
-  /** Spread a source across the session's cores when it arrives in fewer
-    * splits: the driver testdata is one parquet file per table, so a
-    * per-row scoring pass over the raw scan would otherwise run in one
-    * task. Row placement never affects a per-row result or any of the
-    * order-independent aggregates downstream (decimal sums, struct
-    * min/max argmax, counts).
+  /** Shared conditional fan-out ([[graft.ops.Spread]]): row placement
+    * never affects a per-row result or any of the order-independent
+    * aggregates downstream (decimal sums, struct min/max argmax, counts).
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   /** Corpus with per-row squared norm attached (one pass, reusable).
     * Small single-split sources are spread across cores first — the

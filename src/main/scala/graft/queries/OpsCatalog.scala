@@ -729,9 +729,7 @@ object OpsCatalog {
       // the json_ok filter run upstream of the (10-group) aggregate's
       // exchange, i.e. in ONE task on a one-file table; placement cannot
       // affect a per-row parse or the order-independent aggregates
-      val ev0 = Tables.load(s, dir, "events")
-      val ev = if (ev0.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-        ev0.repartition(s.sparkContext.defaultParallelism) else ev0
+      val ev = graft.ops.Spread(Tables.load(s, dir, "events"))
       // json_ok drops corrupt/empty payloads; the k-not-null filter
       // additionally drops valid payloads missing the field — the same
       // row set the oracle's json_valid + TRY_CAST IS NOT NULL keeps,
@@ -886,9 +884,7 @@ object OpsCatalog {
       // one-core passes). Every synopsis field is order-independent
       // (exact decimal sums, min/max/counts, HLL register union), so the
       // placement change cannot move a bit of the output.
-      val li0 = Tables.load(s, dir, "orders")
-      val li = (if (li0.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-          li0.repartition(s.sparkContext.defaultParallelism) else li0)
+      val li = graft.ops.Spread(Tables.load(s, dir, "orders"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = StatsCollector.collect(s, dir, Seq("orders"))
         .tables.find(_.name == "orders").get
