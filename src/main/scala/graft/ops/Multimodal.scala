@@ -22,7 +22,14 @@ object Multimodal {
   // TEMP FILE (FileCacheImageInput/OutputStream): at one PNG per row that
   // is a filesystem create+write+delete round-trip per image — switch the
   // whole JVM to memory-backed streams. Pure I/O plumbing; the codec and
-  // the decoded pixels are identical.
+  // the decoded pixels are identical. NOTE: setUseCache is JVM-GLOBAL
+  // state set on class load — any cohabiting ImageIO user inherits
+  // memory-backed streams (a behavior change only for callers decoding
+  // images too large for heap), and on a multi-executor deployment it
+  // applies exactly on the JVMs that run these kernels (each executor
+  // loads this class before its first codec task). Deliberate: the
+  // alternative — a per-call stream-cache toggle — does not exist in the
+  // ImageIO API.
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Shared conditional fan-out ([[graft.ops.Spread]]): row placement

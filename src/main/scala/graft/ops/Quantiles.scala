@@ -88,7 +88,12 @@ object Quantiles {
       def stillActive = states.filter { case (_, s) => s.inRange > smallCutoff && s.hi > s.lo }
       var active = stillActive
       while (active.nonEmpty) {
-        val ranges = active.values.toSeq.zipWithIndex
+        // ONE materialized (state, rid) order serves both the ranges
+        // frame and the histogram application below — re-enumerating the
+        // map twice would silently mis-route slices if the collection's
+        // iteration order ever stopped being stable between the calls
+        val actSeq = active.values.toSeq.zipWithIndex
+        val ranges = actSeq
           .map { case (s, rid) => (rid, s.lo, s.hi) }
           .toDF("rid", "_lo", "_hi")
         // the equi-width floor only STEERS; the bounds carried to the
@@ -104,7 +109,7 @@ object Quantiles {
           .collect()
           .map(r => (r.getInt(0), (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
           .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
-        active.values.toSeq.zipWithIndex.foreach { case (s, rid) =>
+        actSeq.foreach { case (s, rid) =>
           val bands = hist.getOrElse(rid,
             sys.error(s"rank ${s.rank} fell out of [${s.lo},${s.hi}] (below=${s.below})"))
           var acc = s.below

@@ -219,6 +219,10 @@ object Sampling {
     // globally, and p's smallest mono id (its local zero point)
     val parts = keyed.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_n"), min(col("_mono")).as("_lo"))
+    // the frame is ONE ROW PER PARTITION of `keyed` (bounded by
+    // construction), so the single-partition window is the design and
+    // WindowExec's unpartitioned-window warning is expected (a constant
+    // partition key would not silence it — Catalyst folds it away)
     val offsets = broadcast(parts
       .withColumn("_off",
         coalesce(sum(col("_n")).over(
@@ -279,6 +283,12 @@ object Sampling {
                           nTokensCol: String, budget: Long): DataFrame = {
     require(budget > 0)
     import org.apache.spark.sql.expressions.Window
+    // these windows run over ONE ROW PER GROUP (bounded — see the scale
+    // note above), so single-partition execution is the design and the
+    // WindowExec unpartitioned-window warning is expected here. A
+    // constant partition key (partitionBy(lit(0))) does NOT silence it:
+    // Catalyst folds foldable partition expressions out of the window
+    // spec before execution (verified in the q94 physical plan).
     val wAll = Window.partitionBy()
     val wRank = Window.partitionBy().orderBy(col("_rem").desc, col(groupCol))
     df.groupBy(col(groupCol))
@@ -323,6 +333,12 @@ object Sampling {
     require(total > 0, s"total=$total")
     require(halvings >= 1 && halvings <= 4, s"halvings=$halvings (α=2^-h ∈ [1/16, 1/2])")
     import org.apache.spark.sql.expressions.Window
+    // these windows run over ONE ROW PER GROUP (bounded — see the scale
+    // note above), so single-partition execution is the design and the
+    // WindowExec unpartitioned-window warning is expected here. A
+    // constant partition key (partitionBy(lit(0))) does NOT silence it:
+    // Catalyst folds foldable partition expressions out of the window
+    // spec before execution (verified in the q94 physical plan).
     val wAll = Window.partitionBy()
     val wRank = Window.partitionBy().orderBy(col("_rem").desc, col(groupCol))
     val wRoot = (1 to halvings).foldLeft(col("group_n").cast("double")) {

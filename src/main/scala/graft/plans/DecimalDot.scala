@@ -141,6 +141,14 @@ object DecimalDotProduct {
   * predicate built on it ([[graft.ops.Similarity.prefilterPass]])
   * decides exactly as before. Mismatched lengths truncate to the
   * shorter operand, mirroring [[DecimalDotProduct]].
+  *
+  * NULL contract (same as [[DecimalDotProduct]]): a NULL ARRAY returns
+  * NULL (nullIntolerant), but array ELEMENTS are read without isNullAt
+  * checks — a containsNull element would read as 0/garbage where the
+  * composed aggregate(zip_with(...)) form propagates NULL. Callers must
+  * only feed dense vectors (every embedding column here is generated
+  * null-free); a sparse/nullable-element corpus needs an isNullAt branch
+  * added to both kernels first.
   */
 final case class DoubleDotProduct(left: Expression, right: Expression)
   extends BinaryExpression {

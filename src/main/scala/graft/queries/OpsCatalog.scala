@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Bpe, Dedup, EventOps, Multimodal, Quantiles, RangeJoin, Sampling, SemiStructured, Similarity, Sketches, TextAnalysis, TopFraction}
+import graft.ops.{Bpe, Dedup, EventOps, Futures, Multimodal, Quantiles, RangeJoin, Sampling, SemiStructured, Similarity, Sketches, TextAnalysis, TopFraction}
 import graft.ops.PortableHash.{duckHash60 => dh}
 
 /** Query + oracle entries for the training-data-pipeline operators
@@ -898,16 +898,21 @@ object OpsCatalog {
       // pass's short tasks leave idle. synopsize() collects eagerly
       // inside, so each Future is a self-contained job set; results are
       // deterministic regardless of interleaving.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.Future
+      import scala.concurrent.duration.DurationInt
       import scala.concurrent.ExecutionContext.Implicits.global
       val wholeF = Future(IncrementalStats.synopsize(li, anchors))
       // all 3 shards in ONE grouped pass (the backfill shape), then
       // merged exactly as separately-arriving shard synopses would be
       val partsF = Future(IncrementalStats.synopsizeGrouped(li,
         pmod(col("o_orderkey"), lit(3)), anchors))
-      val whole = Await.result(wholeF, Duration.Inf)
-      val parts = Await.result(partsF, Duration.Inf)
+      // FINITE bound (was Duration.Inf — a wedged concurrent job hung the
+      // query forever): generously above any sane synopsis pass, with a
+      // deterministic sequential recomputation as the fallback
+      val whole = Futures.awaitOr(wholeF, 1.hour)(
+        IncrementalStats.synopsize(li, anchors))
+      val parts = Futures.awaitOr(partsF, 1.hour)(
+        IncrementalStats.synopsizeGrouped(li, pmod(col("o_orderkey"), lit(3)), anchors))
       val merged = IncrementalStats.merge(parts.drop("shard"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = IncrementalStats.finalize(merged)

@@ -41,7 +41,11 @@ object OpsProbe {
       val timed = Seq.fill(runs) {
         val s = once(); spark.catalog.clearCache(); System.gc(); s
       }.sorted
-      val med = timed(timed.size / 2)
+      // true median for even counts too (the upper-middle sample biased
+      // even-run A/B rankings — the tool exists to stabilize those)
+      val med =
+        if (timed.size % 2 == 1) timed(timed.size / 2)
+        else (timed(timed.size / 2 - 1) + timed(timed.size / 2)) / 2
       println(f"TIMING $q%-22s $warm%6.2f s (med-of-$runs $med%6.2f s, " +
         f"min ${timed.head}%5.2f max ${timed.last}%5.2f) rows=$n")
       if (doExplain) { println(s"=== $q plan ==="); all(q)(spark, dir).explain("formatted") }
