@@ -275,16 +275,22 @@ object TextAnalysis {
                     k: Double = 1.0): DataFrame = {
     require(k > 0, s"smoothing k must be > 0, got $k")
     val spark = df.sparkSession
+    // bigram expansion as a position GENERATOR + in-row element_at, not
+    // transform(...struct...): higher-order functions are CodegenFallback
+    // (one interpreted lambda dispatch per token), while explode(sequence)
+    // and the element_at projection run inside whole-stage codegen — the
+    // same (w1, w2) rows, and this subtree executes once per consumer
+    // (the count chain and the join-back), so its per-row cost counts
+    // double
     val bigrams = df
       .repartition(spark.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(
-        when(size(col("toks")) >= 2,
-          transform(sequence(lit(0), size(col("toks")) - 2),
-            i => struct(element_at(col("toks"), i + 1).as("w1"),
-                        element_at(col("toks"), i + 2).as("w2")))
-        ).otherwise(array())).as("bg"))
-      .select(col(idCol), col("bg")("w1").as("w1"), col("bg")("w2").as("w2"))
+      .select(col(idCol), col("toks"), explode(
+        when(size(col("toks")) >= 2, sequence(lit(0), size(col("toks")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(idCol),
+        element_at(col("toks"), col("i") + 1).as("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"))
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val vocab = df
