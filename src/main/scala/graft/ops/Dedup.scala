@@ -37,13 +37,20 @@ object Dedup {
     * the input pre-partitioned by id so (a) the CPU-heavy explode runs on
     * all cores even when the source is a single small file and (b) the
     * downstream per-id groupBy reuses the partitioning without another
-    * shuffle.
+    * shuffle. The shingles come from a position GENERATOR + in-row
+    * concat_ws(slice) — not explode([[shinglesOf]]), whose transform
+    * lambda is CodegenFallback (one interpreted dispatch per shingle);
+    * this path stays entirely inside whole-stage codegen and emits the
+    * identical (id, shingle) multiset.
     */
   private[graft] def shingleRows(df: DataFrame, idCol: String, textCol: String,
                                  n: Int): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(shinglesOf(col("toks"), n)).as("sh"))
+      .select(col(idCol), col("toks"), explode(
+        when(size(col("toks")) >= n, sequence(lit(0), size(col("toks")) - n))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(idCol), concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("sh"))
 
   /** Exact dedup: group identical texts by md5, keep the smallest id.
     * One shuffle on the 128-bit content hash; group sizes are tiny
